@@ -1,0 +1,66 @@
+import numpy as np
+
+from metric_search_ray import fixtures, geom
+
+
+def test_square_pip():
+    ring = np.asarray([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    lon = np.asarray([5, 15, -1, 9.99, 5])
+    lat = np.asarray([5, 5, 5, 9.99, -5])
+    inside = geom.points_in_polygon(lon, lat, ring)
+    assert inside.tolist() == [True, False, False, True, False]
+
+
+def test_concave_star_pip():
+    # 4-point star: outer radius 10, inner 3, centered at origin
+    ang = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    rad = np.where(np.arange(8) % 2 == 0, 10.0, 3.0)
+    ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+    # origin inside; a point between spikes (diag at radius 6) outside
+    lon = np.asarray([0.0, 6 * np.cos(np.pi / 8 + np.pi / 16)])
+    lat = np.asarray([0.0, 6 * np.sin(np.pi / 8 + np.pi / 16)])
+    inside = geom.points_in_polygon(lon, lat, ring)
+    assert inside[0]
+    assert not inside[1]
+
+
+def test_pip_against_matplotlib_free_oracle():
+    """Cross-check ray casting vs winding-angle oracle on random polys."""
+    rng = np.random.default_rng(0)
+    layer = fixtures.polygon_layer(seed=1)
+    lon = rng.uniform(-180, 180, 400)
+    lat = rng.uniform(-90, 90, 400)
+    for ring in layer["ring"][:20]:
+        got = geom.points_in_polygon(lon, lat, ring)
+        # winding number oracle
+        v = ring[None, :, :] - np.stack([lon, lat], axis=1)[:, None, :]
+        v2 = np.roll(v, -1, axis=1)
+        ang = np.arctan2(
+            v[:, :, 0] * v2[:, :, 1] - v[:, :, 1] * v2[:, :, 0],
+            (v * v2).sum(axis=2),
+        ).sum(axis=1)
+        exp = np.abs(ang) > np.pi  # winding != 0
+        # convex & simple polygons: both must agree away from boundaries
+        agree = (got == exp).mean()
+        assert agree > 0.99
+
+
+def test_rect_intersects_polygon():
+    ring = np.asarray([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    assert geom.rect_intersects_polygon(2, 2, 3, 3, ring)      # rect inside poly
+    assert geom.rect_intersects_polygon(-5, -5, 15, 15, ring)  # poly inside rect
+    assert geom.rect_intersects_polygon(9, 9, 12, 12, ring)    # overlap
+    assert not geom.rect_intersects_polygon(11, 11, 12, 12, ring)
+    assert geom.rect_intersects_polygon(10, 5, 12, 6, ring)    # touching edge
+
+
+def test_point_in_polygons_join():
+    layer = fixtures.polygon_layer(seed=42)
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    pi, pj = geom.point_in_polygons(lon, lat, layer["ring"])
+    assert len(pi) == len(pj)
+    # every reported pair verifies exactly
+    for i, j in zip(pi[:50], pj[:50]):
+        assert geom.points_in_polygon(lon[i : i + 1], lat[i : i + 1], layer["ring"][j])[0]
