@@ -49,16 +49,26 @@ def ppm_encode(pix: np.ndarray) -> bytes:
 def ppm_decode(buf: bytes) -> np.ndarray:
     if not (buf.startswith(b"P5") or buf.startswith(b"P6")):
         raise ValueError("not a P5/P6 stream")
-    # header: magic, whitespace, w, h, maxval, single whitespace, raster
-    parts = buf.split(None, 4)
-    magic, w, h = parts[0], int(parts[1]), int(parts[2])
-    maxval = int(parts[3])
+    # header: magic ws w ws h ws maxval + exactly ONE ws, then raw raster.
+    # A naive split(None) would also strip raster bytes that happen to be
+    # whitespace values (0x09/0x0a/0x20...), corrupting the image.
+    magic = buf[:2]
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while buf[pos] in b" \t\r\n":
+            pos += 1
+        start = pos
+        while buf[pos] not in b" \t\r\n":
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = vals
     if maxval != 255:
         raise ValueError("only maxval=255 supported")
-    raster = parts[4]
     if magic == b"P5":
-        return np.frombuffer(raster, np.uint8, count=w * h).reshape(h, w)
-    return np.frombuffer(raster, np.uint8, count=w * h * 3).reshape(h, w, 3)
+        return np.frombuffer(buf, np.uint8, count=w * h, offset=pos).reshape(h, w)
+    return np.frombuffer(buf, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
 
 
 # ---------------------------------------------------------------- QDCT

@@ -55,6 +55,10 @@ def row_of(i: int, seed: int = 42) -> dict:
         pix = _pixels_for(i, seed)
     fmt = "qdct" if (i % 5 == 3) else "ppm"
     buf = codecs.encode(pix, fmt)
+    if fmt == "qdct":
+        # the table's phash describes the STORED (lossy) image, so the
+        # validate stage's recompute check is exact for every row
+        pix = codecs.decode(buf, fmt)
     rng_c = np.random.default_rng(np.random.SeedSequence([seed, int(i), 13]))
     n_words = int(rng_c.integers(3, 21))
     caption = " ".join(VOCAB[j] for j in rng_c.integers(0, len(VOCAB), n_words))

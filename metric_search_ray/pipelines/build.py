@@ -1,0 +1,209 @@
+"""Partitioned cover-tree index build — the engine's core shuffle stage.
+
+Replaces the reference's single mutex-guarded global tree
+(details/tree.cpp:393 — writers serialize on one shared_timed_mutex)
+with partition parallelism: rows are bucketed into quadkey geo cells
+(`groupby` shuffle), hot cells are salted into sub-partitions from a
+count pre-pass (explicit skew handling: cities vs empty ocean —
+the distributed analogue of the reference's degenerate-tree warning,
+README.md:239-241), and one exact cover tree is built per (cell, salt)
+partition inside `map_groups`.
+
+Determinism: rows are sorted by image_id inside each partition before
+the sequential build, so the tree shape — which depends on insertion
+order (tree.cpp:304-322) — is identical across runs and parallelism
+levels.
+
+Resumability: each partition checkpoint is one parquet file named by
+(cell, salt), written atomically (tmp + rename); a manifest parquet
+records lineage + metrics per partition.  A rerun skips completed
+partitions (file presence = completed, because the rename is atomic).
+
+Scale notes (100 TB / 10^12 rows):
+- the index is built on NARROW columns only (image_id, lat, lon,
+  phash) — image bytes never enter this shuffle (`select_columns`
+  before calling build_index);
+- the count pre-pass output is tiny (#cells rows) and is broadcast;
+- target_partition_rows bounds per-actor heap: a 200k-row partition's
+  tree is ~tens of MB;
+- checkpoints are one file per partition => resumable and listable.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .. import cell as cellmod
+from ..covertree import CoverTree
+from ..metrics import PlanarDeg
+from ..stages import assign
+
+DEFAULT_RES = 6
+DEFAULT_TARGET_ROWS = 50_000
+
+CKPT_SCHEMA = pa.schema([
+    ("row_id", pa.int64()),        # tree node ID == within-partition insert order
+    ("level", pa.int64()),
+    ("parent_row_id", pa.int64()),
+    ("parent_dist", pa.float64()),
+    ("maxdist", pa.float64()),
+    ("image_id", pa.string()),
+    ("lat", pa.float64()),
+    ("lon", pa.float64()),
+    ("phash", pa.int64()),
+])
+
+MANIFEST_SCHEMA = pa.schema([
+    ("cell", pa.int64()),
+    ("salt", pa.int64()),
+    ("n_rows", pa.int64()),
+    ("tree_height", pa.int64()),
+    ("build_ms", pa.float64()),
+    ("path", pa.string()),
+    ("min_image_id", pa.string()),   # lineage: input key range of the partition
+    ("max_image_id", pa.string()),
+    ("resumed", pa.bool_()),
+])
+
+
+def part_path(ckpt_dir: str, cell_id: int, salt: int) -> str:
+    return os.path.join(ckpt_dir, f"part-{np.uint64(np.int64(cell_id)):016x}-{salt:03d}.parquet")
+
+
+def plan_salts(ds: "rd.Dataset", target_rows: int = DEFAULT_TARGET_ROWS) -> dict[int, int]:
+    """Count pre-pass: cells with more than target_rows get k > 1 salts.
+
+    `groupby(cell).count()` is a shuffle of (cell) only — tiny relative
+    to the data; its result (#distinct-cells rows) is collected to the
+    driver and broadcast into the salting stage.
+    """
+    counts = ds.groupby("cell").count().to_pandas()
+    k = np.maximum(1, np.ceil(counts["count()"] / target_rows)).astype(int)
+    return {int(c): int(n) for c, n in zip(counts["cell"], k) if n > 1}
+
+
+def _build_partition(tbl: pa.Table, ckpt_dir: str, resume: bool) -> pa.Table:
+    cell_id = int(tbl.column("cell")[0].as_py())
+    salt = int(tbl.column("salt")[0].as_py())
+    path = part_path(ckpt_dir, cell_id, salt)
+    ids = tbl.column("image_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")  # determinism contract
+    if resume and os.path.exists(path):
+        md = pq.read_metadata(path)
+        lv = pq.read_table(path, columns=["level"]).column("level").to_numpy()
+        return pa.table({
+            "cell": [cell_id], "salt": [salt], "n_rows": [md.num_rows],
+            "tree_height": [int(lv.max() - lv.min()) if len(lv) else 0],
+            "build_ms": [0.0], "path": [path],
+            "min_image_id": [str(ids[order[0]])], "max_image_id": [str(ids[order[-1]])],
+            "resumed": [True],
+        }, schema=MANIFEST_SCHEMA)
+
+    t0 = time.perf_counter()
+    lat = tbl.column("lat").to_numpy()[order]
+    lon = tbl.column("lon").to_numpy()[order]
+    ph = tbl.column("phash").to_numpy()[order]
+    ids_sorted = ids[order]
+    pts = np.stack([lat, lon], axis=1)
+    tree = CoverTree(metric=PlanarDeg())
+    for p in pts:
+        tree.insert(p)
+    if not tree.check_covering():
+        raise AssertionError(f"covering invariant violated in partition {cell_id}/{salt}")
+    arrays = tree.to_arrays()
+    node_ids = arrays["ID"]
+    node_tbl = pa.table({
+        "row_id": pa.array(node_ids, pa.int64()),
+        "level": pa.array(arrays["level"], pa.int64()),
+        "parent_row_id": pa.array(arrays["parent_ID"], pa.int64()),
+        "parent_dist": pa.array(arrays["parent_dist"], pa.float64()),
+        "maxdist": pa.array(arrays["maxdist"], pa.float64()),
+        "image_id": pa.array(ids_sorted[node_ids], pa.string()),
+        "lat": pa.array(lat[node_ids], pa.float64()),
+        "lon": pa.array(lon[node_ids], pa.float64()),
+        "phash": pa.array(ph[node_ids], pa.int64()),
+    }, schema=CKPT_SCHEMA)
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(node_tbl, tmp)
+    os.replace(tmp, path)  # atomic completion marker
+    ms = (time.perf_counter() - t0) * 1000
+    lv = arrays["level"]
+    return pa.table({
+        "cell": [cell_id], "salt": [salt], "n_rows": [len(node_ids)],
+        "tree_height": [int(lv.max() - lv.min()) if len(lv) else 0],
+        "build_ms": [ms], "path": [path],
+        "min_image_id": [str(ids_sorted[0])], "max_image_id": [str(ids_sorted[-1])],
+        "resumed": [False],
+    }, schema=MANIFEST_SCHEMA)
+
+
+def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
+                target_rows: int = DEFAULT_TARGET_ROWS, resume: bool = True,
+                id_column: str = "image_id") -> pa.Table:
+    """images Dataset -> per-partition cover-tree checkpoints + manifest.
+
+    ``ds`` needs columns (image_id, phash); geotag/cell/salt columns are
+    derived here.  Returns the manifest table (small: one row per
+    partition) and writes ``manifest.parquet`` into ckpt_dir.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    narrow = ds.select_columns([id_column, "phash"])
+    tagged = (narrow
+              .map_batches(assign.geotag, batch_format="pyarrow", zero_copy_batch=True)
+              .map_batches(lambda b: assign.assign_cell(b, res), batch_format="pyarrow",
+                           zero_copy_batch=True))
+    salt_plan = plan_salts(tagged, target_rows)
+    salted = tagged.map_batches(
+        lambda b: assign.assign_salt(b, salt_plan), batch_format="pyarrow",
+        zero_copy_batch=True)
+    manifest_ds = salted.groupby(["cell", "salt"]).map_groups(
+        lambda t: _build_partition(t, ckpt_dir, resume), batch_format="pyarrow")
+    manifest = pa.Table.from_pandas(manifest_ds.to_pandas(), schema=MANIFEST_SCHEMA,
+                                    preserve_index=False)
+    tmp = os.path.join(ckpt_dir, f"manifest.tmp.{os.getpid()}")
+    pq.write_table(manifest, tmp)
+    os.replace(tmp, os.path.join(ckpt_dir, "manifest.parquet"))
+    return manifest
+
+
+def load_manifest(ckpt_dir: str) -> pa.Table:
+    return pq.read_table(os.path.join(ckpt_dir, "manifest.parquet"))
+
+
+def load_partition_tree(path: str, metric=None) -> tuple[CoverTree, pa.Table]:
+    """Checkpoint file -> (rebuilt CoverTree, node table).
+
+    Pointer rebuild from parent_row_id replaces the reference's
+    stack-driven deserialize (tree.cpp:1041-1080); preorder row order
+    preserves children order, so the restored tree is structurally
+    identical (same_tree parity, tested).
+    """
+    tbl = pq.read_table(path)
+    lat = tbl.column("lat").to_numpy()
+    lon = tbl.column("lon").to_numpy()
+    tree = CoverTree.from_arrays({
+        "ID": tbl.column("row_id").to_numpy(),
+        "level": tbl.column("level").to_numpy(),
+        "parent_ID": tbl.column("parent_row_id").to_numpy(),
+        "parent_dist": tbl.column("parent_dist").to_numpy(),
+        "maxdist": tbl.column("maxdist").to_numpy(),
+        "data": np.stack([lat, lon], axis=1),
+    }, metric=metric if metric is not None else PlanarDeg())
+    return tree, tbl
+
+
+def cells_in_manifest(manifest: pa.Table) -> dict[int, list[tuple[int, str]]]:
+    """cell -> [(salt, path), ...] lookup for the query side."""
+    out: dict[int, list[tuple[int, str]]] = {}
+    for c, s, p in zip(manifest.column("cell").to_pylist(),
+                       manifest.column("salt").to_pylist(),
+                       manifest.column("path").to_pylist()):
+        out.setdefault(int(c), []).append((int(s), p))
+    return out

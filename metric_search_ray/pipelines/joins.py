@@ -1,0 +1,139 @@
+"""Spatial joins: point-in-polygon (inner/semi/anti) and radius (rnn) join.
+
+Point-in-polygon follows the broadcast-small-side rule (SURVEY.md §7.2):
+the polygon layer (a few KB..MB) is ``ray.put`` once on the driver and
+read once per actor in ``__init__`` — never shuffled, never re-shipped
+per batch.  Each task does a vectorized bbox prefilter then exact ray
+casting (geom.py).
+
+The radius join is the distributed form of the reference's ``rnn``
+(details/tree.cpp:698-735): all indexed points with dist < radius of
+each query.  Candidate cells are every cell whose box lower-bound is
+below the radius — known up front, so no ring iteration is needed
+(SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .. import cell as cellmod
+from .. import geom
+from . import build as buildmod
+
+
+class PipActor:
+    """Actor pool: polygons fetched once per actor, vectorized PIP per batch."""
+
+    def __init__(self, polygons_ref, how: str = "inner", id_col: str = "image_id"):
+        layer = ray.get(polygons_ref)
+        self.ids = layer["polygon_id"]
+        self.rings = [np.asarray(r, np.float64) for r in layer["ring"]]
+        self.bboxes = np.asarray([geom.ring_bbox(r) for r in self.rings])
+        self.how = how
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        pi, pj = [], []
+        for j, ring in enumerate(self.rings):
+            bb = self.bboxes[j]
+            cand = np.flatnonzero(geom.bbox_prefilter(lon, lat, bb))
+            if len(cand) == 0:
+                continue
+            inside = geom.points_in_polygon(lon[cand], lat[cand], ring)
+            hit = cand[inside]
+            pi.append(hit)
+            pj.append(np.full(len(hit), j, np.int64))
+        pi = np.concatenate(pi) if pi else np.empty(0, np.int64)
+        pj = np.concatenate(pj) if pj else np.empty(0, np.int64)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        if self.how == "inner":
+            order = np.lexsort((pj, pi))  # deterministic output order per batch
+            return pa.table({
+                self.id_col: pa.array(ids[pi[order]]),
+                "polygon_id": pa.array([self.ids[j] for j in pj[order]], pa.string()),
+            })
+        hit_mask = np.zeros(len(ids), bool)
+        hit_mask[pi] = True
+        keep = hit_mask if self.how == "semi" else ~hit_mask
+        return batch.filter(pa.array(keep))
+
+
+def point_in_polygon_join(points_ds, polygon_layer: dict, how: str = "inner",
+                          id_col: str = "image_id", concurrency: int = 4,
+                          batch_size: int = 16384):
+    """how='inner' -> (id, polygon_id) pairs; 'semi'/'anti' -> filtered rows."""
+    ref = ray.put(polygon_layer)
+    return points_ds.map_batches(
+        PipActor, fn_constructor_kwargs={"polygons_ref": ref, "how": how,
+                                         "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------- radius join
+
+
+class RnnActor:
+    """Actor pool: radius search against the partitioned geo index."""
+
+    def __init__(self, ckpt_dir: str, radius: float, cache_trees: int = 64):
+        import collections
+        manifest = buildmod.load_manifest(ckpt_dir)
+        self.by_cell = buildmod.cells_in_manifest(manifest)
+        self.cells = np.asarray(sorted(self.by_cell), np.int64)
+        self.radius = radius
+        self._cache: "collections.OrderedDict" = collections.OrderedDict()
+        self.cache_trees = cache_trees
+
+    def _tree(self, path: str):
+        if path in self._cache:
+            self._cache.move_to_end(path)
+            return self._cache[path]
+        tree, tbl = buildmod.load_partition_tree(path)
+        # checkpoint rows are preorder — reindex image_id by node row_id
+        import numpy as _np
+        rid = tbl.column("row_id").to_numpy()
+        raw = tbl.column("image_id").to_numpy(zero_copy_only=False)
+        ids = _np.empty(len(rid), dtype=object)
+        ids[rid] = raw
+        self._cache[path] = (tree, ids)
+        if len(self._cache) > self.cache_trees:
+            self._cache.popitem(last=False)
+        return self._cache[path]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        lats = batch.column("lat").to_numpy()
+        lons = batch.column("lon").to_numpy()
+        out_q, out_i, out_d = [], [], []
+        for qid, la, lo in zip(qids, lats, lons):
+            # candidate cells: box lower-bound < radius (exact, no rings)
+            lbs = cellmod.point_cell_min_dist_deg(float(la), float(lo), self.cells)
+            for c in self.cells[lbs < self.radius]:
+                for _salt, path in self.by_cell[int(c)]:
+                    tree, ids = self._tree(path)
+                    for node, d in tree.rnn(np.asarray([la, lo]), self.radius):
+                        out_q.append(qid)
+                        out_i.append(str(ids[node.ID]))
+                        out_d.append(float(d))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.string()),
+            "image_id": pa.array(out_i, pa.string()),
+            "dist": pa.array(out_d, pa.float64()),
+        })
+
+
+def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
+                batch_size: int = 256):
+    """All (query, image) pairs with planar-degree dist < radius (strict,
+    matching the reference's rnn)."""
+    return queries_ds.map_batches(
+        RnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir, "radius": radius},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -1,0 +1,236 @@
+"""Exact kNN over the partitioned cover-tree index.
+
+Two distributed query shapes:
+
+1. ``knn_geo`` — geo queries against the partitioned geo index, with the
+   **exactness ring protocol**: the cover tree's pruning inequality
+   ``best > d(child, q) - subtree_radius`` (tree.cpp:686) lifted to the
+   cell lattice.  A query searches its home cell's trees, then expands
+   Chebyshev rings of cells; ring r's lower bound is the min planar
+   distance from the query to any cell box in the ring (monotone
+   nondecreasing in r), so the search stops exactly when the k-th best
+   distance can no longer improve.  Salted cells search every salt.
+   No true neighbor can be missed: every unvisited cell has
+   lower-bound >= the stopping bound >= kth distance.
+
+2. ``knn_metric`` — metric kNN (Hamming over phash, L2/cosine over
+   vectors) with the scatter-gather scheme: the query set is broadcast
+   (``ray.put`` once), every data partition computes its local top-k
+   per query vectorized, and a ``groupby(query_id)`` merges per-query
+   candidates to the global top-k.  Exact because every partition is
+   searched; the shuffle moves only n_queries * k candidate rows.
+
+Stateful pieces (loaded checkpoints, LRU tree cache) live in actor
+pools (`map_batches(cls, concurrency=N)`), loaded once per actor.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .. import cell as cellmod
+from .. import phash as phashmod
+from ..metrics import PlanarDeg
+from . import build as buildmod
+
+
+class KnnActor:
+    """Actor-pool stage: geo kNN with ring expansion over checkpoints.
+
+    __init__ (once per actor): read the manifest, build cell->(salt,path)
+    lookup and the nonempty-cell set.  Trees are loaded lazily from
+    checkpoint parquet with an LRU cache — at cluster scale each actor
+    serves queries routed to a locality of cells (queries are sorted by
+    home cell before this stage), so the cache hit rate is high.
+    """
+
+    def __init__(self, ckpt_dir: str, cache_trees: int = 64):
+        manifest = buildmod.load_manifest(ckpt_dir)
+        self.by_cell = buildmod.cells_in_manifest(manifest)
+        self.res = int(cellmod.cell_res(np.asarray([next(iter(self.by_cell))]))[0]) \
+            if self.by_cell else buildmod.DEFAULT_RES
+        self._cache: collections.OrderedDict = collections.OrderedDict()
+        self.cache_trees = cache_trees
+        self.metric = PlanarDeg()
+
+    def _tree(self, path: str):
+        if path in self._cache:
+            self._cache.move_to_end(path)
+            return self._cache[path]
+        tree, tbl = buildmod.load_partition_tree(path, metric=self.metric)
+        # checkpoint rows are preorder — reindex image_id by node row_id
+        import numpy as _np
+        rid = tbl.column("row_id").to_numpy()
+        raw = tbl.column("image_id").to_numpy(zero_copy_only=False)
+        ids = _np.empty(len(rid), dtype=object)
+        ids[rid] = raw
+        self._cache[path] = (tree, ids)
+        if len(self._cache) > self.cache_trees:
+            self._cache.popitem(last=False)
+        return self._cache[path]
+
+    def _search_cell(self, cell_id: int, qlat: float, qlon: float, k: int, best: list):
+        """Search every salt tree of one cell, merging into best (sorted)."""
+        for _salt, path in self.by_cell.get(cell_id, ()):  # all salts: exactness
+            tree, ids = self._tree(path)
+            for node, d in tree.knn(np.asarray([qlat, qlon]), k):
+                best.append((float(d), str(ids[node.ID])))
+        best.sort()
+        del best[k:]
+
+    def query_one(self, qlat: float, qlon: float, k: int) -> list[tuple[float, str]]:
+        lat_u, lon_u = cellmod.latlon_to_units(np.asarray([qlat]), np.asarray([qlon]))
+        home = int(cellmod.cell_of(lat_u, lon_u, self.res)[0])
+        best: list[tuple[float, str]] = []
+        n = 1 << self.res
+        max_ring = 2 * n  # full-grid sweep bound
+        for r in range(max_ring + 1):
+            ring_cells = cellmod.ring(home, r)
+            if len(ring_cells) == 0:
+                continue
+            # Stop bound over ALL boxes of the ring (present or not): ring
+            # annuli nest, so min-box-distance is monotone nondecreasing in
+            # r — if the k-th best can't be beaten by ANY box of this ring,
+            # no farther ring can beat it either.  (Using present-only
+            # cells here would be unsound: a missing near cell in this
+            # ring does not bound a present cell in the next.)
+            lbs_all = cellmod.point_cell_min_dist_deg(qlat, qlon, ring_cells)
+            if len(best) >= k and best[-1][0] <= lbs_all.min():
+                break
+            order = np.argsort(lbs_all, kind="stable")
+            for oi in order:
+                c = int(ring_cells[oi])
+                if c not in self.by_cell:
+                    continue
+                if len(best) >= k and best[-1][0] <= lbs_all[oi]:
+                    continue
+                self._search_cell(c, qlat, qlon, k, best)
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        lats = batch.column("lat").to_numpy()
+        lons = batch.column("lon").to_numpy()
+        ks = batch.column("k").to_numpy()
+        out_qid, out_iid, out_d, out_rank = [], [], [], []
+        for qid, la, lo, k in zip(qids, lats, lons, ks):
+            res = self.query_one(float(la), float(lo), int(k))
+            for rank, (d, iid) in enumerate(res):
+                out_qid.append(qid)
+                out_iid.append(iid)
+                out_d.append(d)
+                out_rank.append(rank + 1)
+        return pa.table({
+            "query_id": pa.array(out_qid, pa.string()),
+            "image_id": pa.array(out_iid, pa.string()),
+            "dist": pa.array(out_d, pa.float64()),
+            "rank": pa.array(out_rank, pa.int64()),
+        })
+
+
+def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 256):
+    """Geo kNN pipeline: sort queries by home cell (actor cache locality)
+    then fan out over the KnnActor pool."""
+    manifest = buildmod.load_manifest(ckpt_dir)
+    res = int(cellmod.cell_res(manifest.column("cell").to_numpy()[:1])[0])
+
+    def add_home(batch: pa.Table) -> pa.Table:
+        lat_u, lon_u = cellmod.latlon_to_units(batch.column("lat").to_numpy(),
+                                               batch.column("lon").to_numpy())
+        home = cellmod.cell_of(lat_u, lon_u, res)
+        return batch.append_column("home_cell", pa.array(home, pa.int64()))
+
+    routed = queries_ds.map_batches(add_home, batch_format="pyarrow",
+                                    zero_copy_batch=True).sort("home_cell")
+    return routed.map_batches(KnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir},
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------- metric kNN
+
+
+class _PartitionTopK:
+    """Stateless task fn with a broadcast query set: local top-k per
+    partition batch, vectorized."""
+
+    def __init__(self, queries_ref, k: int, metric: str, data_col: str, id_col: str):
+        self.queries_ref = queries_ref
+        self.k = k
+        self.metric = metric
+        self.data_col = data_col
+        self.id_col = id_col
+        self._q = None
+
+    def _queries(self):
+        if self._q is None:
+            self._q = ray.get(self.queries_ref)
+        return self._q
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, qdata = self._queries()
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        if self.metric == "hamming":
+            x = batch.column(self.data_col).to_numpy()
+            dmat = phashmod.hamming_matrix(qdata, x).astype(np.float64)
+        elif self.metric == "euclidian":
+            x = np.stack(batch.column(self.data_col).to_numpy(zero_copy_only=False))
+            d2 = ((qdata**2).sum(1)[:, None] - 2 * qdata @ x.T + (x**2).sum(1)[None, :])
+            dmat = np.sqrt(np.maximum(d2, 0))
+        elif self.metric == "cosine_sim":
+            x = np.stack(batch.column(self.data_col).to_numpy(zero_copy_only=False))
+            qn = qdata / np.linalg.norm(qdata, axis=1, keepdims=True)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            dmat = -(qn @ xn.T)  # rank by similarity descending
+        else:
+            raise ValueError(f"unknown metric {self.metric}")
+        if dmat.shape[1] == 0:
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             self.id_col: pa.array([], pa.string()),
+                             "dist": pa.array([], pa.float64())})
+        k = min(self.k, dmat.shape[1])
+        kth = np.partition(dmat, k - 1, axis=1)[:, k - 1]
+        out_q, out_i, out_d = [], [], []
+        for qi in range(dmat.shape[0]):
+            # keep ALL candidates at or below the local k-th distance so the
+            # global (dist, id) tie-break in the merge stage stays exact
+            cols = np.flatnonzero(dmat[qi] <= kth[qi])
+            out_q.extend([qids[qi]] * len(cols))
+            out_i.extend(ids[cols])
+            out_d.extend(dmat[qi, cols])
+        return pa.table({
+            "query_id": pa.array(out_q),
+            self.id_col: pa.array(out_i),
+            "dist": pa.array(np.asarray(out_d, np.float64), pa.float64()),
+        })
+
+
+def knn_metric(data_ds, query_ids, query_data, k: int, metric: str = "hamming",
+               data_col: str = "phash", id_col: str = "image_id",
+               batch_size: int = 8192):
+    """Exact metric kNN: broadcast queries, partition-local top-k, then a
+    per-query merge.  ``query_data`` is a small numpy array (n_q, ...)."""
+    ref = ray.put((list(query_ids), np.asarray(query_data)))
+    local = data_ds.map_batches(
+        _PartitionTopK(ref, k, metric, data_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    def merge(g: pa.Table) -> pa.Table:
+        d = g.column("dist").to_numpy()
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[:k]  # ties broken by id: deterministic
+        sign = -1.0 if metric == "cosine_sim" else 1.0
+        return pa.table({
+            "query_id": pa.array([g.column("query_id")[0].as_py()] * len(order)),
+            id_col: pa.array(ids[order]),
+            "dist" if metric != "cosine_sim" else "similarity":
+                pa.array(sign * d[order], pa.float64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,117 @@
+"""Raster-tile <-> vector assignment.
+
+A tile is a quadkey cell at a fixed resolution, exposed under its
+row-major ``tile_id = iy * 2^res + ix`` alias (integer-exact, so the
+DuckDB oracle reproduces assignments bit-for-bit).
+
+- ``assign_tiles``: every image row -> its tile (stateless map_batches).
+- ``tile_polygon_cover``: every (tile, polygon) pair whose closed tile
+  box intersects the polygon — exact rectangle/polygon intersection
+  (geom.rect_intersects_polygon).  Computed per polygon over its bbox's
+  tile range; polygons are the small side, so this runs as a flat-map
+  over the polygon table, never touching the image table.
+- ``tiles_with_images``: grouped per-tile stats (image count) — the
+  raster side of raster<->vector joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import geom
+from ..stages import assign
+
+
+def assign_tiles(points_ds, res: int):
+    """Adds tile_id (and keeps lat/lon) — input needs lat_u/lon_u."""
+    return points_ds.map_batches(lambda b: assign.assign_tile(b, res),
+                                 batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tile_range_of_bbox(bbox: np.ndarray, res: int) -> tuple[int, int, int, int]:
+    """Inclusive (ix0, iy0, ix1, iy1) tile range covering a lon/lat bbox."""
+    n = 1 << res
+    lon0, lat0, lon1, lat1 = bbox
+    ix0 = int(np.floor((lon0 + 180.0) / 360.0 * n))
+    ix1 = int(np.floor((lon1 + 180.0) / 360.0 * n))
+    iy0 = int(np.floor((lat0 + 90.0) / 180.0 * n))
+    iy1 = int(np.floor((lat1 + 90.0) / 180.0 * n))
+    clamp = lambda v: max(0, min(n - 1, v))
+    return clamp(ix0), clamp(iy0), clamp(ix1), clamp(iy1)
+
+
+def polygon_tiles(ring: np.ndarray, res: int) -> np.ndarray:
+    """Row-major tile ids of every tile whose closed box intersects ring."""
+    n = 1 << res
+    bbox = geom.ring_bbox(ring)
+    ix0, iy0, ix1, iy1 = tile_range_of_bbox(bbox, res)
+    out = []
+    for iy in range(iy0, iy1 + 1):
+        lat0 = -90.0 + 180.0 * iy / n
+        lat1 = -90.0 + 180.0 * (iy + 1) / n
+        for ix in range(ix0, ix1 + 1):
+            lon0 = -180.0 + 360.0 * ix / n
+            lon1 = -180.0 + 360.0 * (ix + 1) / n
+            if geom.rect_intersects_polygon(lon0, lat0, lon1, lat1, ring):
+                out.append(iy * n + ix)
+    return np.asarray(out, np.int64)
+
+
+def tile_polygon_cover(polygon_layer: dict, res: int) -> pa.Table:
+    """(tile_id, polygon_id) covering pairs for the whole layer."""
+    tids, pids = [], []
+    for pid, ring in zip(polygon_layer["polygon_id"], polygon_layer["ring"]):
+        t = polygon_tiles(np.asarray(ring, np.float64), res)
+        tids.append(t)
+        pids.extend([pid] * len(t))
+    tids = np.concatenate(tids) if tids else np.empty(0, np.int64)
+    return pa.table({
+        "tile_id": pa.array(tids, pa.int64()),
+        "polygon_id": pa.array(pids, pa.string()),
+    })
+
+
+def tiles_with_images(points_ds, res: int):
+    """Per-tile image counts: the raster aggregation side."""
+    return assign_tiles(points_ds, res).groupby("tile_id").count()
+
+
+def raster_vector_assignment(points_ds, polygon_layer: dict, res: int):
+    """Join images -> tiles -> covering polygons.
+
+    The (tile, polygon) cover table is tiny (small side) so the join is
+    a broadcast hash lookup inside map_batches — no shuffle of the
+    image table beyond the tile assignment column add.
+    Output: (image_id, tile_id, polygon_id) rows (inner).
+    """
+    import ray
+
+    cover = tile_polygon_cover(polygon_layer, res)
+    lookup: dict[int, list[str]] = {}
+    for t, p in zip(cover.column("tile_id").to_pylist(),
+                    cover.column("polygon_id").to_pylist()):
+        lookup.setdefault(t, []).append(p)
+    ref = ray.put(lookup)
+
+    class TileJoin:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tids = batch.column("tile_id").to_numpy()
+            ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+            out_i, out_t, out_p = [], [], []
+            for i, t in enumerate(tids):
+                for p in self.lookup.get(int(t), ()):
+                    out_i.append(ids[i])
+                    out_t.append(int(t))
+                    out_p.append(p)
+            return pa.table({
+                "image_id": pa.array(out_i, pa.string()),
+                "tile_id": pa.array(out_t, pa.int64()),
+                "polygon_id": pa.array(out_p, pa.string()),
+            })
+
+    return assign_tiles(points_ds, res).map_batches(
+        TileJoin, batch_format="pyarrow", concurrency=2, num_cpus=1)

@@ -1,0 +1,51 @@
+"""Geotag + cell/tile assignment stages — stateless, zero-copy Arrow.
+
+Vectorized ``map_batches`` functions (plain functions -> Ray tasks, no
+actor state needed).  All arithmetic is integer-exact so the DuckDB
+oracle reproduces the results bit-for-bit (see cell.py / geocode.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import cell, geocode
+
+
+def geotag(batch: pa.Table, id_column: str = "image_id") -> pa.Table:
+    """Derive (lat_u, lon_u) microdegrees + float degrees from the id."""
+    lat_u, lon_u = geocode.geocode_image_ids(batch.column(id_column).to_numpy(zero_copy_only=False))
+    return (batch.append_column("lat_u", pa.array(lat_u, pa.int64()))
+                 .append_column("lon_u", pa.array(lon_u, pa.int64()))
+                 .append_column("lat", pa.array(lat_u / 1e6, pa.float64()))
+                 .append_column("lon", pa.array(lon_u / 1e6, pa.float64())))
+
+
+def geotag_from_key(batch: pa.Table, key_column: str) -> pa.Table:
+    lat_u, lon_u = geocode.geocode_from_key(batch.column(key_column).to_numpy())
+    return (batch.append_column("lat_u", pa.array(lat_u, pa.int64()))
+                 .append_column("lon_u", pa.array(lon_u, pa.int64()))
+                 .append_column("lat", pa.array(lat_u / 1e6, pa.float64()))
+                 .append_column("lon", pa.array(lon_u / 1e6, pa.float64())))
+
+
+def assign_cell(batch: pa.Table, res: int, out: str = "cell") -> pa.Table:
+    c = cell.cell_of(batch.column("lat_u").to_numpy(), batch.column("lon_u").to_numpy(), res)
+    return batch.append_column(out, pa.array(c, pa.int64()))
+
+
+def assign_tile(batch: pa.Table, res: int, out: str = "tile_id") -> pa.Table:
+    t = cell.tile_of(batch.column("lat_u").to_numpy(), batch.column("lon_u").to_numpy(), res)
+    return batch.append_column(out, pa.array(t, pa.int64()))
+
+
+def assign_salt(batch: pa.Table, salt_of_cell: dict[int, int],
+                id_column: str = "image_id") -> pa.Table:
+    """Skew salting: hot cells split into k sub-partitions by a hash of
+    the record id.  ``salt_of_cell`` maps cell -> k (default 1)."""
+    cells = batch.column("cell").to_numpy()
+    ks = np.asarray([salt_of_cell.get(int(c), 1) for c in cells], np.int64)
+    key = geocode.key_of_image_id(batch.column(id_column).to_numpy(zero_copy_only=False))
+    salt = np.where(ks > 1, geocode.lcg_next(key) % ks, 0)
+    return batch.append_column("salt", pa.array(salt.astype(np.int64), pa.int64()))

@@ -1,0 +1,153 @@
+"""End-to-end Ray Data pipeline tests with brute-force oracles (sf-tiny)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from metric_search_ray import cell, fixtures, geocode, geom
+from metric_search_ray.pipelines import build, joins, knn, tiles
+from metric_search_ray.stages import assign, decode
+
+
+@pytest.fixture(scope="module")
+def geo_points(tiny_images):
+    """(image_id, lat, lon, phash) numpy oracle table for the fixture set."""
+    tbl = pq.read_table(tiny_images, columns=["image_id", "phash"])
+    ids = tbl.column("image_id").to_numpy(zero_copy_only=False)
+    lat_u, lon_u = geocode.geocode_image_ids(ids)
+    return {
+        "image_id": ids,
+        "lat": lat_u / 1e6,
+        "lon": lon_u / 1e6,
+        "phash": tbl.column("phash").to_numpy(),
+    }
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tiny_images, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    ds = rd.read_parquet(tiny_images, columns=["image_id", "phash"])
+    manifest = build.build_index(ds, ckpt, res=4, target_rows=100)
+    return ckpt, manifest
+
+
+def test_decode_validate_all_rows_valid(ray_session, tiny_images):
+    ds = rd.read_parquet(tiny_images)
+    out = ds.map_batches(decode.DecodeValidate, batch_format="pyarrow",
+                         batch_size=256, concurrency=2).to_pandas()
+    assert len(out) == 1000
+    assert out["valid"].all()
+    # lossless rows must rehash identically
+    ppm = out[out["fmt"] == "ppm"]
+    assert (ppm["phash"] == ppm["phash_decoded"]).all()
+
+
+def test_build_index_manifest_and_covering(index_dir):
+    ckpt, manifest = index_dir
+    df = manifest.to_pandas()
+    assert df["n_rows"].sum() == 1000
+    assert (df["n_rows"] <= 100 * 2).all()  # salting bounds partitions (ceil slack)
+    # every checkpoint restores to a covering tree identical to a rebuild
+    for path in df["path"][:5]:
+        tree, tbl = build.load_partition_tree(path)
+        assert tree.check_covering()
+        assert tree.size() == len(tbl)
+
+
+def test_build_resume_skips_completed(ray_session, tiny_images, index_dir):
+    ckpt, _ = index_dir
+    ds = rd.read_parquet(tiny_images, columns=["image_id", "phash"])
+    manifest2 = build.build_index(ds, ckpt, res=4, target_rows=100, resume=True)
+    assert manifest2.to_pandas()["resumed"].all()
+
+
+def test_knn_geo_matches_bruteforce(index_dir, geo_points):
+    ckpt, _ = index_dir
+    q = fixtures.knn_queries(60)
+    qds = rd.from_arrow(__import__("pyarrow").table(q))
+    out = knn.knn_geo(qds, ckpt, concurrency=2).to_pandas()
+    pts = np.stack([geo_points["lat"], geo_points["lon"]], axis=1)
+    for qid, qlat, qlon, k in zip(q["query_id"], q["lat"], q["lon"], q["k"]):
+        got = out[out["query_id"] == qid].sort_values("rank")
+        d = np.hypot(pts[:, 0] - qlat, pts[:, 1] - qlon)
+        order = np.argsort(d, kind="stable")[: int(k)]
+        assert len(got) == int(k)
+        # distances must match brute force exactly (the reference's bar)
+        np.testing.assert_allclose(got["dist"].to_numpy(), d[order], rtol=1e-12, atol=1e-12)
+        # neighbor sets equal modulo exact-tie permutations
+        got_ids = set(got["image_id"])
+        exp_ids = set(geo_points["image_id"][order])
+        if got_ids != exp_ids:
+            sym = got_ids ^ exp_ids
+            tie_d = {iid: d[np.flatnonzero(geo_points["image_id"] == iid)[0]] for iid in sym}
+            assert len(set(np.round(list(tie_d.values()), 12))) <= 1
+
+
+def test_radius_join_matches_bruteforce(index_dir, geo_points):
+    ckpt, _ = index_dir
+    q = fixtures.knn_queries(20)
+    import pyarrow as pa
+    qds = rd.from_arrow(pa.table({k: q[k] for k in ("query_id", "lat", "lon")}))
+    radius = 8.0
+    out = joins.radius_join(qds, ckpt, radius=radius, concurrency=2).to_pandas()
+    for qid, qlat, qlon in zip(q["query_id"], q["lat"], q["lon"]):
+        got = sorted(out[out["query_id"] == qid]["image_id"])
+        d = np.hypot(geo_points["lat"] - qlat, geo_points["lon"] - qlon)
+        exp = sorted(geo_points["image_id"][d < radius])
+        assert got == exp
+
+
+def test_pip_join_matches_numpy_oracle(ray_session, tiny_images, geo_points):
+    layer = fixtures.polygon_layer()
+    ds = (rd.read_parquet(tiny_images, columns=["image_id"])
+          .map_batches(assign.geotag, batch_format="pyarrow"))
+    got = joins.point_in_polygon_join(ds, layer, how="inner", concurrency=2).to_pandas()
+    pi, pj = geom.point_in_polygons(geo_points["lon"], geo_points["lat"], layer["ring"])
+    exp = sorted(zip(geo_points["image_id"][pi], [layer["polygon_id"][j] for j in pj]))
+    assert sorted(zip(got["image_id"], got["polygon_id"])) == exp
+    assert len(exp) > 0  # hot-spot rectangles guarantee hits
+    # semi + anti partition the input
+    semi = joins.point_in_polygon_join(ds, layer, how="semi", concurrency=2).count()
+    anti = joins.point_in_polygon_join(ds, layer, how="anti", concurrency=2).count()
+    assert semi + anti == 1000
+    assert semi == len(set(geo_points["image_id"][pi]))
+
+
+def test_tile_assignment_and_cover(ray_session, tiny_images, geo_points):
+    res = 5
+    ds = (rd.read_parquet(tiny_images, columns=["image_id"])
+          .map_batches(assign.geotag, batch_format="pyarrow"))
+    out = tiles.assign_tiles(ds, res).to_pandas()
+    lat_u, lon_u = cell.latlon_to_units(geo_points["lat"], geo_points["lon"])
+    exp = cell.tile_of(lat_u, lon_u, res)
+    merged = out.set_index("image_id").loc[geo_points["image_id"]]
+    np.testing.assert_array_equal(merged["tile_id"].to_numpy(), exp)
+
+    layer = fixtures.polygon_layer()
+    cover = tiles.tile_polygon_cover(layer, res).to_pandas()
+    # oracle: a tile containing a point inside polygon j must be covered by j
+    pi, pj = geom.point_in_polygons(geo_points["lon"], geo_points["lat"], layer["ring"])
+    cov = set(zip(cover["tile_id"], cover["polygon_id"]))
+    for i, j in zip(pi, pj):
+        assert (int(exp[i]), layer["polygon_id"][j]) in cov
+
+
+def test_knn_metric_hamming_matches_bruteforce(ray_session, tiny_images, geo_points):
+    from metric_search_ray import phash as ph
+    ds = rd.read_parquet(tiny_images, columns=["image_id", "phash"])
+    qidx = [0, 50, 100, 999]
+    qids = [geo_points["image_id"][i] for i in qidx]
+    qdata = geo_points["phash"][qidx]
+    out = knn.knn_metric(ds, qids, qdata, k=5, metric="hamming").to_pandas()
+    for qi, qid in zip(qidx, qids):
+        got = out[out["query_id"] == qid].sort_values("rank")
+        d = ph.hamming(np.full(1000, geo_points["phash"][qi], np.int64), geo_points["phash"])
+        order = np.lexsort((geo_points["image_id"], d))[:5]
+        np.testing.assert_array_equal(got["dist"].to_numpy(), d[order].astype(float))
+        assert list(got["image_id"]) == list(geo_points["image_id"][order])
+    # planted near-duplicates: img-00000050 duplicates img-00000049
+    got50 = out[out["query_id"] == "img-00000050"]
+    top = got50.sort_values("rank").iloc[1]
+    assert top["dist"] <= 6
