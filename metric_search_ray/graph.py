@@ -1,0 +1,304 @@
+"""Graph module: generators, BFS neighbourhoods, connected components.
+
+Mirrors the reference's ``metric::graph`` (details/graph.cpp /
+details/graph/connected_components.hpp) with an edge-list data model:
+
+- local ``Graph`` over a (src, dst) edge array with adjacency lists —
+  ``get_neighbours(index, max_deep)`` is the reference's frontier BFS
+  grouped by hop count (graph.cpp:175-242); self-loops dropped at build
+  like ``buildEdges`` (graph.cpp:128-160);
+- deterministic generators ``grid4/grid6/grid8/paley/lps/margulis/
+  random_uniform`` (graph.cpp:317-774).  LPS uses a deterministic
+  Miller-Rabin witness set instead of the reference's ``rand()``
+  (graph.cpp:571-636) — same accept/reject on every run;
+- ``connected_components`` both local (union-find) and distributed:
+  iterative min-label propagation over an edge ``ray.data.Dataset``
+  (the reference implements "Cracker", Lulli et al. TPDS 2016, itself a
+  distributed vertex-pruning algorithm — the groupby-min formulation
+  here is the Ray Data-native equivalent;
+  connected_components.hpp:203-266).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------- local graph
+
+
+class Graph:
+    """Boolean adjacency over an edge list; nodes are 0..n-1."""
+
+    def __init__(self, edges: np.ndarray | list[tuple[int, int]], n_nodes: int | None = None,
+                 symmetric: bool = True):
+        e = np.asarray(edges, np.int64).reshape(-1, 2)
+        e = e[e[:, 0] != e[:, 1]]  # drop self-loops (buildEdges, graph.cpp:150)
+        if symmetric and len(e):
+            # the reference's default matrix type is blaze::SymmetricMatrix
+            # (graph.hpp) — setting (i, j) implies (j, i)
+            e = np.concatenate([e, e[:, ::-1]])
+        n = int(e.max()) + 1 if len(e) else 0
+        if n_nodes is not None:
+            n = max(n, n_nodes)
+        self.n = n
+        self.edges = np.unique(e, axis=0) if len(e) else e
+        self.adj: list[np.ndarray] = [np.empty(0, np.int64) for _ in range(n)]
+        if len(self.edges):
+            order = np.lexsort((self.edges[:, 1], self.edges[:, 0]))
+            se = self.edges[order]
+            starts = np.searchsorted(se[:, 0], np.arange(n))
+            ends = np.searchsorted(se[:, 0], np.arange(n) + 1)
+            for i in range(n):
+                self.adj[i] = se[starts[i]:ends[i], 1]
+
+    def get_nodes_number(self) -> int:
+        return self.n
+
+    def is_valid(self) -> bool:
+        return self.n > 0
+
+    def get_neighbours(self, index: int, max_deep: int) -> list[list[int]]:
+        """Nodes grouped by BFS hop count 0..max_deep (graph.cpp:175-242)."""
+        out: list[list[int]] = [[] for _ in range(max_deep + 1)]
+        if index >= self.n:
+            return out
+        seen = np.zeros(self.n, bool)
+        seen[index] = True
+        out[0] = [index]
+        frontier = [index]
+        for depth in range(1, max_deep + 1):
+            nxt = []
+            for u in frontier:
+                for v in self.adj[u]:
+                    if not seen[v]:
+                        seen[v] = True
+                        out[depth].append(int(v))
+                        nxt.append(int(v))
+            frontier = nxt
+        return out
+
+    def connected_components(self) -> list[list[int]]:
+        """All components, sorted by size descending (parity with
+        all_connected_components, connected_components.hpp:241-258)."""
+        parent = np.arange(self.n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in self.edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.asarray([find(i) for i in range(self.n)])
+        comps: dict[int, list[int]] = {}
+        for i, r in enumerate(roots):
+            comps.setdefault(int(r), []).append(i)
+        return sorted(comps.values(), key=len, reverse=True)
+
+    def largest_connected_component(self) -> list[int]:
+        c = self.connected_components()
+        return c[0] if c else []
+
+
+# ---------------------------------------------------------------- generators
+
+
+def grid4(width: int, height: int | None = None) -> Graph:
+    if height is None:
+        s = int(np.sqrt(width))
+        if s * s != width:
+            raise ValueError("nodesNumber must be a perfect square")
+        width = height = s
+    i, j = np.mgrid[0:height, 0:width]
+    src = (i * width + j).ravel()
+    edges = []
+    for di, dj in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+        ii, jj = i + di, j + dj
+        ok = (ii >= 0) & (ii < height) & (jj >= 0) & (jj < width)
+        edges.append(np.stack([src[ok.ravel()], (ii * width + jj).ravel()[ok.ravel()]], 1))
+    return Graph(np.concatenate(edges), n_nodes=width * height)
+
+
+def grid8(width: int, height: int | None = None) -> Graph:
+    if height is None:
+        s = int(np.sqrt(width))
+        if s * s != width:
+            raise ValueError("nodesNumber must be a perfect square")
+        width = height = s
+    i, j = np.mgrid[0:height, 0:width]
+    src = (i * width + j).ravel()
+    edges = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            ii, jj = i + di, j + dj
+            ok = (ii >= 0) & (ii < height) & (jj >= 0) & (jj < width)
+            edges.append(np.stack([src[ok.ravel()], (ii * width + jj).ravel()[ok.ravel()]], 1))
+    return Graph(np.concatenate(edges), n_nodes=width * height)
+
+
+def grid6(width: int, height: int | None = None) -> Graph:
+    """Hex lattice exactly as the reference lays it out (graph.cpp:382-465):
+    4-neighbourhood plus two diagonals chosen by row parity."""
+    if height is None:
+        s = int(np.sqrt(width))
+        if s * s != width:
+            raise ValueError("nodesNumber must be a perfect square")
+        width = height = s
+    edges = []
+    for i in range(height):
+        odd = i % 2 == 1
+        for j in range(width):
+            u = i * width + j
+            up, down = i > 0, i < height - 1
+            left, right = j > 0, j < width - 1
+            if up:
+                edges.append((u, (i - 1) * width + j))
+            if down:
+                edges.append((u, (i + 1) * width + j))
+            if left:
+                edges.append((u, i * width + j - 1))
+            if right:
+                edges.append((u, i * width + j + 1))
+            if not odd and left:
+                if up:
+                    edges.append((u, (i - 1) * width + j - 1))
+                if down:
+                    edges.append((u, (i + 1) * width + j - 1))
+            if odd and right:
+                if up:
+                    edges.append((u, (i - 1) * width + j + 1))
+                if down:
+                    edges.append((u, (i + 1) * width + j + 1))
+    return Graph(edges, n_nodes=width * height)
+
+
+def paley(n: int) -> Graph:
+    """Quadratic-residue expander, n prime = 1 mod 4 (graph.cpp:536-562)."""
+    if n % 4 != 1:
+        raise ValueError("nodesNumber % 4 must be 1")
+    ell = (n - 1) // 2
+    squares = np.unique((np.arange(ell, dtype=np.int64) ** 2) % n)
+    i = np.arange(n, dtype=np.int64)
+    edges = np.stack([np.repeat(i, len(squares)),
+                      (np.repeat(i, len(squares)) + np.tile(squares, n)) % n], 1)
+    return Graph(edges, n_nodes=n)
+
+
+def _is_prime(n: int) -> bool:
+    """Deterministic Miller-Rabin for 64-bit (replaces the reference's
+    rand()-seeded version, graph.cpp:571-636, for reproducibility)."""
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def lps(n: int) -> Graph:
+    """Ring + modular-inverse expander, n prime (graph.cpp:571-594)."""
+    if not _is_prime(n):
+        raise ValueError("nodesNumber must be prime")
+    edges = [(0, n - 1), (0, 1)]
+    for i in range(1, n):
+        edges.append((i, i - 1))
+        edges.append((i, (i + 1) % n))
+        edges.append((i, pow(i, n - 2, n)))
+    return Graph(edges, n_nodes=n)
+
+
+def margulis(n: int) -> Graph:
+    """Margulis expander on the sqrt(n) x sqrt(n) torus (graph.cpp:645-665)."""
+    s = int(np.sqrt(n))
+    if s * s != n:
+        raise ValueError("nodesNumber must be a perfect square")
+    edges = []
+    for i in range(s):
+        for j in range(s):
+            u = i * s + j
+            edges.append((u, ((i + 2 * j) % s) * s + j))
+            edges.append((u, i * s + (2 * i + j) % s))
+            edges.append((u, i * s + (2 * i + j + 1) % s))
+            edges.append((u, ((i + 2 * j + 1) % s) * s + j))
+    return Graph(edges, n_nodes=n)
+
+
+def random_uniform(n: int, n_connections: int, seed: int = 42) -> Graph:
+    """Random graph with ~n_connections out-edges per node, seeded
+    (deterministic stand-in for graph.cpp:671-774)."""
+    rng = np.random.default_rng(seed)
+    src = np.repeat(np.arange(n, dtype=np.int64), n_connections)
+    dst = rng.integers(0, n, n * n_connections)
+    return Graph(np.stack([src, dst], 1), n_nodes=n)
+
+
+# ------------------------------------------------------- distributed CC
+
+
+def connected_components_ray(edges_ds, num_partitions: int = 8,
+                             max_iters: int = 50):
+    """Distributed connected components over a (src, dst) edge Dataset.
+
+    Iterative min-label propagation: each round, every node's label
+    becomes the min of its own and its neighbours' labels
+    (``groupby(node).min(label)`` — an all-to-all keyed by node id).
+    Rounds needed = graph diameter in the worst case; each round's
+    shuffle carries one row per edge endpoint.  Convergence is detected
+    with a cheap global sum(label) aggregate (monotone decreasing).
+
+    Returns a Dataset (node:int64, component:int64) with component =
+    min node id of the component, matching the local union-find oracle.
+    """
+    import ray.data as rd
+
+    sym = edges_ds.map_batches(
+        lambda b: pa.table({
+            "node": pa.array(np.concatenate([b.column("src").to_numpy(),
+                                             b.column("dst").to_numpy()]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b.column("dst").to_numpy(),
+                                            b.column("src").to_numpy()]), pa.int64()),
+        }), batch_format="pyarrow").materialize()
+
+    labels = sym.groupby("node").min("nbr").map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "component": pa.compute.min_element_wise(b.column("node"), b.column("min(nbr)")),
+        }), batch_format="pyarrow").materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # propagate: neighbour labels via hash join on the edge list
+        prop = sym.join(labels, join_type="inner", num_partitions=num_partitions,
+                        on=("nbr",), right_on=("node",), right_suffix="_r")
+        cand = prop.select_columns(["node", "component"]).union(labels)
+        labels = cand.groupby("node").min("component").map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "component": b.column("min(component)"),
+            }), batch_format="pyarrow").materialize()
+        s = labels.sum("component")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels

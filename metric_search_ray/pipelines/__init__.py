@@ -1,1 +1,11 @@
-from . import build, joins, knn, tiles  # noqa: F401
+from . import (  # noqa: F401
+    build,
+    cluster,
+    dedup,
+    joins,
+    knn,
+    multimodal,
+    similarity,
+    text,
+    tiles,
+)

@@ -1,0 +1,351 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All shapes follow the shuffle-minimizing rules:
+- exact dedup: content-hash column added vectorized in map_batches,
+  then ``groupby(hash)`` keeping the min-id row — the distributed
+  analogue of the reference's ``insert_if`` novelty filter
+  (details/tree.cpp:358-377), with hash partitioning instead of a tree;
+- MinHash-LSH near-dup: shingle -> minhash signature per batch ->
+  explode to (band, band_hash, id) rows -> ``groupby(band)`` buckets ->
+  candidate pairs -> exact-Jaccard verify.  Only signatures shuffle,
+  never documents;
+- SimHash: 64-bit signature; **pigeonhole banding is exact** for
+  Hamming <= t (split into t+1 bands: any pair within t must collide
+  on at least one band), so candidate generation provably misses
+  nothing — the verify stage then computes true Hamming;
+- embedding cosine near-dup: random-hyperplane SimHash over vectors,
+  same banding, cosine verify.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .. import phash as phashmod
+
+# ---------------------------------------------------------------- exact
+
+
+def add_content_hash(batch: pa.Table, text_col: str, out: str = "content_hash") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    h = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+         for t in texts]
+    return batch.append_column(out, pa.array(h, pa.string()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per distinct content (hash-partitioned)."""
+    hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        return g.take([int(np.argmin(ids))]).drop_columns(["content_hash"])
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- shingles / minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling char-k-gram hashes (Rabin-Karp, base 257 mod 2^61-1)."""
+    data = np.frombuffer(text.encode("utf-8"), np.uint8).astype(np.uint64)
+    if len(data) < k:
+        return np.asarray([int.from_bytes(text.encode("utf-8")[:8].ljust(8, b"\0"), "little")],
+                          np.uint64)
+    base = np.uint64(257)
+    # prefix hashes mod 2^64 (natural overflow) are fine for shingle identity
+    pow_k = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for _ in range(k):
+            pow_k = pow_k * base
+        h = np.zeros(len(data) + 1, np.uint64)
+        for i in range(len(data)):
+            h[i + 1] = h[i] * base + data[i]
+        hashes = h[k:] - h[:-k] * pow_k
+    return np.unique(hashes)
+
+
+class MinHasher:
+    """Stateful map_batches actor: permutation parameters built once."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, k: int = 5, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k).astype(np.uint64)
+        # (a*x + b) mod p via float-free 128-bit-safe arithmetic: numpy
+        # uint64 wraps, so hash in python-ints chunked — vectorized via
+        # object upcast is slow; use double-width emulation with modular split
+        x = sh % _MERSENNE
+        sig = np.empty(self.num_perm, np.uint64)
+        for i in range(self.num_perm):
+            v = (int(self.a[i]) * x.astype(object) + int(self.b[i])) % _MERSENNE
+            sig[i] = np.uint64(min(v))
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = np.stack([self.signature(t or "") for t in texts])
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "minhash": pa.array(list(sigs.astype(np.int64)),
+                                pa.list_(pa.int64(), self.num_perm)),
+        })
+
+
+def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
+                           num_perm: int = 64, bands: int = 16, k: int = 5,
+                           seed: int = 42):
+    """Candidate near-dup pairs via LSH banding: Dataset (id_a, id_b)."""
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=dict(
+        text_col=text_col, id_col=id_col, num_perm=num_perm, k=k, seed=seed),
+        batch_format="pyarrow", concurrency=2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sig = np.stack(batch.column("minhash").to_numpy(zero_copy_only=False))
+        out_id, out_band, out_hash = [], [], []
+        for bi in range(bands):
+            chunk = np.ascontiguousarray(sig[:, bi * rows_per_band:(bi + 1) * rows_per_band])
+            # deterministic across processes (Python's hash() is salted)
+            bh = [np.uint64(int.from_bytes(
+                hashlib.blake2b(row.tobytes(), digest_size=8).digest(),
+                "little")).astype(np.int64) for row in chunk]
+            out_id.extend(ids)
+            out_band.extend([bi] * len(ids))
+            out_hash.extend(bh)
+        return pa.table({
+            id_col: pa.array(out_id),
+            "band": pa.array(out_band, pa.int64()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+        })
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(g.column(id_col).to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    # dedupe pairs found in multiple bands
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.take([0]), batch_format="pyarrow")
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa = set(_shingle_hashes(text_a, k).tolist())
+    sb = set(_shingle_hashes(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.7, num_perm: int = 64,
+                        bands: int = 16, k: int = 5, num_partitions: int = 8):
+    """Verified near-dup pairs: LSH candidates + exact shingle Jaccard.
+
+    Verification joins candidate ids back to the document table (two
+    hash joins on id) so full texts move only for candidate pairs.
+    """
+    cands = minhash_lsh_candidates(ds, text_col, id_col, num_perm, bands, k)
+    docs = ds.select_columns([id_col, text_col])
+    j1 = cands.join(docs, join_type="inner", num_partitions=num_partitions,
+                    on=("id_a",), right_on=(id_col,), right_suffix="_a")
+    j1 = _rename_first_present(j1, [f"{text_col}_a", text_col], "text_a")
+    j2 = j1.join(docs, join_type="inner", num_partitions=num_partitions,
+                 on=("id_b",), right_on=(id_col,), right_suffix="_b")
+    j2 = _rename_first_present(j2, [f"{text_col}_b", text_col], "text_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        jac = [jaccard(a, b, k) for a, b in zip(batch.column("text_a").to_pylist(),
+                                                batch.column("text_b").to_pylist())]
+        out = batch.select(["id_a", "id_b"]).append_column(
+            "jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pa.compute.greater_equal(out.column("jaccard"), threshold))
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def _rename_first_present(ds, candidates: list[str], new_name: str):
+    """Rename whichever of ``candidates`` exists in the schema to
+    ``new_name`` (join suffixes apply only on collision)."""
+    def fix(batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        for c in candidates:
+            if c in names:
+                return batch.rename_columns([new_name if n == c else n for n in names])
+        raise KeyError(f"none of {candidates} in {names}")
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- simhash
+
+
+_TOKEN_SPLIT = None
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token Rabin hashes (sign of weighted bit sums)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hs = np.asarray([int(hashlib.blake2b(t.encode(), digest_size=8).hexdigest(), 16)
+                     for t in toks], np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    word = np.uint64(0)
+    for i in range(64):
+        if score[i] > 0:
+            word |= np.uint64(1) << np.uint64(i)
+    return int(word.astype(np.int64))
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3):
+    """Exact near-dup pairs with simhash Hamming <= max_hamming.
+
+    Pigeonhole banding: the 64-bit signature splits into
+    ``max_hamming + 1`` bands; any pair within max_hamming bits must
+    agree on >= 1 full band, so bucketing by (band, band_bits) finds
+    every qualifying pair — no recall loss, then verify exactly.
+    """
+    def sig(batch: pa.Table) -> pa.Table:
+        s = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+        return pa.table({id_col: batch.column(id_col),
+                         "simhash": pa.array(s, pa.int64())})
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow")
+    return hamming_pairs(sigs, hash_col="simhash", id_col=id_col,
+                         max_hamming=max_hamming)
+
+
+def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
+                  max_hamming: int = 3):
+    """All pairs with Hamming(hash) <= max_hamming over any int64 hash
+    column (phash near-dup dedup).  Exact by pigeonhole banding."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = batch.column(hash_col).to_numpy().astype(np.uint64)
+        out_id, out_h, out_band, out_bits = [], [], [], []
+        for bi in range(n_bands):
+            lo = bi * width
+            hi = 64 if bi == n_bands - 1 else lo + width
+            mask = (np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)
+            bits = (h >> np.uint64(lo)) & mask
+            out_id.extend(ids)
+            out_h.extend(h.astype(np.int64))
+            out_band.extend([bi] * len(ids))
+            out_bits.extend(bits.astype(np.int64))
+        return pa.table({
+            id_col: pa.array(out_id),
+            hash_col: pa.array(out_h, pa.int64()),
+            "band": pa.array(out_band, pa.int64()),
+            "band_bits": pa.array(out_bits, pa.int64()),
+        })
+
+    exploded = ds.select_columns([id_col, hash_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        hs = g.column(hash_col).to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, hs = ids[order], hs[order]
+        a, b, d = [], [], []
+        for i in range(len(ids)):
+            if i + 1 < len(ids):
+                ham = phashmod.hamming(np.full(len(ids) - i - 1, hs[i], np.int64),
+                                       hs[i + 1:])
+                ok = np.flatnonzero(ham <= max_hamming)
+                for oi in ok:
+                    a.append(ids[i])
+                    b.append(ids[i + 1 + oi])
+                    d.append(int(ham[oi]))
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b),
+                         "hamming": pa.array(d, pa.int64())})
+
+    pairs = exploded.groupby(["band", "band_bits"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.take([0]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+def embedding_dedup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                          cos_threshold: float = 0.95, n_planes: int = 64,
+                          max_hamming: int = 12, seed: int = 42):
+    """Near-dup pairs by embedding cosine via random-hyperplane SimHash.
+
+    Candidate recall is probabilistic in max_hamming (unlike the exact
+    text paths); the verify stage computes true cosine, so precision is
+    exact.  Raise max_hamming for higher recall at more candidates.
+    """
+    def sig(batch: pa.Table) -> pa.Table:
+        x = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False))
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(x.shape[1], 64))
+        bits = (x @ planes > 0).astype(np.uint64)
+        words = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return pa.table({id_col: batch.column(id_col),
+                         "planehash": pa.array(words.astype(np.int64), pa.int64()),
+                         vec_col: batch.column(vec_col)})
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow")
+    cands = hamming_pairs(sigs, hash_col="planehash", id_col=id_col,
+                          max_hamming=max_hamming)
+
+    # Ray's hash join rejects (fixed_size_)list non-key fields — carry the
+    # vector as raw float64 bytes through the two id joins instead
+    def to_bytes(batch: pa.Table) -> pa.Table:
+        x = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table({id_col: batch.column(id_col),
+                         "vec_bytes": pa.array([row.tobytes() for row in x], pa.binary())})
+
+    vecs = ds.select_columns([id_col, vec_col]).map_batches(
+        to_bytes, batch_format="pyarrow")
+    j1 = cands.join(vecs, join_type="inner", num_partitions=8,
+                    on=("id_a",), right_on=(id_col,), right_suffix="_a")
+    j1 = _rename_first_present(j1, ["vec_bytes_a", "vec_bytes"], "vec_a")
+    j2 = j1.join(vecs, join_type="inner", num_partitions=8,
+                 on=("id_b",), right_on=(id_col,), right_suffix="_b")
+    j2 = _rename_first_present(j2, ["vec_bytes_b", "vec_bytes"], "vec_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        xa = np.stack([np.frombuffer(b, np.float64)
+                       for b in batch.column("vec_a").to_pylist()])
+        xb = np.stack([np.frombuffer(b, np.float64)
+                       for b in batch.column("vec_b").to_pylist()])
+        cos = (xa * xb).sum(1) / (np.linalg.norm(xa, axis=1) * np.linalg.norm(xb, axis=1))
+        out = batch.select(["id_a", "id_b"]).append_column(
+            "cosine", pa.array(cos, pa.float64()))
+        return out.filter(pa.compute.greater_equal(out.column("cosine"), cos_threshold))
+
+    return j2.map_batches(verify, batch_format="pyarrow")

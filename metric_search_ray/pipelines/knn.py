@@ -147,6 +147,9 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
 
     routed = queries_ds.map_batches(add_home, batch_format="pyarrow",
                                     zero_copy_batch=True).sort("home_cell")
+    # the sort can collapse small query sets into one block, starving the
+    # actor pool — split back out so every actor gets work (cheap: no shuffle)
+    routed = routed.repartition(max(concurrency * 2, 8))
     return routed.map_batches(KnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir},
                               batch_format="pyarrow", batch_size=batch_size,
                               concurrency=concurrency, num_cpus=1)

@@ -1,0 +1,157 @@
+"""Multimodal column stages: opaque binary payloads + typed metadata.
+
+Model: image/audio/video payloads are opaque ``binary`` columns with
+typed metadata columns alongside (w, h, fmt / sample_rate, n_samples /
+fps, n_frames).  Each transform is an actor-pool ``map_batches`` stage
+with real Ray-side plumbing (schema, batch sizing, actor signature,
+output layout); decode is REAL for the engine's own codecs
+(ppm/qdct via codecs.py), and STUBBED behind ``NotImplementedError``
+for container formats whose libraries aren't in this environment
+(jpeg/png/wav/mp4) — the stub boundary is explicit per stage.
+
+Batch-size guidance: payload columns dominate block size; callers
+should pass small ``batch_size`` (e.g. 64-256) for megapixel images so
+batch x concurrency fits worker heaps (the engine's own fixtures are
+tiny, but the stage contract is written for real payloads).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codecs
+
+STUBBED_FORMATS = {"jpeg", "png", "webp", "wav", "flac", "mp4", "webm"}
+
+
+def _decode_or_raise(buf: bytes, fmt: str) -> np.ndarray:
+    if fmt in codecs.CODECS:
+        return codecs.decode(buf, fmt)
+    if fmt in STUBBED_FORMATS:
+        raise NotImplementedError(
+            f"codec {fmt!r} requires an image/audio library not present in "
+            "this environment; plug a decoder into codecs.CODECS")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+class ImageResize:
+    """Decode -> bilinear resize -> re-encode (same fmt).  Output schema
+    mirrors the input with updated (bytes, w, h)."""
+
+    def __init__(self, out_w: int, out_h: int):
+        self.out_w, self.out_h = out_w, out_h
+        from ..phash import _resize  # bilinear kernel, built once per actor
+        self._resize = _resize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        out_b = []
+        for buf, fmt in zip(bufs, fmts):
+            pix = _decode_or_raise(buf, fmt)
+            if pix.ndim == 3:
+                chans = [self._resize(pix[:, :, c].astype(np.float64),
+                                      self.out_h, self.out_w) for c in range(pix.shape[2])]
+                rez = np.stack(chans, axis=-1)
+            else:
+                rez = self._resize(pix.astype(np.float64), self.out_h, self.out_w)
+            out_b.append(codecs.encode(np.clip(np.rint(rez), 0, 255).astype(np.uint8), fmt))
+        t = batch.drop_columns(["bytes", "w", "h"])
+        return (t.append_column("bytes", pa.array(out_b, pa.binary()))
+                 .append_column("w", pa.array([self.out_w] * len(out_b), pa.int32()))
+                 .append_column("h", pa.array([self.out_h] * len(out_b), pa.int32())))
+
+
+class ImageFeatures:
+    """Decode -> compact feature vector (mean/std/8-bin histogram/edge
+    energy) as fixed_size_list<float32, 12> — the model-free stand-in
+    for an embedding stage (same actor signature a real model would use:
+    weights in __init__, batched inference in __call__)."""
+
+    DIM = 12
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        feats = np.empty((len(bufs), self.DIM), np.float32)
+        for i, (buf, fmt) in enumerate(zip(bufs, fmts)):
+            pix = _decode_or_raise(buf, fmt).astype(np.float64)
+            if pix.ndim == 3:
+                pix = pix.mean(axis=2)
+            hist, _ = np.histogram(pix, bins=8, range=(0, 256))
+            gx = np.abs(np.diff(pix, axis=1)).mean()
+            gy = np.abs(np.diff(pix, axis=0)).mean()
+            feats[i, 0] = pix.mean()
+            feats[i, 1] = pix.std()
+            feats[i, 2:10] = hist / pix.size
+            feats[i, 10] = gx
+            feats[i, 11] = gy
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), pa.float32()), self.DIM),
+        })
+
+
+class FrameSampler:
+    """Video frame sampling stage — STUB: real decoders are absent, so
+    this implements the full Ray-side contract (schema in/out, per-actor
+    state, deterministic frame selection) over a deterministic fake
+    decoder that treats the payload as concatenated ppm frames."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame_no, out_bytes = [], [], []
+        for vid, buf, fmt in zip(batch.column("video_id").to_pylist(),
+                                 batch.column("bytes").to_pylist(),
+                                 batch.column("fmt").to_pylist()):
+            if fmt != "ppmcat":
+                raise NotImplementedError(
+                    f"container {fmt!r} needs a video library; only the "
+                    "deterministic 'ppmcat' fake container is decodable here")
+            frames = _split_ppmcat(buf)
+            for i in range(0, len(frames), self.every_n):
+                out_id.append(vid)
+                out_frame_no.append(i)
+                out_bytes.append(frames[i])
+        return pa.table({
+            "video_id": pa.array(out_id, pa.string()),
+            "frame_no": pa.array(out_frame_no, pa.int64()),
+            "bytes": pa.array(out_bytes, pa.binary()),
+        })
+
+
+def _split_ppmcat(buf: bytes) -> list[bytes]:
+    """Split concatenated P5/P6 streams (the fake video container)."""
+    frames = []
+    pos = 0
+    while pos < len(buf):
+        nxt5 = buf.find(b"P5\n", pos + 1)
+        nxt6 = buf.find(b"P6\n", pos + 1)
+        cands = [c for c in (nxt5, nxt6) if c != -1]
+        end = min(cands) if cands else len(buf)
+        frames.append(buf[pos:end])
+        pos = end
+    return frames
+
+
+def decode_features(ds, concurrency: int = 4, batch_size: int = 256):
+    """images Dataset -> (image_id, features) via the ImageFeatures pool."""
+    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+def resize_images(ds, out_w: int, out_h: int, concurrency: int = 4,
+                  batch_size: int = 256):
+    return ds.map_batches(ImageResize, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+def sample_frames(ds, every_n: int = 10, concurrency: int = 2, batch_size: int = 16):
+    return ds.map_batches(FrameSampler, fn_constructor_kwargs={"every_n": every_n},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)

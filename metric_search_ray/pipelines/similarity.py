@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (list<float>).
+
+- ``knn_cosine`` — brute-force exact cosine top-k: the baseline.
+  Queries broadcast once; per-batch numpy matmul against the query
+  matrix; per-query global merge.  This is `knn.knn_metric` under the
+  cosine metric.
+- ``IvfIndex`` / ``knn_ivf`` — the scale path: a seeded k-means (IVF)
+  coarse quantizer trained on a driver-side sample, centroids broadcast;
+  every row is assigned to its nearest centroid once (`map_batches`);
+  queries probe the ``nprobe`` nearest lists only.  Approximate; recall
+  is tested against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from . import knn as knnmod
+
+
+def knn_cosine(ds, query_ids, query_vecs, k: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact cosine top-k (descending similarity, ties by id)."""
+    return knnmod.knn_metric(ds, query_ids, np.asarray(query_vecs, np.float64), k,
+                             metric="cosine_sim", data_col=vec_col, id_col=id_col)
+
+
+def knn_l2(ds, query_ids, query_vecs, k: int = 10,
+           vec_col: str = "embedding", id_col: str = "vec_id"):
+    return knnmod.knn_metric(ds, query_ids, np.asarray(query_vecs, np.float64), k,
+                             metric="euclidian", data_col=vec_col, id_col=id_col)
+
+
+def train_ivf_centroids(ds, vec_col: str = "embedding", n_lists: int = 16,
+                        sample_rows: int = 4096, iters: int = 10,
+                        seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd k-means on a sample (driver-side; the sample is
+    small by construction — this is the only non-streaming step)."""
+    sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
+    x = np.stack(sample[vec_col].to_numpy())
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def assign_ivf_lists(ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Add ``ivf_list`` = nearest-centroid id (one pass, broadcast)."""
+    ref = ray.put(np.asarray(centroids, np.float64))
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False))
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            lists = np.argmax(xn @ self.cent.T, axis=1).astype(np.int64)
+            return batch.append_column("ivf_list", pa.array(lists, pa.int64()))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+
+
+def knn_ivf(ds, query_ids, query_vecs, centroids: np.ndarray, k: int = 10,
+            nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Approximate cosine top-k probing the nprobe nearest IVF lists.
+
+    The filter happens map-side (each batch keeps only rows whose
+    ivf_list is probed by some query), so the candidate set shrinks
+    before any shuffle.
+    """
+    q = np.asarray(query_vecs, np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    cent = np.asarray(centroids, np.float64)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    probed_lists = np.unique(probes)
+    assigned = assign_ivf_lists(ds, centroids, vec_col)
+    listed = assigned.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b.column("ivf_list"),
+                                            value_set=pa.array(probed_lists))),
+        batch_format="pyarrow")
+    return knn_cosine(listed, query_ids, q, k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,130 @@
+"""Text analysis operators (documents table): language-ID, quality
+scoring, token counting, fingerprinting.
+
+All stateless vectorized ``map_batches`` stages (actor pool only for
+LangId, whose marker tables are built once per actor).  Definitions are
+deliberately SQL-reproducible where the driver's DuckDB oracle needs to
+replay them (token_count, quality metrics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# tiny per-language marker vocabularies for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "une", "des", "que", "pas", "pour"},
+    "es": {"el", "la", "los", "y", "es", "una", "que", "no", "por", "con"},
+    "zh": set(),  # CJK detected by codepoint range, not markers
+}
+
+
+def token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_tokens) — whitespace tokens, SQL-equivalent to
+    len(string_split_regex(trim(text), '\\s+'))."""
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(text_col).to_pylist())
+        n = s.fillna("").str.strip().str.split(r"\s+").map(
+            lambda t: 0 if t == [""] else len(t))
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tokens": pa.array(n.to_numpy(np.int64), pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bpe_ish_token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Regex token count approximating BPE pre-tokenization (GPT-2-style
+    split on words / numbers / punctuation runs)."""
+    import re
+    pat = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = [len(pat.findall(t or "")) for t in texts]
+        return pa.table({id_col: batch.column(id_col),
+                         "n_bpe_tokens": pa.array(n, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc quality features: n_chars, n_words, avg word length,
+    stopword ratio, punctuation ratio + a combined [0,1] score."""
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        s = pd.Series(texts)
+        n_chars = s.str.len().to_numpy(np.int64)
+        words = s.str.strip().str.split(r"\s+")
+        n_words = words.map(lambda t: 0 if t == [""] else len(t)).to_numpy(np.int64)
+        sw = words.map(lambda t: sum(1 for w in t if w.lower() in STOPWORDS)).to_numpy(np.int64)
+        punct = s.str.count(r"[^\w\s]").to_numpy(np.int64)
+        avg_wlen = np.where(n_words > 0,
+                            (n_chars - np.maximum(n_words - 1, 0)) / np.maximum(n_words, 1),
+                            0.0)
+        stop_ratio = np.where(n_words > 0, sw / np.maximum(n_words, 1), 0.0)
+        punct_ratio = np.where(n_chars > 0, punct / np.maximum(n_chars, 1), 0.0)
+        # heuristic score: reasonable length, some stopwords, few symbols
+        score = (np.clip(n_words / 20.0, 0, 1) * 0.4
+                 + np.clip(stop_ratio * 5, 0, 1) * 0.3
+                 + (1 - np.clip(punct_ratio * 10, 0, 1)) * 0.3)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_chars_q": pa.array(n_chars, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "avg_word_len": pa.array(avg_wlen, pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            "punct_ratio": pa.array(punct_ratio, pa.float64()),
+            "quality": pa.array(score, pa.float64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LangId:
+    """Actor-pool stage: marker-vocabulary language id (n-gram heuristic)."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        langs, confs = [], []
+        for t in texts:
+            toks = t.lower().split()
+            n = max(len(toks), 1)
+            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+            if cjk > len(t) * 0.2:
+                langs.append("zh")
+                confs.append(cjk / max(len(t), 1))
+                continue
+            scores = {lang: sum(1 for w in toks if w in mk) / n
+                      for lang, mk in self.markers.items() if mk}
+            best = max(scores, key=scores.get)
+            langs.append(best if scores[best] > 0 else "unknown")
+            confs.append(scores[best])
+        out = batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        return out.append_column("lang_conf", pa.array(confs, pa.float64()))
+
+
+def lang_id(ds):
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """64-bit document fingerprint: Rabin rolling hash of the whole
+    normalized text (whitespace-collapsed, lowercased)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            norm = " ".join((t or "").lower().split()).encode("utf-8")
+            h = np.uint64(1469598103934665603)  # FNV-1a 64
+            with np.errstate(over="ignore"):
+                for b in norm:
+                    h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
+            out.append(int(h.astype(np.int64)))
+        return pa.table({id_col: batch.column(id_col),
+                         "fingerprint": pa.array(out, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,103 @@
+import numpy as np
+import pytest
+
+from metric_search_ray import graph
+
+
+def test_grid4_structure():
+    g = graph.grid4(3, 3)
+    assert g.get_nodes_number() == 9
+    # center node 4 has 4 neighbours; corner 0 has 2
+    assert sorted(g.adj[4].tolist()) == [1, 3, 5, 7]
+    assert sorted(g.adj[0].tolist()) == [1, 3]
+
+
+def test_grid8_structure():
+    g = graph.grid8(3, 3)
+    assert sorted(g.adj[4].tolist()) == [0, 1, 2, 3, 5, 6, 7, 8]
+    assert sorted(g.adj[0].tolist()) == [1, 3, 4]
+
+
+def test_grid6_degree():
+    g = graph.grid6(4, 4)
+    degs = sorted(len(a) for a in g.adj)
+    assert max(degs) == 6  # interior hex nodes
+    assert g.get_nodes_number() == 16
+
+
+def test_paley_is_regular():
+    g = graph.paley(13)
+    # Paley graph on 13 vertices is 6-regular
+    degs = {len(a) for a in g.adj}
+    assert degs == {6}
+    with pytest.raises(ValueError):
+        graph.paley(12)
+
+
+def test_lps_valid_and_invalid():
+    g = graph.lps(11)
+    assert g.get_nodes_number() == 11
+    assert all(len(a) >= 2 for a in g.adj)
+    with pytest.raises(ValueError):
+        graph.lps(10)
+
+
+def test_margulis_torus():
+    g = graph.margulis(16)
+    assert g.get_nodes_number() == 16
+    with pytest.raises(ValueError):
+        graph.margulis(15)
+
+
+def test_random_uniform_seeded():
+    g1 = graph.random_uniform(30, 3, seed=7)
+    g2 = graph.random_uniform(30, 3, seed=7)
+    assert np.array_equal(g1.edges, g2.edges)
+
+
+def test_get_neighbours_by_depth():
+    g = graph.grid4(5, 5)
+    hops = g.get_neighbours(12, 2)  # center of 5x5
+    assert hops[0] == [12]
+    assert sorted(hops[1]) == [7, 11, 13, 17]
+    assert sorted(hops[2]) == [2, 6, 8, 10, 14, 16, 18, 22]
+    # weighted graphs return empty in the reference; we support bool graphs
+    empty = g.get_neighbours(99, 2)
+    assert empty == [[], [], []]
+
+
+def test_connected_components_local():
+    edges = [(0, 1), (1, 2), (3, 4), (5, 5), (6, 7), (7, 8), (8, 6)]
+    g = graph.Graph(edges, n_nodes=10)
+    comps = g.connected_components()
+    as_sets = sorted([frozenset(c) for c in comps], key=len, reverse=True)
+    assert frozenset({0, 1, 2}) in as_sets
+    assert frozenset({3, 4}) in as_sets
+    assert frozenset({6, 7, 8}) in as_sets
+    assert frozenset({5}) in as_sets  # self-loop dropped -> singleton
+    assert frozenset({9}) in as_sets
+    assert set(g.largest_connected_component()) in ({0, 1, 2}, {6, 7, 8})
+
+
+def test_connected_components_ray_matches_local(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    edges = rng.integers(0, 60, (120, 2))
+    g = graph.Graph(edges, n_nodes=60)
+    expected = {}
+    for comp in g.connected_components():
+        label = min(comp)
+        for n in comp:
+            expected[n] = label
+    e = g.edges
+    ds = rd.from_arrow(pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                                 "dst": pa.array(e[:, 1], pa.int64())}))
+    out = graph.connected_components_ray(ds, num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    # distributed CC only sees nodes with edges; isolated nodes excluded
+    for n, lbl in got.items():
+        assert expected[n] == lbl
+    touched = set(e.ravel().tolist())
+    assert set(got) == touched

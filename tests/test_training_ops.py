@@ -1,0 +1,201 @@
+"""Dedup / text / similarity / multimodal operator tests with oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from metric_search_ray.pipelines import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    """Synthetic documents WITH planted duplicates and near-duplicates."""
+    rng = np.random.default_rng(11)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts, ids = [], []
+    base_texts = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    i = 0
+    for t in base_texts:
+        texts.append(t)
+        ids.append(i)
+        i += 1
+    # exact duplicates of the first 5
+    for j in range(5):
+        texts.append(base_texts[j])
+        ids.append(i)
+        i += 1
+    # near-duplicates of the next 5 (one word changed)
+    for j in range(5, 10):
+        words = base_texts[j].split()
+        words[3] = "OMEGA"
+        texts.append(" ".join(words))
+        ids.append(i)
+        i += 1
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    return rd.from_arrow(tbl), texts, ids
+
+
+def test_exact_dedup(docs_ds):
+    ds, texts, ids = docs_ds
+    out = dedup.exact_dedup(ds).to_pandas()
+    assert len(out) == 45  # 50 rows - 5 exact dups
+    # keeper is the min doc_id per text
+    expect = pd.DataFrame({"doc_id": ids, "text": texts}).groupby("text")["doc_id"].min()
+    assert sorted(out["doc_id"]) == sorted(expect.tolist())
+
+
+def test_minhash_near_dup_pairs(docs_ds):
+    ds, texts, ids = docs_ds
+    out = dedup.minhash_dedup_pairs(ds, threshold=0.5).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    # all 5 exact-dup pairs must be found (jaccard 1.0)
+    for j in range(5):
+        assert (j, 40 + j) in pairs
+    # near-dups (1 word changed out of 30) should also surface
+    found_near = sum((j, 45 + (j - 5)) in pairs for j in range(5, 10))
+    assert found_near >= 4
+    # verified jaccard values are exact
+    for _, row in out.iterrows():
+        assert row["jaccard"] == pytest.approx(
+            dedup.jaccard(texts[int(row["id_a"])], texts[int(row["id_b"])]), abs=1e-12)
+
+
+def test_simhash_pairs(docs_ds):
+    ds, texts, ids = docs_ds
+    out = dedup.simhash_pairs(ds, max_hamming=3).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    for j in range(5):
+        assert (j, 40 + j) in pairs  # identical text -> hamming 0
+    # oracle: brute-force simhash hamming over all pairs
+    from metric_search_ray.phash import hamming
+    sh = np.asarray([dedup.simhash64(t) for t in texts], np.int64)
+    for a in range(len(texts)):
+        hs = hamming(np.full(len(texts) - a - 1, sh[a], np.int64), sh[a + 1:])
+        for off in np.flatnonzero(hs <= 3):
+            assert (a, a + 1 + off) in pairs  # banding misses nothing
+
+
+def test_hamming_pairs_exact_recall(ray_session):
+    rng = np.random.default_rng(5)
+    base = rng.integers(-2**62, 2**62, 30, dtype=np.int64)
+    # plant pairs at known hamming distances
+    rows = list(base)
+    rows.append(base[0] ^ 0b111)      # hamming 3 from base[0]
+    rows.append(base[1] ^ (1 << 40))  # hamming 1 from base[1]
+    rows.append(base[2] ^ 0b11111)    # hamming 5 -> must NOT appear at t=3
+    ids = [f"h-{i:03d}" for i in range(len(rows))]
+    ds = rd.from_arrow(pa.table({"image_id": pa.array(ids),
+                                 "phash": pa.array(rows, pa.int64())}))
+    out = dedup.hamming_pairs(ds, max_hamming=3).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert ("h-000", "h-030") in pairs
+    assert ("h-001", "h-031") in pairs
+    assert ("h-002", "h-032") not in pairs
+    # full brute-force oracle
+    from metric_search_ray.phash import hamming_matrix
+    hm = hamming_matrix(np.asarray(rows), np.asarray(rows))
+    expect = {(ids[i], ids[j]) for i in range(len(rows)) for j in range(i + 1, len(rows))
+              if hm[i, j] <= 3}
+    assert pairs == expect
+
+
+def test_text_ops(ray_session):
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the quick brown fox", "a b c, d!", ""], pa.string()),
+    })
+    ds = rd.from_arrow(tbl)
+    tc = text.token_count(ds).to_pandas().set_index("doc_id")["n_tokens"]
+    assert tc[1] == 4 and tc[2] == 4 and tc[3] == 0
+    q = text.quality_score(ds).to_pandas().set_index("doc_id")
+    assert q.loc[1, "n_words"] == 4
+    assert q.loc[1, "stopword_ratio"] == pytest.approx(0.25)
+    assert q.loc[2, "punct_ratio"] == pytest.approx(2 / 9)
+    fp = text.fingerprint(ds).to_pandas()
+    fp2 = text.fingerprint(ds).to_pandas()
+    pd.testing.assert_frame_equal(fp.sort_values("doc_id").reset_index(drop=True),
+                                  fp2.sort_values("doc_id").reset_index(drop=True))
+    bpe = text.bpe_ish_token_count(ds).to_pandas().set_index("doc_id")["n_bpe_tokens"]
+    assert bpe[2] == 6  # a b c , d !
+    li = text.lang_id(ds).to_pandas().set_index("doc_id")
+    assert li.loc[1, "lang_pred"] == "en"
+
+
+@pytest.fixture(scope="module")
+def embeddings_ds(ray_session):
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(200, 16)).astype(np.float32)
+    x[50] = x[10] + rng.normal(0, 0.01, 16)  # planted near-dup
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(200), pa.int64()),
+        "embedding": pa.array(list(x), pa.list_(pa.float32(), 16)),
+    })
+    return rd.from_arrow(tbl), x
+
+
+def test_knn_cosine_exact(embeddings_ds):
+    ds, x = embeddings_ds
+    qidx = [0, 10, 100]
+    out = similarity.knn_cosine(ds, qidx, x[qidx], k=5).to_pandas()
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for qi in qidx:
+        got = out[out["query_id"] == qi].sort_values("rank")
+        sims = xn @ xn[qi]
+        order = np.lexsort((np.arange(200), -sims))[:5]
+        assert list(got["vec_id"]) == list(order)
+        np.testing.assert_allclose(got["similarity"].to_numpy(), sims[order], rtol=1e-6)
+
+
+def test_knn_ivf_recall(embeddings_ds):
+    ds, x = embeddings_ds
+    cent = similarity.train_ivf_centroids(ds, n_lists=8, sample_rows=200)
+    qidx = [3, 77]
+    exact = similarity.knn_cosine(ds, qidx, x[qidx], k=10).to_pandas()
+    approx = similarity.knn_ivf(ds, qidx, x[qidx], cent, k=10, nprobe=4).to_pandas()
+    for qi in qidx:
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert len(e & a) / len(e) >= 0.6  # recall floor with 4/8 lists probed
+
+
+def test_embedding_dedup_finds_planted_pair(embeddings_ds):
+    ds, x = embeddings_ds
+    out = dedup.embedding_dedup_pairs(ds, cos_threshold=0.99,
+                                      max_hamming=16).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (10, 50) in pairs
+
+
+def test_multimodal_stages(ray_session, tiny_images):
+    from metric_search_ray import codecs
+    ds = rd.read_parquet(tiny_images).limit(60)
+    feats = multimodal.decode_features(ds, concurrency=2).to_pandas()
+    assert len(feats) == 60
+    assert len(feats["features"].iloc[0]) == multimodal.ImageFeatures.DIM
+    rez = multimodal.resize_images(ds, 8, 8, concurrency=2).to_pandas()
+    pix = codecs.decode(rez["bytes"].iloc[0], rez["fmt"].iloc[0])
+    assert pix.shape[:2] == (8, 8)
+    # frame sampler on the fake ppmcat container
+    rng = np.random.default_rng(0)
+    frames = [codecs.ppm_encode(rng.integers(0, 255, (4, 4)).astype(np.uint8))
+              for _ in range(25)]
+    vds = rd.from_arrow(pa.table({
+        "video_id": pa.array(["v0"], pa.string()),
+        "bytes": pa.array([b"".join(frames)], pa.binary()),
+        "fmt": pa.array(["ppmcat"], pa.string()),
+    }))
+    out = multimodal.sample_frames(vds, every_n=10).to_pandas()
+    assert list(out["frame_no"]) == [0, 10, 20]
+    assert out["bytes"].iloc[0] == frames[0]
+    # stub boundary: unknown container raises NotImplementedError
+    bad = rd.from_arrow(pa.table({
+        "video_id": pa.array(["v1"], pa.string()),
+        "bytes": pa.array([b"xx"], pa.binary()),
+        "fmt": pa.array(["mp4"], pa.string()),
+    }))
+    with pytest.raises(Exception):
+        multimodal.sample_frames(bad).to_pandas()
