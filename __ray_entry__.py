@@ -1,44 +1,600 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data spatial-join + kNN engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship image pipeline at sf0.001 scale.
+``queries()`` exposes the engine's operators over the driver's parquet
+tables; ``oracle_sql()`` gives DuckDB-runnable oracles for every query
+whose semantics are SQL-expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Oracle-exactness strategy: geo queries derive point coordinates from
+``o_orderkey`` via an integer 31-bit LCG (metric_search_ray.geocode) —
+pure int64 arithmetic that DuckDB reproduces bit-for-bit — and compare
+integer tile ids / integer microdegree dist^2, so no float divergence
+can break the value-hash compare.  The image-bytes pipeline (decode,
+PSNR, perceptual hash over real pixels) is not SQL-expressible; those
+queries are rows-only here and oracle-checked by numpy brute force in
+tests/.
+
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/shutdown() anywhere in this module or the library.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TMP_ROOT = "/tmp/msr_entry"
+
+# ---------------------------------------------------------------------------
+# deterministic oracle fixtures (shared between engine calls and SQL text)
+# ---------------------------------------------------------------------------
+
+TILE_RES = 6
+
+def _oracle_rects() -> list[dict]:
+    """Axis-aligned rectangles in integer microdegrees; 3 cover the
+    geocode hot spots, 9 seeded uniform.  Engine rings sit at +0.5
+    microdegree offsets so no point can fall exactly on an edge."""
+    from metric_search_ray.geocode import HOT_CENTERS
+
+    rng = np.random.default_rng(7)
+    rects = []
+    for i, (clat, clon) in enumerate(HOT_CENTERS):
+        h = int(rng.integers(500_000, 1_500_000))
+        w = int(rng.integers(500_000, 1_500_000))
+        rects.append({"polygon_id": f"rect-{i:03d}", "x0": clon - w, "x1": clon + w,
+                      "y0": clat - h, "y1": clat + h})
+    for i in range(3, 12):
+        clat = int(rng.integers(-80_000_000, 80_000_000))
+        clon = int(rng.integers(-170_000_000, 170_000_000))
+        h = int(rng.integers(2_000_000, 9_000_000))
+        w = int(rng.integers(2_000_000, 9_000_000))
+        rects.append({"polygon_id": f"rect-{i:03d}", "x0": clon - w, "x1": clon + w,
+                      "y0": clat - h, "y1": clat + h})
+    return rects
+
+
+def _rect_layer() -> dict:
+    """Rect oracle layer in the engine's polygon format (rings at +0.5 u)."""
+    rects = _oracle_rects()
+    rings = []
+    for r in rects:
+        x0 = (r["x0"] + 0.5) / 1e6
+        x1 = (r["x1"] + 0.5) / 1e6
+        y0 = (r["y0"] + 0.5) / 1e6
+        y1 = (r["y1"] + 0.5) / 1e6
+        rings.append(np.asarray([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]))
+    return {"polygon_id": [r["polygon_id"] for r in rects], "ring": rings}
+
+
+def _geo_query_points() -> list[tuple[str, int, int]]:
+    """16 fixed (query_id, qlat_u, qlon_u) integer query points."""
+    from metric_search_ray.geocode import HOT_CENTERS
+
+    rng = np.random.default_rng(8)
+    pts = []
+    for i in range(16):
+        if i < 6:
+            clat, clon = HOT_CENTERS[i % len(HOT_CENTERS)]
+            la = clat + int(rng.integers(-1_500_000, 1_500_000))
+            lo = clon + int(rng.integers(-1_500_000, 1_500_000))
+        else:
+            la = int(rng.integers(-85_000_000, 85_000_000))
+            lo = int(rng.integers(-180_000_000, 180_000_000))
+        pts.append((f"q-{i:03d}", la, lo))
+    return pts
+
+
+GEO_KNN_K = 5
+RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+# ---------------------------------------------------------------------------
+
+def _pts_cte(table: str = "orders", key: str = "o_orderkey") -> str:
+    """CTE chain producing (okey, lat_u, lon_u) — mirrors
+    metric_search_ray.geocode.geocode_from_key bit-for-bit."""
+    return f"""
+g1 AS (SELECT {key} AS okey,
+        ((1103515245 * ({key} % 2147483648) + 12345) % 2147483648) AS s1
+       FROM {table}),
+g2 AS (SELECT *, ((1103515245 * s1 + 12345) % 2147483648) AS s2 FROM g1),
+g3 AS (SELECT *, ((1103515245 * s2 + 12345) % 2147483648) AS s3 FROM g2),
+pts AS (SELECT okey, s1, s2, s3,
+  CASE WHEN (s1 % 100) < 30
+       THEN (CASE s1 % 3 WHEN 0 THEN 40700000 WHEN 1 THEN 48850000 ELSE 35680000 END)
+            + (s2 % 2000001) - 1000000
+       ELSE ((s2 * 180000000) // 2147483648) - 90000000 END AS lat_u,
+  CASE WHEN (s1 % 100) < 30
+       THEN (CASE s1 % 3 WHEN 0 THEN -74000000 WHEN 1 THEN 2350000 ELSE 139690000 END)
+            + (s3 % 2000001) - 1000000
+       ELSE ((s3 * 360000000) // 2147483648) - 180000000 END AS lon_u
+  FROM g3)"""
+
+
+def _tile_sql_cols() -> str:
+    n = 1 << TILE_RES
+    return (f"LEAST(((lon_u + 180000000) * {n}) // 360000000, {n - 1}) AS ix, "
+            f"LEAST(((lat_u + 90000000) * {n}) // 180000000, {n - 1}) AS iy")
+
+
+# ---------------------------------------------------------------------------
+# cached inputs (synthesized image table, geo index) under /tmp
+# ---------------------------------------------------------------------------
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def _n_images(sf_dir: str) -> int:
+    return int(min(200_000, max(1000, round(200_000 * _sf_of(sf_dir)))))
+
+
+def _image_table_path(sf_dir: str) -> str:
+    """Deterministic F1 image table, generated in parallel with Ray and
+    cached (atomic rename) — row i is a pure function of (seed, i)."""
+    import ray.data as rd
+    from metric_search_ray import fixtures
+
+    n = _n_images(sf_dir)
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    path = os.path.join(TMP_ROOT, f"images_{n}")
+    if os.path.exists(path):
+        return path
+    tmp = path + f".tmp.{os.getpid()}"
+    (rd.range(n)
+       .map_batches(lambda b: fixtures.image_batch(b["id"]), batch_format="numpy",
+                    batch_size=512)
+       .write_parquet(tmp))
+    os.replace(tmp, path)
+    return path
+
+
+def _orders_points(sf_dir: str):
+    """orders -> Dataset (o_orderkey, image_id, lat_u, lon_u, lat, lon, phash)."""
+    import ray.data as rd
+    from metric_search_ray.stages import assign
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        from metric_search_ray import geocode
+        key = batch.column("o_orderkey").to_numpy()
+        out = pa.table({"o_orderkey": batch.column("o_orderkey")})
+        out = out.append_column("image_id", pa.array(key.astype(str), pa.string()))
+        out = assign.geotag_from_key(out.append_column(
+            "okey", batch.column("o_orderkey")), "okey").drop_columns(["okey"])
+        s1 = geocode.lcg_next(key)
+        out = out.append_column("phash", pa.array((s1 % 65536).astype(np.int64), pa.int64()))
+        return out
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _geo_index_dir(sf_dir: str) -> str:
+    """Partitioned cover-tree index over the orders-derived points,
+    built once per sf and reused (checkpoint resume)."""
+    from metric_search_ray.pipelines import build
+
+    n_hint = {0.001: 1500, 0.01: 15000, 0.1: 150000}.get(_sf_of(sf_dir), 15000)
+    res = 3 if n_hint <= 2000 else (4 if n_hint <= 30000 else 5)
+    ckpt = os.path.join(TMP_ROOT, f"geoidx_{os.path.basename(os.path.normpath(sf_dir))}")
+    manifest_path = os.path.join(ckpt, "manifest.parquet")
+    if not os.path.exists(manifest_path):
+        build.build_index(_orders_points(sf_dir), ckpt, res=res, target_rows=20_000)
+    return ckpt
+
+
+def _image_index_dir(sf_dir: str) -> str:
+    import ray.data as rd
+    from metric_search_ray.pipelines import build
+
+    n = _n_images(sf_dir)
+    ckpt = os.path.join(TMP_ROOT, f"imgidx_{n}")
+    if not os.path.exists(os.path.join(ckpt, "manifest.parquet")):
+        ds = rd.read_parquet(_image_table_path(sf_dir), columns=["image_id", "phash"])
+        res = 4 if n <= 30000 else 5
+        build.build_index(ds, ckpt, res=res, target_rows=20_000)
+    return ckpt
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: synthesize + validate the image
+    table, build the partitioned geo index, answer kNN for the fixture
+    query mix, and return the kNN result (a Dataset)."""
+    import ray.data as rd
+    from metric_search_ray import fixtures
+    from metric_search_ray.pipelines import knn
+    from metric_search_ray.stages import decode
 
+    sf_dir = "/root/testdata/sf0.001"
+    images = _image_table_path(sf_dir)
+    validated = (rd.read_parquet(images)
+                 .map_batches(decode.DecodeValidate, batch_format="pyarrow",
+                              batch_size=256, concurrency=4))
+    n_valid = validated.filter(lambda r: r["valid"]).count()
+    assert n_valid > 0
+    ckpt = _image_index_dir(sf_dir)
+    q = fixtures.knn_queries(50)
+    return knn.knn_geo(rd.from_arrow(pa.table(q)), ckpt, concurrency=4)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data as rd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -------------------------- SQL-oracled --------------------------
 
+    def geo_tile_counts(sf_dir: str):
+        from metric_search_ray.stages import assign
+        pts = _orders_points(sf_dir)
+        tiled = pts.map_batches(lambda b: assign.assign_tile(b, TILE_RES),
+                                batch_format="pyarrow", zero_copy_batch=True)
+        out = tiled.groupby("tile_id").count().to_pandas()
+        return out.rename(columns={"count()": "n_points"})
+
+    def geo_pip_rect(sf_dir: str):
+        from metric_search_ray.pipelines import joins
+        pts = _orders_points(sf_dir)
+        out = joins.point_in_polygon_join(pts, _rect_layer(), how="inner",
+                                          id_col="o_orderkey", concurrency=4)
+        return out
+
+    def geo_knn(sf_dir: str):
+        from metric_search_ray import geocode
+        from metric_search_ray.pipelines import knn
+        ckpt = _geo_index_dir(sf_dir)
+        qpts = _geo_query_points()
+        qtbl = pa.table({
+            "query_id": pa.array([q[0] for q in qpts], pa.string()),
+            "lat": pa.array([q[1] / 1e6 for q in qpts], pa.float64()),
+            "lon": pa.array([q[2] / 1e6 for q in qpts], pa.float64()),
+            "k": pa.array([GEO_KNN_K + 10] * len(qpts), pa.int32()),
+        })
+        cand = knn.knn_geo(rd.from_arrow(qtbl), ckpt, concurrency=4).to_pandas()
+        # exact integer rerank: dist2 in microdegrees^2 (bit-exact vs SQL)
+        qmap = {q[0]: (q[1], q[2]) for q in qpts}
+        key = cand["image_id"].astype(np.int64).to_numpy()
+        la, lo = geocode.geocode_from_key(key)
+        qla = cand["query_id"].map(lambda q: qmap[q][0]).to_numpy()
+        qlo = cand["query_id"].map(lambda q: qmap[q][1]).to_numpy()
+        cand["o_orderkey"] = key
+        cand["dist2_u"] = (la - qla) ** 2 + (lo - qlo) ** 2
+        cand = cand.sort_values(["query_id", "dist2_u", "o_orderkey"])
+        cand["rank"] = cand.groupby("query_id").cumcount() + 1
+        out = cand[cand["rank"] <= GEO_KNN_K][
+            ["query_id", "o_orderkey", "rank", "dist2_u"]].reset_index(drop=True)
+        return out
+
+    def geo_radius(sf_dir: str):
+        from metric_search_ray import geocode
+        from metric_search_ray.pipelines import joins
+        ckpt = _geo_index_dir(sf_dir)
+        qpts = _geo_query_points()
+        qtbl = pa.table({
+            "query_id": pa.array([q[0] for q in qpts], pa.string()),
+            "lat": pa.array([q[1] / 1e6 for q in qpts], pa.float64()),
+            "lon": pa.array([q[2] / 1e6 for q in qpts], pa.float64()),
+        })
+        # conservative float radius superset, then exact integer filter
+        radius_f = (np.sqrt(RADIUS2_U) / 1e6) * (1 + 1e-9) + 1e-9
+        cand = joins.radius_join(rd.from_arrow(qtbl), ckpt, radius=radius_f,
+                                 concurrency=4).to_pandas()
+        qmap = {q[0]: (q[1], q[2]) for q in qpts}
+        key = cand["image_id"].astype(np.int64).to_numpy()
+        la, lo = geocode.geocode_from_key(key)
+        qla = cand["query_id"].map(lambda q: qmap[q][0]).to_numpy()
+        qlo = cand["query_id"].map(lambda q: qmap[q][1]).to_numpy()
+        d2 = (la - qla) ** 2 + (lo - qlo) ** 2
+        cand["o_orderkey"] = key
+        out = cand[d2 < RADIUS2_U][["query_id", "o_orderkey"]].reset_index(drop=True)
+        return out
+
+    def phash_hamming_pairs(sf_dir: str):
+        from metric_search_ray.pipelines import dedup
+        pts = _orders_points(sf_dir).filter(lambda r: r["o_orderkey"] % 10 == 0)
+        sub = pts.select_columns(["o_orderkey", "phash"])
+        out = dedup.hamming_pairs(sub, hash_col="phash", id_col="o_orderkey",
+                                  max_hamming=2)
+        return out
+
+    def doc_dedup_exact(sf_dir: str):
+        from metric_search_ray.pipelines import dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return dedup.exact_dedup(ds).select_columns(["doc_id"])
+
+    def doc_token_count(sf_dir: str):
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return textops.token_count(ds)
+
+    def doc_quality(sf_dir: str):
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = textops.quality_score(ds).to_pandas()
+        stop_n = (out["stopword_ratio"] * out["n_words"]).round().astype(np.int64)
+        punct_n = (out["punct_ratio"] * out["n_chars_q"]).round().astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"],
+            "n_words": out["n_words"].astype(np.int64),
+            "n_stop": stop_n,
+            "n_punct": punct_n,
+        })
+
+    def embed_knn_cosine(sf_dir: str):
+        from metric_search_ray.pipelines import similarity
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        head = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+        head = head[head["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+        qv = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+        out = similarity.knn_cosine(ds, head["vec_id"].tolist(), qv, k=5).to_pandas()
+        out["sim_r"] = out["similarity"].round(6)
+        return out[["query_id", "vec_id", "rank", "sim_r"]]
+
+    def events_hourly(sf_dir: str):
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts", "value"])
+
+        def hour_col(batch: pa.Table) -> pa.Table:
+            ts = batch.column("ts").to_numpy()
+            hour = (ts.astype("datetime64[h]").astype("datetime64[s]").astype(np.int64))
+            return pa.table({
+                "event_type": batch.column("event_type"),
+                "hour_epoch": pa.array(hour, pa.int64()),
+                "value": batch.column("value"),
+            })
+
+        from ray.data.aggregate import Count, Sum
+        out = (ds.map_batches(hour_col, batch_format="pyarrow", zero_copy_batch=True)
+                 .groupby(["event_type", "hour_epoch"])
+                 .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+               ).to_pandas()
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
+    def lineitem_agg(sf_dir: str):
+        from ray.data.aggregate import Count, Sum
+        ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        out = (ds.groupby(["l_returnflag", "l_linestatus"])
+                 .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                            Count(alias_name="n"))).to_pandas()
+        out["sum_qty"] = out["sum_qty"].astype(np.int64)
+        return out
+
+    def geo_tile_polygon_cover(sf_dir: str):
+        from metric_search_ray.pipelines import tiles
+        return tiles.tile_polygon_cover(_rect_layer(), TILE_RES)
+
+    # -------------------------- rows-only (non-SQL) --------------------------
+
+    def img_validate(sf_dir: str):
+        from metric_search_ray.stages import decode
+        ds = rd.read_parquet(_image_table_path(sf_dir))
+        return (ds.map_batches(decode.DecodeValidate, batch_format="pyarrow",
+                               batch_size=256, concurrency=4)
+                  .select_columns(["image_id", "fmt", "valid"]))
+
+    def img_knn(sf_dir: str):
+        from metric_search_ray import fixtures
+        from metric_search_ray.pipelines import knn
+        ckpt = _image_index_dir(sf_dir)
+        q = fixtures.knn_queries(100)
+        return knn.knn_geo(rd.from_arrow(pa.table(q)), ckpt, concurrency=4)
+
+    def img_pip(sf_dir: str):
+        from metric_search_ray import fixtures
+        from metric_search_ray.pipelines import joins
+        from metric_search_ray.stages import assign
+        pts = (rd.read_parquet(_image_table_path(sf_dir), columns=["image_id"])
+               .map_batches(assign.geotag, batch_format="pyarrow"))
+        return joins.point_in_polygon_join(pts, fixtures.polygon_layer(), how="inner",
+                                           concurrency=4)
+
+    def img_phash_pairs(sf_dir: str):
+        from metric_search_ray.pipelines import dedup
+        ds = rd.read_parquet(_image_table_path(sf_dir), columns=["image_id", "phash"])
+        return dedup.hamming_pairs(ds, max_hamming=6)
+
+    def img_features(sf_dir: str):
+        from metric_search_ray.pipelines import multimodal
+        ds = rd.read_parquet(_image_table_path(sf_dir))
+        return multimodal.decode_features(ds, concurrency=4)
+
+    def img_cluster(sf_dir: str):
+        from metric_search_ray.pipelines import cluster
+        ckpt = _image_index_dir(sf_dir)
+        return cluster.cluster_all_partitions(ckpt, [0.0, 0.25, 0.5])
+
+    def doc_minhash_pairs(sf_dir: str):
+        from metric_search_ray.pipelines import dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return dedup.minhash_dedup_pairs(ds, threshold=0.5)
+
+    def doc_lang_id(sf_dir: str):
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return textops.lang_id(ds).select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+    def embed_knn_ivf(sf_dir: str):
+        from metric_search_ray.pipelines import similarity
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        head = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+        head = head[head["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+        qv = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+        cent = similarity.train_ivf_centroids(ds, n_lists=8)
+        return similarity.knn_ivf(ds, head["vec_id"].tolist(), qv, cent, k=5, nprobe=4)
+
+    def embed_dedup(sf_dir: str):
+        from metric_search_ray.pipelines import dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        return dedup.embedding_dedup_pairs(ds, cos_threshold=0.95, max_hamming=16)
+
+    def graph_components(sf_dir: str):
+        from metric_search_ray import graph
+        g = graph.margulis(1024)
+        e = g.edges
+        ds = rd.from_arrow(pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                                     "dst": pa.array(e[:, 1], pa.int64())}))
+        return graph.connected_components_ray(ds, num_partitions=4)
+
+    return {
+        "geo_tile_counts": geo_tile_counts,
+        "geo_pip_rect": geo_pip_rect,
+        "geo_knn": geo_knn,
+        "geo_radius": geo_radius,
+        "geo_tile_polygon_cover": geo_tile_polygon_cover,
+        "phash_hamming_pairs": phash_hamming_pairs,
+        "doc_dedup_exact": doc_dedup_exact,
+        "doc_token_count": doc_token_count,
+        "doc_quality": doc_quality,
+        "embed_knn_cosine": embed_knn_cosine,
+        "events_hourly": events_hourly,
+        "lineitem_agg": lineitem_agg,
+        "img_validate": img_validate,
+        "img_knn": img_knn,
+        "img_pip": img_pip,
+        "img_phash_pairs": img_phash_pairs,
+        "img_features": img_features,
+        "img_cluster": img_cluster,
+        "doc_minhash_pairs": doc_minhash_pairs,
+        "doc_lang_id": doc_lang_id,
+        "embed_knn_ivf": embed_knn_ivf,
+        "embed_dedup": embed_dedup,
+        "graph_components": graph_components,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n = 1 << TILE_RES
+    rect_values = ", ".join(
+        f"('{r['polygon_id']}', {r['x0']}, {r['x1']}, {r['y0']}, {r['y1']})"
+        for r in _oracle_rects())
+    qpt_values = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in _geo_query_points())
+    stop_list = "'the', 'a', 'of', 'and', 'to'"
+
+    return {
+        "geo_tile_counts": f"""
+WITH {_pts_cte()},
+txy AS (SELECT okey, {_tile_sql_cols()} FROM pts)
+SELECT iy * {n} + ix AS tile_id, count(*) AS n_points
+FROM txy GROUP BY 1 ORDER BY 1
+""",
+        "geo_pip_rect": f"""
+WITH {_pts_cte()},
+rects(polygon_id, x0, x1, y0, y1) AS (VALUES {rect_values})
+SELECT p.okey AS o_orderkey, r.polygon_id
+FROM pts p JOIN rects r
+  ON p.lon_u > r.x0 AND p.lon_u <= r.x1 AND p.lat_u > r.y0 AND p.lat_u <= r.y1
+""",
+        "geo_knn": f"""
+WITH {_pts_cte()},
+q(query_id, qlat_u, qlon_u) AS (VALUES {qpt_values}),
+d AS (SELECT q.query_id, p.okey AS o_orderkey,
+             (p.lat_u - q.qlat_u) * (p.lat_u - q.qlat_u)
+             + (p.lon_u - q.qlon_u) * (p.lon_u - q.qlon_u) AS dist2_u
+      FROM q CROSS JOIN pts p)
+SELECT query_id, o_orderkey,
+       row_number() OVER (PARTITION BY query_id ORDER BY dist2_u, o_orderkey) AS rank,
+       dist2_u
+FROM d
+QUALIFY rank <= {GEO_KNN_K}
+""",
+        "geo_radius": f"""
+WITH {_pts_cte()},
+q(query_id, qlat_u, qlon_u) AS (VALUES {qpt_values})
+SELECT q.query_id, p.okey AS o_orderkey
+FROM q CROSS JOIN pts p
+WHERE (p.lat_u - q.qlat_u) * (p.lat_u - q.qlat_u)
+      + (p.lon_u - q.qlon_u) * (p.lon_u - q.qlon_u) < {RADIUS2_U}
+""",
+        "geo_tile_polygon_cover": f"""
+WITH rects(polygon_id, x0, x1, y0, y1) AS (VALUES {rect_values}),
+rng AS (SELECT polygon_id,
+  LEAST(((x0::BIGINT + 180000000) * {n}) // 360000000, {n - 1}) AS ix0,
+  LEAST(((x1::BIGINT + 180000000) * {n}) // 360000000, {n - 1}) AS ix1,
+  LEAST(((y0::BIGINT + 90000000) * {n}) // 180000000, {n - 1}) AS iy0,
+  LEAST(((y1::BIGINT + 90000000) * {n}) // 180000000, {n - 1}) AS iy1
+  FROM rects)
+SELECT iy.iy * {n} + ix.ix AS tile_id, r.polygon_id
+FROM rng r,
+     LATERAL (SELECT unnest(generate_series(r.ix0, r.ix1)) AS ix) ix,
+     LATERAL (SELECT unnest(generate_series(r.iy0, r.iy1)) AS iy) iy
+""",
+        "phash_hamming_pairs": f"""
+WITH {_pts_cte()},
+ph AS (SELECT okey, (s1 % 65536) AS phash FROM pts WHERE okey % 10 = 0)
+SELECT a.okey AS id_a, b.okey AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM ph a JOIN ph b ON a.okey < b.okey
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+""",
+        "doc_dedup_exact": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        "doc_token_count": """
+SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents
+""",
+        "doc_quality": f"""
+SELECT doc_id,
+  len(string_split_regex(trim(text), '\\s+')) AS n_words,
+  len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  w -> lower(w) IN ({stop_list}))) AS n_stop,
+  length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+FROM documents
+""",
+        "embed_knn_cosine": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+d AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank,
+       round(sim, 6) AS sim_r
+FROM d
+QUALIFY rank <= 5
+""",
+        "events_hourly": """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY 1, 2
+""",
+    }

@@ -68,6 +68,8 @@ def key_of_image_id(image_id: np.ndarray) -> np.ndarray:
     ids = np.asarray(image_id)
     s = ids.astype(str)
     try:
+        if len(s) > 0 and bool(np.all(np.char.isdigit(s))):
+            return s.astype(np.int64)  # pure-numeric ids (e.g. str(o_orderkey))
         suffix = np.char.partition(s, "-")[:, 2]
         if bool(np.all(np.char.isdigit(suffix))) and len(s) > 0:
             return suffix.astype(np.int64)
