@@ -142,12 +142,15 @@ def _n_images(sf_dir: str) -> int:
 
 
 def _image_table_path(sf_dir: str) -> str:
+    return _image_table_path_n(_n_images(sf_dir))
+
+
+def _image_table_path_n(n: int) -> str:
     """Deterministic F1 image table, generated in parallel with Ray and
     cached (atomic rename) — row i is a pure function of (seed, i)."""
     import ray.data as rd
     from metric_search_ray import fixtures
 
-    n = _n_images(sf_dir)
     os.makedirs(TMP_ROOT, exist_ok=True)
     path = os.path.join(TMP_ROOT, f"images_{n}")
     if os.path.exists(path):
@@ -244,11 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -------------------------- SQL-oracled --------------------------
 
     def geo_tile_counts(sf_dir: str):
-        from metric_search_ray.stages import assign
+        from metric_search_ray.pipelines import tiles
         pts = _orders_points(sf_dir)
-        tiled = pts.map_batches(lambda b: assign.assign_tile(b, TILE_RES),
-                                batch_format="pyarrow", zero_copy_batch=True)
-        out = tiled.groupby("tile_id").count().to_pandas()
+        out = tiles.tiles_with_images(pts, TILE_RES).to_pandas()
         return out.rename(columns={"count()": "n_points"})
 
     def geo_pip_rect(sf_dir: str):

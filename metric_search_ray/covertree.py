@@ -64,7 +64,7 @@ class BadDistributionException(Exception):
 
 
 class Node:
-    __slots__ = ("data", "level", "parent", "children", "parent_dist", "ID", "maxdist")
+    __slots__ = ("data", "level", "parent", "children", "parent_dist", "ID", "maxdist", "_cmat")
 
     def __init__(self, data=None, level=0, parent=None, parent_dist=0.0, ID=0,
                  maxdist=0.0):
@@ -74,6 +74,7 @@ class Node:
         self.children: list[Node] = []
         self.parent_dist = parent_dist
         self.ID = ID
+        self._cmat = None  # cached stacked children coords (hot-path)
         # Upper bound on dist(self, any descendant).  The reference prunes
         # with child.parent_dist in this role (tree.cpp:624/686/732 and the
         # comment at tree.cpp:86), which is NOT a valid subtree radius — its
@@ -142,16 +143,22 @@ class CoverTree:
 
     def _child_dists(self, p: Node, x) -> np.ndarray:
         """Distances from each child of p to record x, vectorized when the
-        metric supports batching over stacked child data."""
+        metric supports batching over stacked child data.  The stacked
+        children array is cached on the node (invalidated by every
+        children mutation) — it dominates insert/search cost otherwise."""
         ch = p.children
         if not ch:
             return np.empty(0)
         batch = getattr(self.metric, "batch", None)
         if batch is not None:
             try:
-                return np.asarray(batch(x, np.asarray([c.data for c in ch])), np.float64)
+                cm = p._cmat
+                if cm is None:
+                    cm = np.asarray([c.data for c in ch])
+                    p._cmat = cm
+                return np.asarray(batch(x, cm), np.float64)
             except (TypeError, ValueError):
-                pass
+                p._cmat = None
         return np.asarray([self.dist(c.data, x) for c in ch], np.float64)
 
     def _sorted_children(self, p: Node, x) -> tuple[np.ndarray, np.ndarray]:
@@ -202,8 +209,10 @@ class CoverTree:
                     current = current.children[-1]
                 if par is not None:
                     par.children.pop()
+                    par._cmat = None
                     current.level = p.level + 1
                     current.children.append(p)
+                    current._cmat = None
                     p.parent = current
                     p.parent_dist = self.dist(p.data, current.data)
                     current.maxdist = max(current.maxdist, p.parent_dist + p.maxdist)
@@ -215,6 +224,7 @@ class CoverTree:
             x.level = p.level + 1
             x.parent = None
             x.children.append(p)
+            x._cmat = None
             p.parent_dist = self.dist(p.data, x.data)
             p.parent = x
             x.maxdist = p.parent_dist + p.maxdist
@@ -241,6 +251,7 @@ class CoverTree:
                     break
             if not descended:
                 p.children.append(x)
+                p._cmat = None
                 x.parent = p
                 x.parent_dist = d_px
                 x.level = p.level - 1
@@ -350,6 +361,7 @@ class CoverTree:
             i = parent.children.index(node)
             parent.children[i] = parent.children[-1]
             parent.children.pop()
+            parent._cmat = None
         self._by_id.pop(node.ID, None)
         self.N -= 1
         for rid, data in orphans:

@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     knn,
     multimodal,
     similarity,
+    ssimverify,
     text,
     tiles,
 )

@@ -84,8 +84,17 @@ def plan_salts(ds: "rd.Dataset", target_rows: int = DEFAULT_TARGET_ROWS) -> dict
     to the data; its result (#distinct-cells rows) is collected to the
     driver and broadcast into the salting stage.
     """
-    counts = ds.groupby("cell").count().to_pandas()
-    k = np.maximum(1, np.ceil(counts["count()"] / target_rows)).astype(int)
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, cnt = np.unique(batch.column("cell").to_numpy(), return_counts=True)
+        return pa.table({"cell": pa.array(vals, pa.int64()),
+                         "partial_n": pa.array(cnt, pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+                .groupby("cell").aggregate(Sum("partial_n", alias_name="n"))
+              ).to_pandas()
+    k = np.maximum(1, np.ceil(counts["n"] / target_rows)).astype(int)
     return {int(c): int(n) for c, n in zip(counts["cell"], k) if n > 1}
 
 
@@ -163,6 +172,12 @@ def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
     salted = tagged.map_batches(
         lambda b: assign.assign_salt(b, salt_plan), batch_format="pyarrow",
         zero_copy_batch=True)
+    # groupby emits one sorted block per input block, and map_groups
+    # parallelism == block count — split the input so every CPU gets
+    # build work even when the source is a single parquet file
+    import ray as _ray
+    n_blocks = max(16, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+    salted = salted.repartition(n_blocks)
     manifest_ds = salted.groupby(["cell", "salt"]).map_groups(
         lambda t: _build_partition(t, ckpt_dir, resume), batch_format="pyarrow")
     manifest = pa.Table.from_pandas(manifest_ds.to_pandas(), schema=MANIFEST_SCHEMA,

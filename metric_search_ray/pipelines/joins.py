@@ -29,7 +29,9 @@ class PipActor:
     """Actor pool: polygons fetched once per actor, vectorized PIP per batch."""
 
     def __init__(self, polygons_ref, how: str = "inner", id_col: str = "image_id"):
-        layer = ray.get(polygons_ref)
+        # accepts either an object-store ref (actor-pool mode) or the
+        # layer dict directly (pickled-instance task mode)
+        layer = ray.get(polygons_ref) if not isinstance(polygons_ref, dict) else polygons_ref
         self.ids = layer["polygon_id"]
         self.rings = [np.asarray(r, np.float64) for r in layer["ring"]]
         self.bboxes = np.asarray([geom.ring_bbox(r) for r in self.rings])
@@ -66,8 +68,12 @@ class PipActor:
 
 def point_in_polygon_join(points_ds, polygon_layer: dict, how: str = "inner",
                           id_col: str = "image_id", concurrency: int = 4,
-                          batch_size: int = 16384):
+                          batch_size: int = 16384, use_actor_pool: bool = True):
     """how='inner' -> (id, polygon_id) pairs; 'semi'/'anti' -> filtered rows."""
+    if not use_actor_pool:
+        return points_ds.map_batches(PipActor(polygon_layer, how=how, id_col=id_col),
+                                     batch_format="pyarrow", batch_size=batch_size,
+                                     num_cpus=1)
     ref = ray.put(polygon_layer)
     return points_ds.map_batches(
         PipActor, fn_constructor_kwargs={"polygons_ref": ref, "how": how,
@@ -92,22 +98,12 @@ class RnnActor:
         self.cache_trees = cache_trees
 
     def _tree(self, path: str):
-        if path in self._cache:
-            self._cache.move_to_end(path)
-            return self._cache[path]
-        tree, tbl = buildmod.load_partition_tree(path)
-        # checkpoint rows are preorder — reindex image_id by node row_id
-        import numpy as _np
-        rid = tbl.column("row_id").to_numpy()
-        raw = tbl.column("image_id").to_numpy(zero_copy_only=False)
-        ids = _np.empty(len(rid), dtype=object)
-        ids[rid] = raw
-        self._cache[path] = (tree, ids)
-        if len(self._cache) > self.cache_trees:
-            self._cache.popitem(last=False)
-        return self._cache[path]
+        from .knn import _load_tree_cached
+        from ..metrics import PlanarDeg
+        return _load_tree_cached(path, PlanarDeg(), self.cache_trees)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .knn import _load_arrays_cached
         qids = batch.column("query_id").to_pylist()
         lats = batch.column("lat").to_numpy()
         lons = batch.column("lon").to_numpy()
@@ -117,11 +113,13 @@ class RnnActor:
             lbs = cellmod.point_cell_min_dist_deg(float(la), float(lo), self.cells)
             for c in self.cells[lbs < self.radius]:
                 for _salt, path in self.by_cell[int(c)]:
-                    tree, ids = self._tree(path)
-                    for node, d in tree.rnn(np.asarray([la, lo]), self.radius):
+                    # vectorized exact range scan (strict <, rnn semantics)
+                    plat, plon, ids = _load_arrays_cached(path)
+                    d = np.hypot(plat - la, plon - lo)
+                    for i in np.flatnonzero(d < self.radius):
                         out_q.append(qid)
-                        out_i.append(str(ids[node.ID]))
-                        out_d.append(float(d))
+                        out_i.append(str(ids[i]))
+                        out_d.append(float(d[i]))
         return pa.table({
             "query_id": pa.array(out_q, pa.string()),
             "image_id": pa.array(out_i, pa.string()),

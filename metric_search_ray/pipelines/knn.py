@@ -39,47 +39,112 @@ from ..metrics import PlanarDeg
 from . import build as buildmod
 
 
-class KnnActor:
-    """Actor-pool stage: geo kNN with ring expansion over checkpoints.
+# Process-global LRU of loaded partition trees.  Ray reuses worker
+# processes across tasks, so task-mode stages (pickled instances) get
+# warm caches after the first wave — without this, every task pays the
+# full checkpoint-load cost (~2s/batch measured vs ~0.1s warm).
+_TREE_CACHE: "collections.OrderedDict[str, tuple]" = collections.OrderedDict()
+_ARRAY_CACHE: "collections.OrderedDict[tuple, tuple]" = collections.OrderedDict()
 
-    __init__ (once per actor): read the manifest, build cell->(salt,path)
-    lookup and the nonempty-cell set.  Trees are loaded lazily from
-    checkpoint parquet with an LRU cache — at cluster scale each actor
-    serves queries routed to a locality of cells (queries are sorted by
-    home cell before this stage), so the cache hit rate is high.
+
+def _load_arrays_cached(path: str, cap: int = 2048):
+    """Light checkpoint load for the vectorized scan path: (lat, lon,
+    image_ids) numpy arrays only — ~5x cheaper than rebuilding Node
+    objects, and the scan needs nothing else."""
+    import os as _os
+    import pyarrow.parquet as _pq
+    st = _os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _ARRAY_CACHE.get(key)
+    if hit is not None:
+        _ARRAY_CACHE.move_to_end(key)
+        return hit
+    tbl = _pq.read_table(path, columns=["lat", "lon", "image_id"])
+    lat = tbl.column("lat").to_numpy()
+    lon = tbl.column("lon").to_numpy()
+    ids = tbl.column("image_id").to_numpy(zero_copy_only=False)
+    _ARRAY_CACHE[key] = (lat, lon, ids)
+    if len(_ARRAY_CACHE) > cap:
+        _ARRAY_CACHE.popitem(last=False)
+    return _ARRAY_CACHE[key]
+
+
+def _load_tree_cached(path: str, metric, cap: int = 512):
+    import os as _os
+    st = _os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)  # rebuilt checkpoints invalidate
+    hit = _TREE_CACHE.get(key)
+    if hit is not None:
+        _TREE_CACHE.move_to_end(key)
+        return hit
+    tree, tbl = buildmod.load_partition_tree(path, metric=metric)
+    # checkpoint rows are preorder — reindex image_id by node row_id
+    rid = tbl.column("row_id").to_numpy()
+    raw = tbl.column("image_id").to_numpy(zero_copy_only=False)
+    ids = np.empty(len(rid), dtype=object)
+    ids[rid] = raw
+    _TREE_CACHE[key] = (tree, ids)
+    if len(_TREE_CACHE) > cap:
+        _TREE_CACHE.popitem(last=False)
+    return _TREE_CACHE[key]
+
+
+class KnnActor:
+    """Geo kNN with ring expansion over checkpoints; works as an actor
+    pool (class) or as pickled-instance tasks.
+
+    __init__ (once per actor / on the driver in task mode): read the
+    manifest, build the cell->(salt,path) lookup.  Trees are loaded
+    lazily through the process-global LRU — queries are sorted by home
+    cell before this stage, so the cache hit rate is high.
     """
 
-    def __init__(self, ckpt_dir: str, cache_trees: int = 64):
+    def __init__(self, ckpt_dir: str, cache_trees: int = 512,
+                 method: str = "scan"):
+        """``method='scan'`` answers per-partition queries with a
+        vectorized exact distance scan over the partition's points —
+        optimal below ~10^5 rows/partition, where numpy throughput beats
+        pruned Python traversal by 10-50x.  ``method='tree'`` walks the
+        restored cover tree (the pruning pays off for very large
+        partitions / tiny k).  Both are exact; results are identical."""
         manifest = buildmod.load_manifest(ckpt_dir)
         self.by_cell = buildmod.cells_in_manifest(manifest)
         self.res = int(cellmod.cell_res(np.asarray([next(iter(self.by_cell))]))[0]) \
             if self.by_cell else buildmod.DEFAULT_RES
         self._cache: collections.OrderedDict = collections.OrderedDict()
         self.cache_trees = cache_trees
+        self.method = method
         self.metric = PlanarDeg()
 
+    def __getstate__(self):
+        # instance (task) mode: ship the manifest lookup, never the cache
+        return {k: getattr(self, k) for k in
+                ("by_cell", "res", "cache_trees", "metric", "method")}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+        self._cache = collections.OrderedDict()
+
     def _tree(self, path: str):
-        if path in self._cache:
-            self._cache.move_to_end(path)
-            return self._cache[path]
-        tree, tbl = buildmod.load_partition_tree(path, metric=self.metric)
-        # checkpoint rows are preorder — reindex image_id by node row_id
-        import numpy as _np
-        rid = tbl.column("row_id").to_numpy()
-        raw = tbl.column("image_id").to_numpy(zero_copy_only=False)
-        ids = _np.empty(len(rid), dtype=object)
-        ids[rid] = raw
-        self._cache[path] = (tree, ids)
-        if len(self._cache) > self.cache_trees:
-            self._cache.popitem(last=False)
-        return self._cache[path]
+        return _load_tree_cached(path, self.metric, self.cache_trees)
 
     def _search_cell(self, cell_id: int, qlat: float, qlon: float, k: int, best: list):
-        """Search every salt tree of one cell, merging into best (sorted)."""
-        for _salt, path in self.by_cell.get(cell_id, ()):  # all salts: exactness
-            tree, ids = self._tree(path)
-            for node, d in tree.knn(np.asarray([qlat, qlon]), k):
-                best.append((float(d), str(ids[node.ID])))
+        """Search every salt partition of one cell, merging into best
+        (sorted).  All salts are searched: exactness does not depend on
+        salt assignment."""
+        for _salt, path in self.by_cell.get(cell_id, ()):
+            if self.method == "scan":
+                lat, lon, ids = _load_arrays_cached(path)
+                d = np.hypot(lat - qlat, lon - qlon)
+                kk = min(k, len(d))
+                sel = np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
+                for i in sel:
+                    best.append((float(d[i]), str(ids[i])))
+            else:
+                tree, ids = self._tree(path)
+                for node, dd in tree.knn(np.asarray([qlat, qlon]), k):
+                    best.append((float(dd), str(ids[node.ID])))
         best.sort()
         del best[k:]
 
@@ -133,9 +198,13 @@ class KnnActor:
         })
 
 
-def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 256):
-    """Geo kNN pipeline: sort queries by home cell (actor cache locality)
-    then fan out over the KnnActor pool."""
+def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 256,
+            use_actor_pool: bool = True):
+    """Geo kNN pipeline: sort queries by home cell (cache locality) then
+    fan out.  ``use_actor_pool=False`` ships a pickled KnnActor instance
+    to stateless tasks instead — no pool spawn cost, warm-worker reuse;
+    right for short bursts, while long-running query streams amortize
+    the actor pool's per-actor caches better."""
     manifest = buildmod.load_manifest(ckpt_dir)
     res = int(cellmod.cell_res(manifest.column("cell").to_numpy()[:1])[0])
 
@@ -150,6 +219,9 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
     # the sort can collapse small query sets into one block, starving the
     # actor pool — split back out so every actor gets work (cheap: no shuffle)
     routed = routed.repartition(max(concurrency * 2, 8))
+    if not use_actor_pool:
+        return routed.map_batches(KnnActor(ckpt_dir), batch_format="pyarrow",
+                                  batch_size=batch_size, num_cpus=1)
     return routed.map_batches(KnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir},
                               batch_format="pyarrow", batch_size=batch_size,
                               concurrency=concurrency, num_cpus=1)

@@ -1,0 +1,110 @@
+"""SSIM verification of near-duplicate candidate pairs.
+
+Second stage of the image near-dup pipeline: Hamming-phash banding
+(dedup.hamming_pairs) proposes candidates; this stage decodes both
+images of every pair and scores the reference's SSIM structural
+dissimilarity (n-api/metric_distance/details/SSIM.cpp — ported in
+metrics.SSIM).  Image bytes reach the pairs via two hash joins on
+image_id (binary payloads join fine; list types do not), so pixels
+move only for candidate pairs — never a full cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codecs
+from ..metrics import SSIM
+from .dedup import _rename_first_present
+
+
+class _SsimScore:
+    def __init__(self, max_side: int = 64):
+        self.ssim = SSIM()
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for ba, fa, bb, fb in zip(batch.column("bytes_a").to_pylist(),
+                                  batch.column("fmt_a").to_pylist(),
+                                  batch.column("bytes_b").to_pylist(),
+                                  batch.column("fmt_b").to_pylist()):
+            pa_img = codecs.decode(ba, fa).astype(np.float64)
+            pb_img = codecs.decode(bb, fb).astype(np.float64)
+            if pa_img.shape != pb_img.shape or min(pa_img.shape[:2]) < 11:
+                out.append(float("nan"))
+                continue
+            out.append(self.ssim(pa_img, pb_img))
+        return (batch.select(["id_a", "id_b"])
+                .append_column("ssim_dist", pa.array(out, pa.float64())))
+
+
+def ssim_verify_pairs_broadcast(images_ds, pairs_ds, id_col: str = "image_id",
+                                batch_size: int = 256):
+    """Broadcast-side variant: the candidate images are ``ray.put`` once
+    as an id -> (bytes, fmt) dict and looked up per pair inside tasks.
+    Right when the candidate image set fits in the object store (the
+    usual case — candidates are a tiny fraction of the corpus); use
+    ``ssim_verify_pairs`` (hash joins) when it does not.
+    """
+    import ray
+
+    imgs = images_ds.select_columns([id_col, "bytes", "fmt"]).to_pandas()
+    lookup = {i: (b, f) for i, b, f in zip(imgs[id_col], imgs["bytes"], imgs["fmt"])}
+    ref = ray.put(lookup)
+
+    def score(batch: pa.Table) -> pa.Table:
+        # task mode (scales with the worker pool); the broadcast dict is
+        # fetched once per worker process via the module cache
+        look = _bcast_get(ref)
+        ssim = SSIM()
+        out = []
+        for ia, ib in zip(batch.column("id_a").to_pylist(),
+                          batch.column("id_b").to_pylist()):
+            ba, fa = look[ia]
+            bb, fb = look[ib]
+            A = codecs.decode(ba, fa).astype(np.float64)
+            B = codecs.decode(bb, fb).astype(np.float64)
+            if A.shape != B.shape or min(A.shape[:2]) < 11:
+                out.append(float("nan"))
+                continue
+            out.append(ssim(A, B))
+        return (batch.select(["id_a", "id_b"])
+                .append_column("ssim_dist", pa.array(out, pa.float64())))
+
+    return pairs_ds.map_batches(score, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_get(ref):
+    """Per-process cache of a broadcast object (ray.get deserializes a
+    fresh copy per call otherwise)."""
+    import ray
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()  # keep at most one broadcast set per worker
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def ssim_verify_pairs(images_ds, pairs_ds, id_col: str = "image_id",
+                      num_partitions: int = 8, concurrency: int = 4):
+    """(id_a, id_b) pairs -> (id_a, id_b, ssim_dist).
+
+    NaN for shape-mismatched pairs (SSIM is defined per equal-shape
+    images in the reference).
+    """
+    imgs = images_ds.select_columns([id_col, "bytes", "fmt"])
+    j1 = pairs_ds.join(imgs, join_type="inner", num_partitions=num_partitions,
+                       on=("id_a",), right_on=(id_col,), right_suffix="_a")
+    j1 = _rename_first_present(j1, ["bytes_a", "bytes"], "bytes_a")
+    j1 = _rename_first_present(j1, ["fmt_a", "fmt"], "fmt_a")
+    j2 = j1.join(imgs, join_type="inner", num_partitions=num_partitions,
+                 on=("id_b",), right_on=(id_col,), right_suffix="_b")
+    j2 = _rename_first_present(j2, ["bytes_b", "bytes"], "bytes_b")
+    j2 = _rename_first_present(j2, ["fmt_b", "fmt"], "fmt_b")
+    return j2.map_batches(_SsimScore(), batch_format="pyarrow", batch_size=256)

@@ -73,8 +73,24 @@ def tile_polygon_cover(polygon_layer: dict, res: int) -> pa.Table:
 
 
 def tiles_with_images(points_ds, res: int):
-    """Per-tile image counts: the raster aggregation side."""
-    return assign_tiles(points_ds, res).groupby("tile_id").count()
+    """Per-tile image counts: the raster aggregation side.
+
+    Pre-aggregates inside map_batches (one row per tile per batch) so
+    the groupby shuffle moves ~#tiles rows instead of every point —
+    the partial/combiner pattern from SURVEY.md §7.2.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        t = batch.column("tile_id").to_numpy()
+        vals, cnt = np.unique(t, return_counts=True)
+        return pa.table({"tile_id": pa.array(vals, pa.int64()),
+                         "partial_n": pa.array(cnt, pa.int64())})
+
+    return (assign_tiles(points_ds, res)
+            .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("tile_id")
+            .aggregate(Sum("partial_n", alias_name="count()")))
 
 
 def raster_vector_assignment(points_ds, polygon_layer: dict, res: int):

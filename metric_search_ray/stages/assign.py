@@ -43,9 +43,16 @@ def assign_tile(batch: pa.Table, res: int, out: str = "tile_id") -> pa.Table:
 def assign_salt(batch: pa.Table, salt_of_cell: dict[int, int],
                 id_column: str = "image_id") -> pa.Table:
     """Skew salting: hot cells split into k sub-partitions by a hash of
-    the record id.  ``salt_of_cell`` maps cell -> k (default 1)."""
+    the record id.  ``salt_of_cell`` maps cell -> k (default 1).
+
+    The salt hash is TWO LCG steps past the key, not one: s1 % 3 is the
+    hot-spot city selector in the geocoder, so within a hot cell s1 is
+    conditioned mod 3 and ``s1 % k`` would use only k/gcd(k,3) salts
+    (observed: 3x partition skew).  s2 is unconstrained within a cell.
+    """
     cells = batch.column("cell").to_numpy()
     ks = np.asarray([salt_of_cell.get(int(c), 1) for c in cells], np.int64)
     key = geocode.key_of_image_id(batch.column(id_column).to_numpy(zero_copy_only=False))
-    salt = np.where(ks > 1, geocode.lcg_next(key) % ks, 0)
+    salt_hash = geocode.lcg_next(geocode.lcg_next(key) + 9176)
+    salt = np.where(ks > 1, salt_hash % ks, 0)
     return batch.append_column("salt", pa.array(salt.astype(np.int64), pa.int64()))

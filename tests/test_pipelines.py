@@ -151,3 +151,44 @@ def test_knn_metric_hamming_matches_bruteforce(ray_session, tiny_images, geo_poi
     got50 = out[out["query_id"] == "img-00000050"]
     top = got50.sort_values("rank").iloc[1]
     assert top["dist"] <= 6
+
+
+def test_knn_methods_agree(index_dir):
+    """scan and tree query methods must return identical exact results."""
+    import pyarrow as pa
+    ckpt, _ = index_dir
+    q = fixtures.knn_queries(25)
+    qds1 = rd.from_arrow(pa.table(q))
+    out_scan = knn.knn_geo(qds1, ckpt, concurrency=2).to_pandas()
+    qds2 = rd.from_arrow(pa.table(q))
+    manifest = build.load_manifest(ckpt)
+    actor = knn.KnnActor(ckpt, method="tree")
+    import numpy as np
+    got_tree = actor(pa.table({
+        "query_id": pa.array(q["query_id"]),
+        "lat": pa.array(q["lat"]), "lon": pa.array(q["lon"]),
+        "k": pa.array(q["k"], pa.int32()),
+    })).to_pandas()
+    a = out_scan.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = got_tree.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    np.testing.assert_allclose(a["dist"].to_numpy(), b["dist"].to_numpy(), rtol=1e-12)
+
+
+def test_ssim_verify_pairs(ray_session, tiny_images):
+    import pyarrow as pa
+    from metric_search_ray.pipelines import dedup, ssimverify
+    ds = rd.read_parquet(tiny_images)
+    pairs = dedup.hamming_pairs(ds.select_columns(["image_id", "phash"]),
+                                max_hamming=2)
+    out = ssimverify.ssim_verify_pairs(ds, pairs).to_pandas()
+    assert len(out) > 0
+    # planted near-duplicates (img-N vs img-N-1 at N % 50 == 0) score low;
+    # same-shape non-dup pairs score higher on average
+    import numpy as np
+    dup_mask = out.apply(lambda r: abs(int(r["id_a"][4:]) - int(r["id_b"][4:])) == 1, axis=1)
+    scored = out[~out["ssim_dist"].isna()]
+    if dup_mask.any() and (~dup_mask).any():
+        dup_scores = out[dup_mask]["ssim_dist"].dropna()
+        other = out[~dup_mask]["ssim_dist"].dropna()
+        if len(dup_scores) and len(other):
+            assert dup_scores.mean() <= other.mean() + 1e-9
