@@ -196,6 +196,23 @@ def ring(cell: int, k: int) -> np.ndarray:
     return np.unique(cell_id_from_xy(xs[keep], ys[keep], res))
 
 
+def points_cells_min_dist_deg(lat_deg: np.ndarray, lon_deg: np.ndarray,
+                              cells: np.ndarray) -> np.ndarray:
+    """(n_points, n_cells) planar-degree lower bounds — the vectorized
+    form of point_cell_min_dist_deg for query batches."""
+    lon0, lat0, lon1, lat1 = cell_bounds_u(cells)
+    lon0d, lat0d = lon0 / 1e6, lat0 / 1e6
+    lon1d, lat1d = lon1 / 1e6, lat1 / 1e6
+    q_lon = np.asarray(lon_deg, np.float64)[:, None]
+    q_lat = np.asarray(lat_deg, np.float64)[:, None]
+    dx = np.maximum(np.maximum(lon0d[None, :] - q_lon, q_lon - lon1d[None, :]), 0.0)
+    dx_wrap = 360.0 - np.maximum(np.abs(lon0d[None, :] - q_lon),
+                                 np.abs(q_lon - lon1d[None, :]))
+    dx = np.minimum(dx, np.maximum(dx_wrap, 0.0))
+    dy = np.maximum(np.maximum(lat0d[None, :] - q_lat, q_lat - lat1d[None, :]), 0.0)
+    return np.hypot(dx, dy)
+
+
 def point_cell_min_dist_deg(lat_deg: float, lon_deg: float, cells: np.ndarray) -> np.ndarray:
     """Min planar-degree distance from a point to each cell's closed box.
 

@@ -364,6 +364,35 @@ def _min_cost_transport(P: np.ndarray, Q: np.ndarray, C: np.ndarray) -> float:
     return cost
 
 
+class Dimension:
+    """Accessor-projected metric: extract a field from structured records
+    then apply the underlying metric (n-api/metric_distance/dimension.hpp:16-64).
+
+    ``accessor`` is a callable record -> value (e.g. operator.itemgetter
+    on dict rows, an attribute getter, or a column projector).
+    """
+
+    name = "dimension"
+
+    def __init__(self, accessor, metric):
+        self.accessor = accessor
+        self.metric = metric
+
+    def __call__(self, a, b) -> float:
+        return self.metric(self.accessor(a), self.accessor(b))
+
+    def batch(self, q, X) -> np.ndarray:
+        inner = getattr(self.metric, "batch", None)
+        qq = self.accessor(q)
+        vals = [self.accessor(x) for x in X]
+        if inner is not None:
+            try:
+                return np.asarray(inner(qq, np.asarray(vals)), np.float64)
+            except (TypeError, ValueError):
+                pass
+        return np.asarray([self.metric(qq, v) for v in vals], np.float64)
+
+
 def registry(**kwargs) -> dict:
     """Name -> constructed metric, mirroring n-api make_metric factory
     (n-api/metric_distance/metric_factory.hpp:7-23)."""

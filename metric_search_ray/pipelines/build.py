@@ -155,12 +155,18 @@ def _build_partition(tbl: pa.Table, ckpt_dir: str, resume: bool) -> pa.Table:
 
 def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
                 target_rows: int = DEFAULT_TARGET_ROWS, resume: bool = True,
-                id_column: str = "image_id") -> pa.Table:
+                id_column: str = "image_id",
+                materialize_tagged: bool = False) -> pa.Table:
     """images Dataset -> per-partition cover-tree checkpoints + manifest.
 
     ``ds`` needs columns (image_id, phash); geotag/cell/salt columns are
     derived here.  Returns the manifest table (small: one row per
     partition) and writes ``manifest.parquet`` into ckpt_dir.
+
+    ``materialize_tagged``: pin the narrow tagged columns in the object
+    store so the salting count pre-pass and the main shuffle share one
+    source scan.  Off by default (streaming, two scans); turn on when
+    the narrow projection comfortably fits the object store.
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     narrow = ds.select_columns([id_column, "phash"])
@@ -168,6 +174,8 @@ def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
               .map_batches(assign.geotag, batch_format="pyarrow", zero_copy_batch=True)
               .map_batches(lambda b: assign.assign_cell(b, res), batch_format="pyarrow",
                            zero_copy_batch=True))
+    if materialize_tagged:
+        tagged = tagged.materialize()
     salt_plan = plan_salts(tagged, target_rows)
     salted = tagged.map_batches(
         lambda b: assign.assign_salt(b, salt_plan), batch_format="pyarrow",

@@ -40,32 +40,52 @@ class _SsimScore:
                 .append_column("ssim_dist", pa.array(out, pa.float64())))
 
 
+def broadcast_images(images_ds, id_col: str = "image_id"):
+    """Collect + ``ray.put`` the candidate images as an Arrow table for
+    the broadcast SSIM path.  Arrow objects come out of the object
+    store ZERO-COPY — a pickled dict of bytes would deserialize its
+    full payload once per worker process (anti-scales with the pool)."""
+    import pyarrow as _pa
+
+    import ray
+
+    tbls = []
+    for b in images_ds.select_columns([id_col, "bytes", "fmt"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        tbls.append(b)
+    tbl = _pa.concat_tables(tbls) if tbls else _pa.table(
+        {id_col: _pa.array([], _pa.string()), "bytes": _pa.array([], _pa.binary()),
+         "fmt": _pa.array([], _pa.string())})
+    return ray.put(tbl)
+
+
 def ssim_verify_pairs_broadcast(images_ds, pairs_ds, id_col: str = "image_id",
-                                batch_size: int = 256):
+                                batch_size: int = 256, images_ref=None):
     """Broadcast-side variant: the candidate images are ``ray.put`` once
     as an id -> (bytes, fmt) dict and looked up per pair inside tasks.
     Right when the candidate image set fits in the object store (the
     usual case — candidates are a tiny fraction of the corpus); use
     ``ssim_verify_pairs`` (hash joins) when it does not.
     """
-    import ray
-
-    imgs = images_ds.select_columns([id_col, "bytes", "fmt"]).to_pandas()
-    lookup = {i: (b, f) for i, b, f in zip(imgs[id_col], imgs["bytes"], imgs["fmt"])}
-    ref = ray.put(lookup)
+    ref = images_ref if images_ref is not None else broadcast_images(images_ds, id_col)
 
     def score(batch: pa.Table) -> pa.Table:
-        # task mode (scales with the worker pool); the broadcast dict is
-        # fetched once per worker process via the module cache
-        look = _bcast_get(ref)
+        # task mode (scales with the worker pool); the broadcast table is
+        # zero-copy, only the id->row index is built once per worker
+        tbl, index = _bcast_get(ref, id_col)
+        bcol = tbl.column("bytes")
+        fcol = tbl.column("fmt")
         ssim = SSIM()
         out = []
         for ia, ib in zip(batch.column("id_a").to_pylist(),
                           batch.column("id_b").to_pylist()):
-            ba, fa = look[ia]
-            bb, fb = look[ib]
-            A = codecs.decode(ba, fa).astype(np.float64)
-            B = codecs.decode(bb, fb).astype(np.float64)
+            ra = index.get(ia)
+            rb = index.get(ib)
+            if ra is None or rb is None:
+                out.append(float("nan"))
+                continue
+            A = codecs.decode(bcol[ra].as_py(), fcol[ra].as_py()).astype(np.float64)
+            B = codecs.decode(bcol[rb].as_py(), fcol[rb].as_py()).astype(np.float64)
             if A.shape != B.shape or min(A.shape[:2]) < 11:
                 out.append(float("nan"))
                 continue
@@ -73,21 +93,24 @@ def ssim_verify_pairs_broadcast(images_ds, pairs_ds, id_col: str = "image_id",
         return (batch.select(["id_a", "id_b"])
                 .append_column("ssim_dist", pa.array(out, pa.float64())))
 
-    return pairs_ds.map_batches(score, batch_format="pyarrow",
-                                batch_size=batch_size)
+    import ray as _ray
+    width = max(2 * int(_ray.cluster_resources().get("CPU", 8)), 8)
+    return (pairs_ds.repartition(width)   # limit()/groupby can leave few blocks
+            .map_batches(score, batch_format="pyarrow", batch_size=batch_size))
 
 
 _BCAST_CACHE: dict = {}
 
 
-def _bcast_get(ref):
-    """Per-process cache of a broadcast object (ray.get deserializes a
-    fresh copy per call otherwise)."""
+def _bcast_get(ref, id_col: str):
+    """Per-process cache: (zero-copy Arrow table, id -> row index)."""
     import ray
     key = ref.hex()
     if key not in _BCAST_CACHE:
         _BCAST_CACHE.clear()  # keep at most one broadcast set per worker
-        _BCAST_CACHE[key] = ray.get(ref)
+        tbl = ray.get(ref)
+        index = {v: i for i, v in enumerate(tbl.column(id_col).to_pylist())}
+        _BCAST_CACHE[key] = (tbl, index)
     return _BCAST_CACHE[key]
 
 

@@ -72,12 +72,15 @@ def tile_polygon_cover(polygon_layer: dict, res: int) -> pa.Table:
     })
 
 
-def tiles_with_images(points_ds, res: int):
+def tiles_with_images(points_ds, res: int, driver_combine: bool | None = None):
     """Per-tile image counts: the raster aggregation side.
 
-    Pre-aggregates inside map_batches (one row per tile per batch) so
-    the groupby shuffle moves ~#tiles rows instead of every point —
-    the partial/combiner pattern from SURVEY.md §7.2.
+    Pre-aggregates inside map_batches (one row per tile per batch) —
+    the partial/combiner pattern from SURVEY.md §7.2.  The final
+    combine is bounded by #tiles = 4^res, so for res <= 8 (<= 65k
+    tiles) the partials are merged on the driver with one vectorized
+    bincount instead of paying a groupby shuffle; finer resolutions
+    fall back to the distributed groupby.
     """
     from ray.data.aggregate import Sum
 
@@ -87,9 +90,23 @@ def tiles_with_images(points_ds, res: int):
         return pa.table({"tile_id": pa.array(vals, pa.int64()),
                          "partial_n": pa.array(cnt, pa.int64())})
 
-    return (assign_tiles(points_ds, res)
-            .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("tile_id")
+    partials = assign_tiles(points_ds, res).map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+    if driver_combine is None:
+        driver_combine = res <= 8
+    if driver_combine:
+        import ray.data as rd
+        merged: dict[int, int] = {}
+        for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+            for t, c in zip(b.column("tile_id").to_numpy(),
+                            b.column("partial_n").to_numpy()):
+                merged[int(t)] = merged.get(int(t), 0) + int(c)
+        keys = np.asarray(sorted(merged), np.int64)
+        return rd.from_arrow(pa.table({
+            "tile_id": pa.array(keys, pa.int64()),
+            "count()": pa.array([merged[int(k)] for k in keys], pa.int64()),
+        }))
+    return (partials.groupby("tile_id")
             .aggregate(Sum("partial_n", alias_name="count()")))
 
 
