@@ -5,10 +5,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "throughput": {...rows/sec...}}
 
-`--scaling` runs the same bench in two fresh processes (num_cpus=8 and
-32) on the same input and reports both throughputs + scaling
-efficiency (the sandbox stand-in for the N vs 4N cluster-size
-criterion; see BENCH/BASELINE.md).
+`--scaling` runs the same heavy fixed workload in two fresh processes
+at N and 4N CPUs (default 2 and 8, override GRAFT_SCALE_LEVELS;
+best-of-GRAFT_SCALE_REPEATS per level) on the same input and reports
+both wall-clocks + scaling efficiency — the sandbox stand-in for the
+N- vs 4N-node cluster criterion; see BENCH/BASELINE.md.
 
 Owns its Ray session (the only script allowed to call ray.init).
 """
