@@ -457,6 +457,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["vec_id", "embedding"])
         return dedup.embedding_dedup_pairs(ds, cos_threshold=0.95, max_hamming=16)
 
+    def events_tumbling_window(sf_dir: str):
+        from metric_search_ray.pipelines import windows
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+        out = windows.tumbling(ds, "user_id", "ts", 86400, "value").to_pandas()
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
+    def events_sessions(sf_dir: str):
+        from metric_search_ray.pipelines import windows
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+        out = windows.sessions(ds, "user_id", "ts", 3600, "value").to_pandas()
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
+    def doc_simhash_pairs(sf_dir: str):
+        from metric_search_ray.pipelines import dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return dedup.simhash_pairs(ds, max_hamming=6)
+
+    def img_resize(sf_dir: str):
+        from metric_search_ray.pipelines import multimodal
+        ds = rd.read_parquet(_image_table_path(sf_dir))
+        return multimodal.resize_images(ds, 16, 16, concurrency=4).select_columns(
+            ["image_id", "w", "h", "fmt"])
+
     def graph_components(sf_dir: str):
         from metric_search_ray import graph
         g = graph.margulis(1024)
@@ -484,6 +512,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_phash_pairs": img_phash_pairs,
         "img_features": img_features,
         "img_cluster": img_cluster,
+        "events_tumbling_window": events_tumbling_window,
+        "events_sessions": events_sessions,
+        "doc_simhash_pairs": doc_simhash_pairs,
+        "img_resize": img_resize,
         "doc_minhash_pairs": doc_minhash_pairs,
         "doc_lang_id": doc_lang_id,
         "embed_knn_ivf": embed_knn_ivf,
@@ -585,6 +617,24 @@ SELECT query_id, vec_id,
        round(sim, 6) AS sim_r
 FROM d
 QUALIFY rank <= 5
+""",
+        "events_tumbling_window": """
+SELECT user_id,
+       ((epoch_us(ts) // 1000000) // 86400) * 86400 AS window_start,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ep, value FROM events),
+o AS (SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                       OR ep - lag(ep) OVER w > 3600 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep)),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ep
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id, min(ep) AS session_start, max(ep) AS session_end,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
 """,
         "events_hourly": """
 SELECT event_type,

@@ -1,0 +1,85 @@
+"""Windowed aggregate tests with pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from metric_search_ray.pipelines import windows
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    rng = np.random.default_rng(4)
+    n = 2000
+    ts = np.sort(rng.integers(0, 7 * 86400, n)).astype("datetime64[s]")
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n),
+        "ts": ts.astype("datetime64[us]"),
+        "value": rng.normal(10, 3, n),
+    })
+    return rd.from_pandas(df), df
+
+
+def test_tumbling_matches_pandas(events):
+    ds, df = events
+    got = windows.tumbling(ds, "user_id", "ts", 3600, "value").to_pandas()
+    ep = df["ts"].astype("datetime64[s]").astype(np.int64)
+    exp = (df.assign(window_start=(ep // 3600) * 3600)
+             .groupby(["user_id", "window_start"])
+             .agg(n=("value", "size"), sum_value=("value", "sum")).reset_index())
+    g = got.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    e = exp.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    np.testing.assert_array_equal(g["n"].to_numpy(), e["n"].to_numpy())
+    np.testing.assert_allclose(g["sum_value"], e["sum_value"], rtol=1e-9)
+
+
+def test_sliding_covers_and_counts(events):
+    ds, df = events
+    size, slide = 7200, 3600
+    got = windows.sliding(ds, "user_id", "ts", size, slide, "value").to_pandas()
+    ep = df["ts"].astype("datetime64[s]").astype(np.int64)
+    # oracle: brute force per (user, window)
+    rows = []
+    for (u,), sub in df.assign(ep=ep).groupby(["user_id"]):
+        starts = np.unique((sub["ep"].to_numpy() // slide) * slide)
+        cand = np.unique(np.concatenate([starts, starts - slide]))
+        for s in cand:
+            m = (sub["ep"] >= s) & (sub["ep"] < s + size)
+            if m.any():
+                rows.append((u, s, int(m.sum()), float(sub["value"][m].sum())))
+    exp = pd.DataFrame(rows, columns=["user_id", "window_start", "n", "sum_value"])
+    g = got.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    e = exp.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    np.testing.assert_array_equal(g["n"].to_numpy(), e["n"].to_numpy())
+    np.testing.assert_allclose(g["sum_value"], e["sum_value"], rtol=1e-9)
+
+
+def test_sessions_gap_semantics(events):
+    ds, df = events
+    gap = 1800
+    got = windows.sessions(ds, "user_id", "ts", gap, "value").to_pandas()
+    # oracle
+    total = 0
+    for (u,), sub in df.groupby(["user_id"]):
+        ep = np.sort(sub["ts"].astype("datetime64[s]").astype(np.int64).to_numpy())
+        splits = int((np.diff(ep) > gap).sum()) + 1
+        total += splits
+        gu = got[got["user_id"] == u]
+        assert len(gu) == splits
+        assert gu["n"].sum() == len(sub)
+        # sessions don't overlap and respect the gap
+        gs = gu.sort_values("session_start")
+        assert (gs["session_start"].to_numpy()[1:]
+                - gs["session_end"].to_numpy()[:-1] > gap).all()
+    assert len(got) == total
+
+
+def test_sliding_validates_args(events):
+    ds, _ = events
+    with pytest.raises(ValueError):
+        windows.sliding(ds, "user_id", "ts", 7000, 3600, "value")
