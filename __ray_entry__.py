@@ -487,7 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def graph_components(sf_dir: str):
         from metric_search_ray import graph
-        g = graph.margulis(1024)
+        g = graph.margulis(576)
         e = g.edges
         ds = rd.from_arrow(pa.table({"src": pa.array(e[:, 0], pa.int64()),
                                      "dst": pa.array(e[:, 1], pa.int64())}))
