@@ -347,8 +347,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import similarity
         path = os.path.join(sf_dir, "embeddings.parquet")
         ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-        head = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
-        head = head[head["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+        # row-filter pushdown: only the 3 query vectors leave storage
+        head = pq.read_table(path, columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "in", [0, 1, 2])]
+                             ).to_pandas().sort_values("vec_id")
         qv = np.stack(head["embedding"].to_numpy()).astype(np.float64)
         out = similarity.knn_cosine(ds, head["vec_id"].tolist(), qv, k=5).to_pandas()
         out["sim_r"] = out["similarity"].round(6)
@@ -445,11 +447,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import similarity
         path = os.path.join(sf_dir, "embeddings.parquet")
         ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-        head = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
-        head = head[head["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+        # row-filter pushdown: only the 3 query vectors leave storage
+        head = pq.read_table(path, columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "in", [0, 1, 2])]
+                             ).to_pandas().sort_values("vec_id")
         qv = np.stack(head["embedding"].to_numpy()).astype(np.float64)
-        cent = similarity.train_ivf_centroids(ds, n_lists=8)
-        return similarity.knn_ivf(ds, head["vec_id"].tolist(), qv, cent, k=5, nprobe=4)
+        # seed-vector coarse quantizer (deterministic + SQL-reproducible:
+        # centroid c = normalized embedding of vec_id c) so the driver
+        # oracle can replay assignment/probing exactly; the kmeans
+        # trainer (train_ivf_centroids) stays the default for real use
+        cent = similarity.seed_centroids(ds, n_lists=8)
+        out = similarity.knn_ivf(ds, head["vec_id"].tolist(), qv, cent, k=5,
+                                 nprobe=4).to_pandas()
+        out["sim_r"] = out["similarity"].round(6)
+        return out[["query_id", "vec_id", "rank", "sim_r"]]
 
     def embed_dedup(sf_dir: str):
         from metric_search_ray.pipelines import dedup
@@ -482,8 +493,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def img_resize(sf_dir: str):
         from metric_search_ray.pipelines import multimodal
         ds = rd.read_parquet(_image_table_path(sf_dir))
-        return multimodal.resize_images(ds, 16, 16, concurrency=4).select_columns(
-            ["image_id", "w", "h", "fmt"])
+        out = (multimodal.resize_images(ds, 16, 16, concurrency=4)
+               .select_columns(["image_id", "w", "h", "fmt"]).to_pandas())
+        out["w"] = out["w"].astype(np.int64)
+        out["h"] = out["h"].astype(np.int64)
+        return out
 
     def graph_components(sf_dir: str):
         from metric_search_ray import graph
@@ -530,6 +544,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     n = 1 << TILE_RES
+    # the driver runs oracles at sf=0.01; image-table-derived oracles
+    # (img_validate / img_resize) replay the deterministic fixture
+    # formulas (fixtures.row_of) over that row count
+    n_img = _n_images("/root/testdata/sf0.01")
     rect_values = ", ".join(
         f"('{r['polygon_id']}', {r['x0']}, {r['x1']}, {r['y0']}, {r['y1']})"
         for r in _oracle_rects())
@@ -596,11 +614,15 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 2
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 """,
         "doc_token_count": """
-SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+FROM documents
 """,
         "doc_quality": f"""
 SELECT doc_id,
-  len(string_split_regex(trim(text), '\\s+')) AS n_words,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
   len(list_filter(string_split_regex(trim(text), '\\s+'),
                   w -> lower(w) IN ({stop_list}))) AS n_stop,
   length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
@@ -647,5 +669,59 @@ FROM events GROUP BY 1, 2
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY 1, 2
+""",
+        # margulis(576) is a connected expander, so every node's
+        # component is the min node id (0); the graph itself is a fixed
+        # deterministic construction, not data-dependent
+        "graph_components": """
+SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS component
+FROM range(576)
+""",
+        # fixture formula replay (fixtures.row_of): ids img-%08d, fmt by
+        # i % 5, every stored row decodes cleanly => valid = true
+        "img_validate": f"""
+SELECT printf('img-%08d', CAST(range AS INT)) AS image_id,
+       CASE WHEN range % 5 = 3 THEN 'qdct' ELSE 'ppm' END AS fmt,
+       true AS valid
+FROM range({n_img})
+""",
+        "img_resize": f"""
+SELECT printf('img-%08d', CAST(range AS INT)) AS image_id,
+       CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+       CASE WHEN range % 5 = 3 THEN 'qdct' ELSE 'ppm' END AS fmt
+FROM range({n_img})
+""",
+        # IVF with the seed-vector quantizer: centroid c = embedding of
+        # vec_id c; assignment = argmax cosine (ties -> lowest c), probe
+        # set = union over queries of their 4 best lists, exact knn over
+        # the probed rows — replays similarity.knn_ivf(seed_centroids)
+        "embed_knn_ivf": """
+WITH cent AS (SELECT vec_id AS c, embedding::DOUBLE[] AS ce
+              FROM embeddings WHERE vec_id < 8),
+asg AS (SELECT vec_id, embedding, c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, c) AS rn
+        FROM (SELECT e.vec_id, e.embedding, cent.c,
+                     list_cosine_similarity(e.embedding::DOUBLE[], cent.ce) AS sim
+              FROM embeddings e CROSS JOIN cent)),
+lists AS (SELECT vec_id, embedding, c AS ivf_list FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id IN (0, 1, 2)),
+probes AS (SELECT query_id, c,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, c) AS rn
+           FROM (SELECT q.query_id, cent.c,
+                        list_cosine_similarity(q.qe::DOUBLE[], cent.ce) AS sim
+                 FROM q CROSS JOIN cent)),
+probed AS (SELECT DISTINCT c FROM probes WHERE rn <= 4),
+d AS (SELECT q.query_id, l.vec_id,
+             list_cosine_similarity(q.qe::DOUBLE[], l.embedding::DOUBLE[]) AS sim
+      FROM q CROSS JOIN lists l
+      WHERE l.ivf_list IN (SELECT c FROM probed))
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank,
+       round(sim, 6) AS sim_r
+FROM d
+QUALIFY rank <= 5
 """,
     }

@@ -260,38 +260,52 @@ def connected_components_ray(edges_ds, num_partitions: int = 8,
                              max_iters: int = 50):
     """Distributed connected components over a (src, dst) edge Dataset.
 
-    Iterative min-label propagation: each round, every node's label
-    becomes the min of its own and its neighbours' labels
-    (``groupby(node).min(label)`` — an all-to-all keyed by node id).
-    Rounds needed = graph diameter in the worst case; each round's
-    shuffle carries one row per edge endpoint.  Convergence is detected
-    with a cheap global sum(label) aggregate (monotone decreasing).
+    Iterative min-label propagation with label-of-label squaring: each
+    round, every node's label becomes the min of (its own label, its
+    neighbours' labels, the label of its label).  The neighbour term
+    advances one hop per round; the label-of-label term (one extra hash
+    join keyed by the current component id) composes the mapping with
+    itself, so convergence takes O(log diameter) rounds instead of
+    O(diameter).  Each round's shuffles carry one row per edge endpoint
+    plus one row per node.  Convergence is detected with a cheap global
+    sum(label) aggregate (monotone decreasing).
 
     Returns a Dataset (node:int64, component:int64) with component =
     min node id of the component, matching the local union-find oracle.
-    """
-    import ray.data as rd
 
+    Raises RuntimeError if max_iters rounds pass without reaching the
+    fixpoint — silently returning unconverged labels would be a wrong
+    answer (with squaring, 50 rounds covers diameters ~2^50).
+    """
     sym = edges_ds.map_batches(
         lambda b: pa.table({
             "node": pa.array(np.concatenate([b.column("src").to_numpy(),
                                              b.column("dst").to_numpy()]), pa.int64()),
             "nbr": pa.array(np.concatenate([b.column("dst").to_numpy(),
                                             b.column("src").to_numpy()]), pa.int64()),
-        }), batch_format="pyarrow").materialize()
+        }), batch_format="pyarrow").materialize()  # reused every round
 
     labels = sym.groupby("node").min("nbr").map_batches(
         lambda b: pa.table({
             "node": b.column("node"),
             "component": pa.compute.min_element_wise(b.column("node"), b.column("min(nbr)")),
-        }), batch_format="pyarrow").materialize()
+        }), batch_format="pyarrow").materialize()  # consumed 3x per round
 
     prev_sum = None
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # propagate: neighbour labels via hash join on the edge list
         prop = sym.join(labels, join_type="inner", num_partitions=num_partitions,
                         on=("nbr",), right_on=("node",), right_suffix="_r")
-        cand = prop.select_columns(["node", "component"]).union(labels)
+        # squaring: label-of-label — join labels to itself on component=node
+        sq = labels.join(labels, join_type="inner", num_partitions=num_partitions,
+                         on=("component",), right_on=("node",), right_suffix="_l")
+        sq = sq.map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "component": b.column("component_l" if "component_l" in b.column_names
+                                      else "component"),
+            }), batch_format="pyarrow")
+        cand = prop.select_columns(["node", "component"]).union(labels).union(sq)
         labels = cand.groupby("node").min("component").map_batches(
             lambda b: pa.table({
                 "node": b.column("node"),
@@ -299,6 +313,8 @@ def connected_components_ray(edges_ds, num_partitions: int = 8,
             }), batch_format="pyarrow").materialize()
         s = labels.sum("component")
         if s == prev_sum:
-            break
+            return labels
         prev_sum = s
-    return labels
+    raise RuntimeError(
+        f"connected_components_ray did not converge in {max_iters} rounds; "
+        "raise max_iters (labels would be wrong if returned)")

@@ -215,6 +215,14 @@ class SSIM:
     name = "ssim"
 
     def __init__(self, dynamic_range: float = 255.0, masking: float = 2.0):
+        if masking != 2.0:
+            # The reference activates a visibility-stabilizer branch when
+            # masking < 2.0 (SSIM.cpp is_visibility path) that this
+            # implementation does not reproduce; fail loudly instead of
+            # silently diverging.
+            raise NotImplementedError(
+                "SSIM masking != 2.0 (the reference's visibility-weighting "
+                "branch) is not implemented; use the default masking=2.0")
         self.dynamic_range, self.masking = dynamic_range, masking
         n = 11
         d = n // 2

@@ -54,6 +54,22 @@ def train_ivf_centroids(ds, vec_col: str = "embedding", n_lists: int = 16,
     return cent
 
 
+def seed_centroids(ds, n_lists: int = 8, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic coarse quantizer: centroid c = the L2-normalized
+    embedding of the row with id c (c in 0..n_lists-1).  Quantization
+    quality is below k-means, but assignment/probing is exactly
+    reproducible in SQL — used where a DuckDB oracle must replay the
+    IVF path (``train_ivf_centroids`` stays the default for real use)."""
+    import pyarrow.compute as pc
+
+    sub = (ds.map_batches(
+        lambda b: b.filter(pc.less(b.column(id_col), n_lists)),
+        batch_format="pyarrow").to_pandas().sort_values(id_col))
+    x = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
 def assign_ivf_lists(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     """Add ``ivf_list`` = nearest-centroid id (one pass, broadcast)."""
     ref = ray.put(np.asarray(centroids, np.float64))
@@ -82,7 +98,8 @@ def knn_ivf(ds, query_ids, query_vecs, centroids: np.ndarray, k: int = 10,
     q = np.asarray(query_vecs, np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     cent = np.asarray(centroids, np.float64)
-    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    # stable sort: probe ties resolve to the lowest list id, deterministically
+    probes = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :nprobe]
     probed_lists = np.unique(probes)
     assigned = assign_ivf_lists(ds, centroids, vec_col)
     listed = assigned.map_batches(

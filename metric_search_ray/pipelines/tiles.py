@@ -96,15 +96,19 @@ def tiles_with_images(points_ds, res: int, driver_combine: bool | None = None):
         driver_combine = res <= 8
     if driver_combine:
         import ray.data as rd
-        merged: dict[int, int] = {}
+        tids, cnts = [], []
         for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
-            for t, c in zip(b.column("tile_id").to_numpy(),
-                            b.column("partial_n").to_numpy()):
-                merged[int(t)] = merged.get(int(t), 0) + int(c)
-        keys = np.asarray(sorted(merged), np.int64)
+            tids.append(b.column("tile_id").to_numpy())
+            cnts.append(b.column("partial_n").to_numpy())
+        tids = np.concatenate(tids) if tids else np.empty(0, np.int64)
+        cnts = np.concatenate(cnts) if cnts else np.empty(0, np.int64)
+        # one vectorized combine: sum partial counts per distinct tile
+        keys, inv = np.unique(tids, return_inverse=True)
+        sums = np.zeros(len(keys), np.int64)
+        np.add.at(sums, inv, cnts)
         return rd.from_arrow(pa.table({
             "tile_id": pa.array(keys, pa.int64()),
-            "count()": pa.array([merged[int(k)] for k in keys], pa.int64()),
+            "count()": pa.array(sums, pa.int64()),
         }))
     return (partials.groupby("tile_id")
             .aggregate(Sum("partial_n", alias_name="count()")))
