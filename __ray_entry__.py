@@ -314,7 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = _orders_points(sf_dir).filter(lambda r: r["o_orderkey"] % 10 == 0)
         sub = pts.select_columns(["o_orderkey", "phash"])
         out = dedup.hamming_pairs(sub, hash_col="phash", id_col="o_orderkey",
-                                  max_hamming=2)
+                                  max_hamming=2, bit_width=16)
         return out
 
     def doc_dedup_exact(sf_dir: str):
@@ -441,7 +441,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import text as textops
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"])
-        return textops.lang_id(ds).select_columns(["doc_id", "lang_pred", "lang_conf"])
+        # integer-only outputs (marker counts, token counts) so the
+        # DuckDB oracle replays the heuristic bit-exactly
+        return textops.lang_id(ds).select_columns(
+            ["doc_id", "lang_pred", "n_best", "n_toks"])
 
     def embed_knn_ivf(sf_dir: str):
         from metric_search_ray.pipelines import similarity
@@ -669,6 +672,38 @@ FROM events GROUP BY 1, 2
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY 1, 2
+""",
+        # marker-vocabulary language id (pipelines/text.LangId): CJK
+        # gate (5*han_chars > n_chars), else argmax of per-language
+        # marker counts over lowercased whitespace tokens, first-max
+        # wins on ties in the order en, de, fr, es; 0 matches -> unknown
+        "doc_lang_id": """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks,
+         length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk
+  FROM documents),
+c AS (
+  SELECT doc_id, text, toks, cjk,
+    len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) AS n_en,
+    len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf'))) AS n_de,
+    len(list_filter(toks, w -> w IN ('le','la','les','et','est','une','des','que','pas','pour'))) AS n_fr,
+    len(list_filter(toks, w -> w IN ('el','la','los','y','es','una','que','no','por','con'))) AS n_es
+  FROM t),
+b AS (
+  SELECT *, greatest(n_en, n_de, n_fr, n_es) AS bn,
+    CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+         WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+         WHEN n_fr >= n_es THEN 'fr'
+         ELSE 'es' END AS bl
+  FROM c)
+SELECT doc_id,
+  CASE WHEN cjk * 5 > length(text) THEN 'zh'
+       WHEN bn = 0 THEN 'unknown' ELSE bl END AS lang_pred,
+  CAST(CASE WHEN cjk * 5 > length(text) THEN cjk ELSE bn END AS BIGINT) AS n_best,
+  CAST(len(toks) AS BIGINT) AS n_toks
+FROM b
 """,
         # margulis(576) is a connected expander, so every node's
         # component is the min node id (0); the graph itself is a fixed

@@ -150,7 +150,7 @@ def run_bench() -> dict:
             lambda b: b.filter(pc.less(b.column("image_id"), "img-00060000")),
             batch_format="pyarrow")
         pairs = dedup.hamming_pairs(sub.select_columns(["image_id", "phash"]),
-                                    max_hamming=2).limit(50_000).materialize()
+                                    max_hamming=2, bit_width=48).limit(50_000).materialize()
         # broadcast only the candidate images (tiny), not the whole subset
         pdf = pairs.to_pandas()
         cand_ids = set(pdf["id_a"]) | set(pdf["id_b"])

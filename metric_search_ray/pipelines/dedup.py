@@ -148,9 +148,11 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
 
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
-    # dedupe pairs found in multiple bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.take([0]), batch_format="pyarrow")
+    # dedupe pairs found in multiple bands: grouped aggregate, not a
+    # per-pair Python UDF
+    from ray.data.aggregate import Count
+    dedup = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands_hit"))
+    return dedup.select_columns(["id_a", "id_b"])
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -242,30 +244,41 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, bit_width: int = 64,
+                  warn_bucket_rows: int = 20_000):
     """All pairs with Hamming(hash) <= max_hamming over any int64 hash
-    column (phash near-dup dedup).  Exact by pigeonhole banding."""
+    column (phash near-dup dedup).  Exact by pigeonhole banding.
+
+    ``bit_width``: the populated bit range of the hashes.  Banding
+    splits [0, bit_width) into max_hamming+1 bands — banding the full
+    64 bits of a 16-bit hash would put every row into one (band,
+    bits=0) bucket for each all-zero band, degenerating into a serial
+    O(n^2) scan; callers with narrow hashes must pass their width.
+    Buckets larger than ``warn_bucket_rows`` log a skew warning (the
+    pairwise scan inside a bucket is O(n^2))."""
+    import logging
+
     n_bands = max_hamming + 1
-    width = 64 // n_bands
+    if bit_width < n_bands:
+        raise ValueError(f"bit_width {bit_width} < {n_bands} bands")
+    width = bit_width // n_bands
+    log = logging.getLogger(__name__)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         h = batch.column(hash_col).to_numpy().astype(np.uint64)
-        out_id, out_h, out_band, out_bits = [], [], [], []
+        n = len(ids)
+        bits_parts = []
         for bi in range(n_bands):
             lo = bi * width
-            hi = 64 if bi == n_bands - 1 else lo + width
+            hi = bit_width if bi == n_bands - 1 else lo + width
             mask = (np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)
-            bits = (h >> np.uint64(lo)) & mask
-            out_id.extend(ids)
-            out_h.extend(h.astype(np.int64))
-            out_band.extend([bi] * len(ids))
-            out_bits.extend(bits.astype(np.int64))
+            bits_parts.append(((h >> np.uint64(lo)) & mask).astype(np.int64))
         return pa.table({
-            id_col: pa.array(out_id),
-            hash_col: pa.array(out_h, pa.int64()),
-            "band": pa.array(out_band, pa.int64()),
-            "band_bits": pa.array(out_bits, pa.int64()),
+            id_col: pa.array(np.tile(ids, n_bands)),
+            hash_col: pa.array(np.tile(h.astype(np.int64), n_bands), pa.int64()),
+            "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int64), n), pa.int64()),
+            "band_bits": pa.array(np.concatenate(bits_parts), pa.int64()),
         })
 
     exploded = ds.select_columns([id_col, hash_col]).map_batches(
@@ -274,25 +287,43 @@ def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = g.column(id_col).to_numpy(zero_copy_only=False)
         hs = g.column(hash_col).to_numpy()
+        n = len(ids)
+        if n > warn_bucket_rows:
+            log.warning(
+                "hamming_pairs bucket (band=%s, bits=%s) has %d rows — "
+                "O(n^2) scan; check bit_width / consider hash-splitting",
+                g.column("band")[0].as_py(), g.column("band_bits")[0].as_py(), n)
         order = np.argsort(ids, kind="stable")
         ids, hs = ids[order], hs[order]
         a, b, d = [], [], []
-        for i in range(len(ids)):
-            if i + 1 < len(ids):
-                ham = phashmod.hamming(np.full(len(ids) - i - 1, hs[i], np.int64),
-                                       hs[i + 1:])
-                ok = np.flatnonzero(ham <= max_hamming)
-                for oi in ok:
-                    a.append(ids[i])
-                    b.append(ids[i + 1 + oi])
-                    d.append(int(ham[oi]))
-        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b),
-                         "hamming": pa.array(d, pa.int64())})
+        # chunked upper-triangular pairwise scan: numpy throughput,
+        # bounded memory (chunk x n matrix)
+        chunk = max(1, min(512, (1 << 22) // max(n, 1)))
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            ham = phashmod.hamming_matrix(hs[i0:i1], hs[i0:])
+            rr, cc = np.nonzero((ham <= max_hamming)
+                                & (np.arange(i0, n)[None, :]
+                                   > np.arange(i0, i1)[:, None]))
+            if len(rr):
+                a.append(ids[i0 + rr])
+                b.append(ids[i0 + cc])
+                d.append(ham[rr, cc].astype(np.int64))
+        if not a:
+            return pa.table({"id_a": pa.array([], pa.string() if ids.dtype == object else pa.int64()),
+                             "id_b": pa.array([], pa.string() if ids.dtype == object else pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(a)),
+                         "id_b": pa.array(np.concatenate(b)),
+                         "hamming": pa.array(np.concatenate(d), pa.int64())})
 
     pairs = exploded.groupby(["band", "band_bits"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.take([0]), batch_format="pyarrow")
+    # a pair found in k bands appears k times with identical hamming:
+    # dedupe with a grouped Min aggregate (no per-pair Python UDF)
+    from ray.data.aggregate import Min
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------- embeddings

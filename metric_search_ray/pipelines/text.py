@@ -91,22 +91,30 @@ class LangId:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch.column("text").to_pylist()]
-        langs, confs = [], []
+        langs, confs, n_best, n_toks = [], [], [], []
         for t in texts:
             toks = t.lower().split()
             n = max(len(toks), 1)
             cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
-            if cjk > len(t) * 0.2:
+            # integer-only CJK gate (cjk/len > 0.2) — exact, SQL-replayable
+            if cjk * 5 > len(t):
                 langs.append("zh")
                 confs.append(cjk / max(len(t), 1))
+                n_best.append(cjk)
+                n_toks.append(len(toks))
                 continue
-            scores = {lang: sum(1 for w in toks if w in mk) / n
+            counts = {lang: sum(1 for w in toks if w in mk)
                       for lang, mk in self.markers.items() if mk}
-            best = max(scores, key=scores.get)
-            langs.append(best if scores[best] > 0 else "unknown")
-            confs.append(scores[best])
+            # first-max wins on ties (dict order en, de, fr, es)
+            best = max(counts, key=counts.get)
+            langs.append(best if counts[best] > 0 else "unknown")
+            confs.append(counts[best] / n)
+            n_best.append(counts[best])
+            n_toks.append(len(toks))
         out = batch.append_column("lang_pred", pa.array(langs, pa.string()))
-        return out.append_column("lang_conf", pa.array(confs, pa.float64()))
+        out = out.append_column("lang_conf", pa.array(confs, pa.float64()))
+        out = out.append_column("n_best", pa.array(n_best, pa.int64()))
+        return out.append_column("n_toks", pa.array(n_toks, pa.int64()))
 
 
 def lang_id(ds):
