@@ -545,6 +545,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL
 # ---------------------------------------------------------------------------
 
+def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, seed: int = 42,
+                        threshold: float = 0.5) -> str:
+    """DuckDB replay of dedup.minhash_dedup_pairs(threshold=0.5) — same
+    permutation constants (seeded rng), same shingle/signature/band-key
+    arithmetic (see pipelines/dedup.py docstrings)."""
+    mers = (1 << 31) - 1
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, mers, num_perm, dtype=np.uint64)
+    b = rng.integers(0, mers, num_perm, dtype=np.uint64)
+    perm_values = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
+                            for j in range(num_perm))
+    p4, p3, p2, p1 = 257**4, 257**3, 257**2, 257
+    return f"""
+WITH perms(j, a, b) AS (VALUES {perm_values}),
+pos AS (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+        FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+  (CASE WHEN i     <= length(text) THEN unicode(substr(text, i,     1)) * {p4} ELSE 0 END
+ + CASE WHEN i + 1 <= length(text) THEN unicode(substr(text, i + 1, 1)) * {p3} ELSE 0 END
+ + CASE WHEN i + 2 <= length(text) THEN unicode(substr(text, i + 2, 1)) * {p2} ELSE 0 END
+ + CASE WHEN i + 3 <= length(text) THEN unicode(substr(text, i + 3, 1)) * {p1} ELSE 0 END
+ + CASE WHEN i + 4 <= length(text) THEN unicode(substr(text, i + 4, 1)) ELSE 0 END) AS h
+ FROM pos),
+sig AS (SELECT s.doc_id, p.j,
+        min((p.a * (s.h % {mers}) + p.b) % {mers}) AS s
+        FROM sh s CROSS JOIN perms p GROUP BY s.doc_id, p.j),
+bnd AS (SELECT doc_id, j // 4 AS band, list(s ORDER BY j) AS ss
+        FROM sig GROUP BY doc_id, j // 4),
+bk AS (SELECT doc_id, band,
+       ((((ss[1] * 1000003 + ss[2]) % {mers}) * 1000003 + ss[3]) % {mers}
+        * 1000003 + ss[4]) % {mers} AS band_key
+       FROM bnd),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bk a JOIN bk b
+           ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+          GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(za.ns + zb.ns - coalesce(i.n_inter, 0) AS BIGINT) AS n_union
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+WHERE coalesce(i.n_inter, 0) >= {threshold} * (za.ns + zb.ns - coalesce(i.n_inter, 0))
+"""
+
 def oracle_sql() -> dict[str, str]:
     n = 1 << TILE_RES
     # the driver runs oracles at sf=0.01; image-table-derived oracles
@@ -673,6 +726,12 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY 1, 2
 """,
+        # MinHash-LSH near-dup replay (pipelines/dedup): every stage is
+        # exact integer arithmetic — codepoint-polynomial shingles,
+        # (a*x+b) mod 2^61-1 signatures, polynomial band keys, banding
+        # candidates, integer-Jaccard verify — so DuckDB reproduces the
+        # full pipeline including which candidate pairs LSH surfaces
+        "doc_minhash_pairs": _minhash_oracle_sql(),
         # marker-vocabulary language id (pipelines/text.LangId): CJK
         # gate (5*han_chars > n_chars), else argmax of per-language
         # marker counts over lowercased whitespace tokens, first-max

@@ -50,56 +50,81 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 # ---------------------------------------------------------------- shingles / minhash
 
-_MERSENNE = (1 << 61) - 1
+# Signature/band-key field: the Mersenne prime 2^31 - 1.  With a, b, x
+# all < 2^31, (a*x + b) < 2^62 fits uint64 exactly, so one vectorized
+# multiply + add + mod per permutation — no split-multiply, no object
+# dtype — and DuckDB reproduces it in plain BIGINT (no HUGEINT).
+_MERSENNE31 = (1 << 31) - 1
+_SHINGLE_BASE = 257
+_BAND_BASE = np.uint64(1_000_003)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Rolling char-k-gram hashes (Rabin-Karp, base 257 mod 2^61-1)."""
-    data = np.frombuffer(text.encode("utf-8"), np.uint8).astype(np.uint64)
-    if len(data) < k:
-        return np.asarray([int.from_bytes(text.encode("utf-8")[:8].ljust(8, b"\0"), "little")],
-                          np.uint64)
-    base = np.uint64(257)
-    # prefix hashes mod 2^64 (natural overflow) are fine for shingle identity
-    pow_k = np.uint64(1)
-    with np.errstate(over="ignore"):
-        for _ in range(k):
-            pow_k = pow_k * base
-        h = np.zeros(len(data) + 1, np.uint64)
-        for i in range(len(data)):
-            h[i + 1] = h[i] * base + data[i]
-        hashes = h[k:] - h[:-k] * pow_k
-    return np.unique(hashes)
+    """Distinct char-k-gram hashes: polynomial over unicode codepoints,
+    h(i) = sum_j cp[i+j] * 257^(k-1-j).
+
+    Exact small integers (< 2^56 for k=5), vectorized via shifted
+    slices — and bit-reproducible in SQL as
+    ``unicode(substr(text, i+j, 1)) * 257^(k-1-j)`` sums, which is what
+    makes the doc_minhash_pairs DuckDB oracle possible.  Texts shorter
+    than k hash their full codepoint sequence with the same left-aligned
+    exponents (empty text => single shingle 0)."""
+    cp = np.frombuffer(text.encode("utf-32-le"), np.uint32).astype(np.uint64)
+    n = len(cp)
+    pows = [np.uint64(_SHINGLE_BASE ** (k - 1 - j)) for j in range(k)]
+    if n < k:
+        h = np.uint64(0)
+        for j in range(n):
+            h += cp[j] * pows[j]
+        return np.asarray([h], np.uint64)
+    m = n - k + 1
+    acc = np.zeros(m, np.uint64)
+    for j in range(k):
+        acc += cp[j:j + m] * pows[j]
+    return np.unique(acc)
 
 
 class MinHasher:
-    """Stateful map_batches actor: permutation parameters built once."""
+    """Stateful map_batches stage: permutation parameters built once;
+    signatures for the whole batch computed over the concatenated
+    shingle array with one multiply/add/mod pass per permutation and a
+    segmented min (np.minimum.reduceat) — no per-doc or per-perm Python
+    arithmetic."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 64, k: int = 5, seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.a = rng.integers(1, _MERSENNE31, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE31, num_perm, dtype=np.uint64)
         self.text_col = text_col
         self.id_col = id_col
         self.k = k
         self.num_perm = num_perm
 
+    def _sigs(self, shingles: list[np.ndarray]) -> np.ndarray:
+        """(n_docs, num_perm) signatures from per-doc shingle arrays."""
+        n_docs = len(shingles)
+        if n_docs == 0:
+            return np.empty((0, self.num_perm), np.uint64)
+        lens = np.asarray([len(s) for s in shingles], np.int64)
+        x = np.concatenate(shingles) % np.uint64(_MERSENNE31)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sigs = np.empty((self.num_perm, n_docs), np.uint64)
+        buf = np.empty_like(x)
+        for j in range(self.num_perm):
+            np.multiply(x, self.a[j], out=buf)   # < 2^62, exact in uint64
+            buf += self.b[j]
+            buf %= np.uint64(_MERSENNE31)
+            sigs[j] = np.minimum.reduceat(buf, offs)
+        return sigs.T
+
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k).astype(np.uint64)
-        # (a*x + b) mod p via float-free 128-bit-safe arithmetic: numpy
-        # uint64 wraps, so hash in python-ints chunked — vectorized via
-        # object upcast is slow; use double-width emulation with modular split
-        x = sh % _MERSENNE
-        sig = np.empty(self.num_perm, np.uint64)
-        for i in range(self.num_perm):
-            v = (int(self.a[i]) * x.astype(object) + int(self.b[i])) % _MERSENNE
-            sig[i] = np.uint64(min(v))
-        return sig
+        """One doc's signature (kept for tests; batches use __call__)."""
+        return self._sigs([_shingle_hashes(text, self.k)])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        sigs = self._sigs([_shingle_hashes(t or "", self.k) for t in texts])
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "minhash": pa.array(list(sigs.astype(np.int64)),
@@ -107,11 +132,26 @@ class MinHasher:
         })
 
 
+def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 band keys: polynomial fold of each band's
+    signature values mod 2^31-1 (SQL-replayable, unlike a salted or
+    library hash).  acc*base + s < 2^51 — exact in uint64 and BIGINT."""
+    n, num_perm = sig.shape
+    rpb = num_perm // bands
+    u = sig.astype(np.int64).astype(np.uint64)
+    keys = np.zeros((n, bands), np.uint64)
+    for bi in range(bands):
+        acc = np.zeros(n, np.uint64)
+        for j in range(rpb):
+            acc = (acc * _BAND_BASE + u[:, bi * rpb + j]) % np.uint64(_MERSENNE31)
+        keys[:, bi] = acc
+    return keys.astype(np.int64)
+
+
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, bands: int = 16, k: int = 5,
                            seed: int = 42):
     """Candidate near-dup pairs via LSH banding: Dataset (id_a, id_b)."""
-    rows_per_band = num_perm // bands
     sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=dict(
         text_col=text_col, id_col=id_col, num_perm=num_perm, k=k, seed=seed),
         batch_format="pyarrow", concurrency=2)
@@ -119,32 +159,20 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sig = np.stack(batch.column("minhash").to_numpy(zero_copy_only=False))
-        out_id, out_band, out_hash = [], [], []
-        for bi in range(bands):
-            chunk = np.ascontiguousarray(sig[:, bi * rows_per_band:(bi + 1) * rows_per_band])
-            # deterministic across processes (Python's hash() is salted)
-            bh = [np.uint64(int.from_bytes(
-                hashlib.blake2b(row.tobytes(), digest_size=8).digest(),
-                "little")).astype(np.int64) for row in chunk]
-            out_id.extend(ids)
-            out_band.extend([bi] * len(ids))
-            out_hash.extend(bh)
+        keys = _band_keys(sig, bands)
+        n = len(ids)
         return pa.table({
-            id_col: pa.array(out_id),
-            "band": pa.array(out_band, pa.int64()),
-            "band_hash": pa.array(out_hash, pa.int64()),
+            id_col: pa.array(np.tile(ids, bands)),
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int64), n), pa.int64()),
+            "band_hash": pa.array(keys.T.reshape(-1), pa.int64()),
         })
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(g.column(id_col).to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+        ids = np.sort(g.column(id_col).to_numpy(zero_copy_only=False))
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[iu]), "id_b": pa.array(ids[ju])})
 
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
@@ -155,12 +183,19 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     return dedup.select_columns(["id_a", "id_b"])
 
 
-def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+def jaccard_counts(text_a: str, text_b: str, k: int = 5) -> tuple[int, int]:
+    """(|A ∩ B|, |A ∪ B|) over distinct k-shingle hashes — integer-exact
+    (empty text hashes to the single shingle 0, so the union is never
+    empty)."""
     sa = set(_shingle_hashes(text_a, k).tolist())
     sb = set(_shingle_hashes(text_b, k).tolist())
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+    inter = len(sa & sb)
+    return inter, len(sa) + len(sb) - inter
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    i, u = jaccard_counts(text_a, text_b, k)
+    return i / u
 
 
 def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -181,11 +216,18 @@ def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     j2 = _rename_first_present(j2, [f"{text_col}_b", text_col], "text_b")
 
     def verify(batch: pa.Table) -> pa.Table:
-        jac = [jaccard(a, b, k) for a, b in zip(batch.column("text_a").to_pylist(),
-                                                batch.column("text_b").to_pylist())]
-        out = batch.select(["id_a", "id_b"]).append_column(
-            "jaccard", pa.array(jac, pa.float64()))
-        return out.filter(pa.compute.greater_equal(out.column("jaccard"), threshold))
+        cnt = [jaccard_counts(a, b, k)
+               for a, b in zip(batch.column("text_a").to_pylist(),
+                               batch.column("text_b").to_pylist())]
+        ni = np.asarray([c[0] for c in cnt], np.int64)
+        nu = np.asarray([c[1] for c in cnt], np.int64)
+        # integer outputs so the DuckDB oracle hash-compares exactly;
+        # the threshold predicate uses the same float expression on both
+        # sides (identical int inputs => identical doubles)
+        out = (batch.select(["id_a", "id_b"])
+               .append_column("n_inter", pa.array(ni, pa.int64()))
+               .append_column("n_union", pa.array(nu, pa.int64())))
+        return out.filter(pa.array(ni >= threshold * nu))
 
     return j2.map_batches(verify, batch_format="pyarrow")
 

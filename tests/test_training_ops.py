@@ -58,10 +58,10 @@ def test_minhash_near_dup_pairs(docs_ds):
     # near-dups (1 word changed out of 30) should also surface
     found_near = sum((j, 45 + (j - 5)) in pairs for j in range(5, 10))
     assert found_near >= 4
-    # verified jaccard values are exact
+    # verified jaccard counts are exact integers
     for _, row in out.iterrows():
-        assert row["jaccard"] == pytest.approx(
-            dedup.jaccard(texts[int(row["id_a"])], texts[int(row["id_b"])]), abs=1e-12)
+        ni, nu = dedup.jaccard_counts(texts[int(row["id_a"])], texts[int(row["id_b"])])
+        assert (int(row["n_inter"]), int(row["n_union"])) == (ni, nu)
 
 
 def test_simhash_pairs(docs_ds):
