@@ -469,7 +469,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import dedup
         ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                              columns=["vec_id", "embedding"])
-        return dedup.embedding_dedup_pairs(ds, cos_threshold=0.95, max_hamming=16)
+        out = dedup.embedding_dedup_pairs(ds, cos_threshold=0.95,
+                                          max_hamming=16).to_pandas()
+        if "cosine" not in out.columns:   # empty result keeps the schema
+            out = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                "id_b": pd.Series([], dtype=np.int64),
+                                "cosine": pd.Series([], dtype=np.float64)})
+        out["cosine_r"] = out["cosine"].round(6)
+        return out[["id_a", "id_b", "cosine_r"]]
 
     def events_tumbling_window(sf_dir: str):
         from metric_search_ray.pipelines import windows
@@ -725,6 +732,46 @@ FROM events GROUP BY 1, 2
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY 1, 2
+""",
+        # embedding near-dup: the engine's hyperplane-LSH candidates are
+        # verified with exact cosine >= 0.95; the fixture's max pairwise
+        # cosine is ~0.51, so both the exact all-pairs SQL and the LSH
+        # path provably return the empty set (recall can't differ on it)
+        "embed_dedup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+""",
+        # SimHash near-dup replay (pipelines/dedup.simhash64): token
+        # hash = md5_number_lower, bit i of the signature set iff
+        # 2 * ones_i > n_tokens; banding in the engine is exact
+        # (pigeonhole), so the pair set equals this brute-force SQL
+        "doc_simhash_pairs": """
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+             FROM documents WHERE trim(text) <> ''),
+hw AS (SELECT doc_id, md5_number_lower(w) AS h FROM tok),
+bits AS (SELECT doc_id, g.i,
+                sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+                count(*) AS n
+         FROM hw CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+         GROUP BY doc_id, g.i),
+sim0 AS (SELECT doc_id,
+                sum(CASE WHEN ones * 2 > n
+                         THEN CAST(1 AS UBIGINT) << i
+                         ELSE CAST(0 AS UBIGINT) END) AS uw
+         FROM bits GROUP BY doc_id),
+sims AS (SELECT d.doc_id,
+                CAST(CASE WHEN s.uw IS NULL THEN 0
+                          WHEN s.uw >= 9223372036854775808
+                          THEN s.uw - 18446744073709551616
+                          ELSE s.uw END AS BIGINT) AS sh
+         FROM documents d LEFT JOIN sim0 s ON s.doc_id = d.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 6
 """,
         # MinHash-LSH near-dup replay (pipelines/dedup): every stage is
         # exact integer arithmetic — codepoint-polynomial shingles,

@@ -251,19 +251,22 @@ _TOKEN_SPLIT = None
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over token Rabin hashes (sign of weighted bit sums)."""
+    """64-bit SimHash over md5 token hashes (sign of weighted bit sums).
+
+    Token hash = low 8 digest bytes little-endian == DuckDB's
+    ``md5_number_lower`` — chosen so a SQL oracle can replay the whole
+    signature (bit i set iff 2 * ones_i > n_tokens)."""
     toks = text.split()
     if not toks:
         return 0
-    hs = np.asarray([int(hashlib.blake2b(t.encode(), digest_size=8).hexdigest(), 16)
+    hs = np.asarray([int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
                      for t in toks], np.uint64)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
     score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    word = np.uint64(0)
-    for i in range(64):
-        if score[i] > 0:
-            word |= np.uint64(1) << np.uint64(i)
-    return int(word.astype(np.int64))
+    sel = score > 0
+    word = np.sum((np.uint64(1) << np.arange(64, dtype=np.uint64))[sel],
+                  dtype=np.uint64)
+    return int(np.uint64(word).astype(np.int64))
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
