@@ -94,6 +94,42 @@ def _geo_query_points() -> list[tuple[str, int, int]]:
 GEO_KNN_K = 5
 RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
 
+
+def _img_query_points(n_q: int = 48) -> list[tuple[str, int, int]]:
+    """Integer query points for the image-index kNN oracle (hot-spot +
+    uniform mix, same scheme as _geo_query_points, different seed)."""
+    from metric_search_ray.geocode import HOT_CENTERS
+
+    rng = np.random.default_rng(9)
+    pts = []
+    for i in range(n_q):
+        if i < 12:
+            clat, clon = HOT_CENTERS[i % len(HOT_CENTERS)]
+            la = clat + int(rng.integers(-1_500_000, 1_500_000))
+            lo = clon + int(rng.integers(-1_500_000, 1_500_000))
+        else:
+            la = int(rng.integers(-85_000_000, 85_000_000))
+            lo = int(rng.integers(-180_000_000, 180_000_000))
+        pts.append((f"iq-{i:03d}", la, lo))
+    return pts
+
+
+def _polygon_edges_values() -> str:
+    """The F2 polygon layer as SQL VALUES of directed edges
+    (polygon_id, x1, y1, x2, y2) — repr() round-trips float64 exactly,
+    and DuckDB's decimal-string parse is correctly rounded, so the SQL
+    ray-casting replay sees bit-identical coordinates."""
+    from metric_search_ray import fixtures
+
+    layer = fixtures.polygon_layer()
+    rows = []
+    for pid, ring in zip(layer["polygon_id"], layer["ring"]):
+        r = np.asarray(ring, np.float64)
+        nxt = np.roll(r, -1, axis=0)
+        for (x1, y1), (x2, y2) in zip(r, nxt):
+            rows.append(f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return ", ".join(rows)
+
 # ---------------------------------------------------------------------------
 # SQL building blocks
 # ---------------------------------------------------------------------------
@@ -401,11 +437,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   .select_columns(["image_id", "fmt", "valid"]))
 
     def img_knn(sf_dir: str):
-        from metric_search_ray import fixtures
+        from metric_search_ray import geocode
         from metric_search_ray.pipelines import knn
         ckpt = _image_index_dir(sf_dir)
-        q = fixtures.knn_queries(100)
-        return knn.knn_geo(rd.from_arrow(pa.table(q)), ckpt, concurrency=4)
+        qpts = _img_query_points()
+        qtbl = pa.table({
+            "query_id": pa.array([q[0] for q in qpts], pa.string()),
+            "lat": pa.array([q[1] / 1e6 for q in qpts], pa.float64()),
+            "lon": pa.array([q[2] / 1e6 for q in qpts], pa.float64()),
+            "k": pa.array([GEO_KNN_K + 10] * len(qpts), pa.int32()),
+        })
+        cand = knn.knn_geo(rd.from_arrow(qtbl), ckpt, concurrency=4).to_pandas()
+        # exact integer rerank (same scheme as geo_knn): candidates are a
+        # float-distance superset, final top-k by integer microdegree d^2
+        qmap = {q[0]: (q[1], q[2]) for q in qpts}
+        key = cand["image_id"].str[4:].astype(np.int64).to_numpy()
+        la, lo = geocode.geocode_from_key(key)
+        qla = cand["query_id"].map(lambda q: qmap[q][0]).to_numpy()
+        qlo = cand["query_id"].map(lambda q: qmap[q][1]).to_numpy()
+        cand["dist2_u"] = (la - qla) ** 2 + (lo - qlo) ** 2
+        cand = cand.sort_values(["query_id", "dist2_u", "image_id"])
+        cand["rank"] = cand.groupby("query_id").cumcount() + 1
+        return cand[cand["rank"] <= GEO_KNN_K][
+            ["query_id", "image_id", "rank", "dist2_u"]].reset_index(drop=True)
 
     def img_pip(sf_dir: str):
         from metric_search_ray import fixtures
@@ -615,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         f"('{r['polygon_id']}', {r['x0']}, {r['x1']}, {r['y0']}, {r['y1']})"
         for r in _oracle_rects())
     qpt_values = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in _geo_query_points())
+    img_qpt_values = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in _img_query_points())
     stop_list = "'the', 'a', 'of', 'and', 'to'"
 
     return {
@@ -732,6 +787,39 @@ FROM events GROUP BY 1, 2
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY 1, 2
+""",
+        # image-index kNN with integer rerank (same scheme as geo_knn):
+        # image positions replay the id->LCG geotag over range(n_img)
+        "img_knn": f"""
+WITH ids AS (SELECT range AS okey FROM range({n_img})),
+{_pts_cte(table="ids", key="okey")},
+q(query_id, qlat_u, qlon_u) AS (VALUES {img_qpt_values}),
+d AS (SELECT q.query_id, p.okey,
+             (p.lat_u - q.qlat_u) * (p.lat_u - q.qlat_u)
+             + (p.lon_u - q.qlon_u) * (p.lon_u - q.qlon_u) AS dist2_u
+      FROM q CROSS JOIN pts p)
+SELECT query_id, printf('img-%08d', CAST(okey AS INT)) AS image_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dist2_u, okey) AS rank,
+       dist2_u
+FROM d
+QUALIFY rank <= {GEO_KNN_K}
+""",
+        # point-in-polygon over the F2 layer: the identical even-odd
+        # ray-casting expression (straddle + px < x-intercept) DuckDB
+        # evaluates in the same IEEE double op order as geom.py
+        "img_pip": f"""
+WITH ids AS (SELECT range AS okey FROM range({n_img})),
+{_pts_cte(table="ids", key="okey")},
+p AS (SELECT printf('img-%08d', CAST(okey AS INT)) AS image_id,
+             lat_u / 1000000.0 AS lat, lon_u / 1000000.0 AS lon FROM pts),
+edges(polygon_id, x1, y1, x2, y2) AS (VALUES {_polygon_edges_values()}),
+cr AS (SELECT p.image_id, e.polygon_id,
+          CASE WHEN e.y1 <> e.y2 AND ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                AND p.lon < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+               THEN 1 ELSE 0 END AS c
+       FROM p CROSS JOIN edges e)
+SELECT image_id, polygon_id
+FROM cr GROUP BY image_id, polygon_id HAVING sum(c) % 2 = 1
 """,
         # embedding near-dup: the engine's hyperplane-LSH candidates are
         # verified with exact cosine >= 0.95; the fixture's max pairwise
