@@ -210,7 +210,7 @@ def points_cells_min_dist_deg(lat_deg: np.ndarray, lon_deg: np.ndarray,
                                  np.abs(q_lon - lon1d[None, :]))
     dx = np.minimum(dx, np.maximum(dx_wrap, 0.0))
     dy = np.maximum(np.maximum(lat0d[None, :] - q_lat, q_lat - lat1d[None, :]), 0.0)
-    return np.hypot(dx, dy)
+    return np.sqrt(dx * dx + dy * dy)
 
 
 def point_cell_min_dist_deg(lat_deg: float, lon_deg: float, cells: np.ndarray) -> np.ndarray:
@@ -229,4 +229,4 @@ def point_cell_min_dist_deg(lat_deg: float, lon_deg: float, cells: np.ndarray) -
     dx_wrap = 360.0 - np.maximum(np.abs(lon0d - lon_deg), np.abs(lon_deg - lon1d))
     dx = np.minimum(dx, np.maximum(dx_wrap, 0.0))
     dy = np.maximum(np.maximum(lat0d - lat_deg, lat_deg - lat1d), 0.0)
-    return np.hypot(dx, dy)
+    return np.sqrt(dx * dx + dy * dy)

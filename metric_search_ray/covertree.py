@@ -675,3 +675,134 @@ class CoverTree:
 
 
 sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+
+# ---------------------------------------------------------------- fast build
+#
+# Flat-array builder for the engine's hot path (2-D planar points).
+# Replicates CoverTree(metric=PlanarDeg()) sequential insertion
+# EXACTLY — same descent rule, same root-promotion walk, same maxdist
+# updates, and bit-identical float values: PlanarDeg is defined as
+# sqrt(dx*dx + dy*dy) in a fixed op order (metrics.planar_dist), which
+# is IEEE-754-exact per operation, so this builder's scalar Python
+# arithmetic produces the same doubles as the Node-based tree's numpy
+# kernels.  Scalar arithmetic is the point: per-visit child lists are
+# small (median ~4), where a numpy call costs ~3us of dispatch but a
+# scalar multiply costs ~30ns — this builder is ~10x the Node tree
+# (BENCH r1: the Python insert loop was 67% of headline wall-clock).
+# Output is bit-identical to CoverTree.to_arrays() (asserted by
+# tests/test_covertree.py).
+
+
+def build_planar_tree_arrays(pts: np.ndarray) -> dict[str, np.ndarray]:
+    """pts: (n, 2) float64 rows in insertion order -> preorder node
+    arrays {ID, level, parent_ID, parent_dist, maxdist} identical to
+    ``CoverTree(metric=PlanarDeg()); insert_many(pts); to_arrays()``."""
+    from math import sqrt
+
+    pts = np.asarray(pts, np.float64)
+    n = len(pts)
+    if n == 0:
+        return {"ID": np.empty(0, np.int64), "level": np.empty(0, np.int64),
+                "parent_ID": np.empty(0, np.int64),
+                "parent_dist": np.empty(0, np.float64),
+                "maxdist": np.empty(0, np.float64)}
+    la: list[float] = pts[:, 0].tolist()
+    lo: list[float] = pts[:, 1].tolist()
+    level = [0] * n
+    parent = [-1] * n
+    pdist = [0.0] * n
+    maxd = [0.0] * n
+    cov = [1.0] * n                     # cached 2.0**level per node
+    children: list[list[int]] = [[] for _ in range(n)]
+
+    root = 0
+    for x in range(1, n):
+        x0 = la[x]
+        x1 = lo[x]
+        p = root
+        dx = la[p] - x0
+        dy = lo[p] - x1
+        d_px = sqrt(dx * dx + dy * dy)
+        if d_px > cov[p]:
+            # root promotion (tree.cpp:414-452): while the new point is
+            # outside b*covdist/(b-1), re-root at the last leaf
+            while True:
+                dx = la[p] - x0
+                dy = lo[p] - x1
+                if sqrt(dx * dx + dy * dy) <= 2.0 * cov[p]:
+                    break
+                current, par = p, -1
+                while children[current]:
+                    par = current
+                    current = children[current][-1]
+                if par != -1:
+                    children[par].pop()
+                    level[current] = level[p] + 1
+                    cov[current] = 2.0 ** level[current]
+                    children[current].append(p)
+                    ddx = la[p] - la[current]
+                    ddy = lo[p] - lo[current]
+                    parent[p] = current
+                    pdist[p] = sqrt(ddx * ddx + ddy * ddy)
+                    md = pdist[p] + maxd[p]
+                    if md > maxd[current]:
+                        maxd[current] = md
+                    p = current
+                    parent[p] = -1
+                    pdist[p] = 0.0
+                else:
+                    level[p] += 1
+                    cov[p] = 2.0 ** level[p]
+            level[x] = level[p] + 1
+            cov[x] = 2.0 ** level[x]
+            children[x].append(p)
+            dx = la[p] - x0
+            dy = lo[p] - x1
+            pdist[p] = sqrt(dx * dx + dy * dy)
+            parent[p] = x
+            maxd[x] = pdist[p] + maxd[p]
+            root = x
+            continue
+        # nearest-ancestor descent (tree.cpp:1104-1131): follow the
+        # closest covering child (ties -> earliest sibling)
+        while True:
+            if d_px > maxd[p]:
+                maxd[p] = d_px
+            best = -1
+            best_d = 0.0
+            for c in children[p]:
+                dx = la[c] - x0
+                dy = lo[c] - x1
+                d = sqrt(dx * dx + dy * dy)
+                if d <= cov[c] and (best == -1 or d < best_d):
+                    best = c
+                    best_d = d
+            if best != -1:
+                p = best
+                d_px = best_d
+                continue
+            children[p].append(x)
+            parent[x] = p
+            pdist[x] = d_px
+            level[x] = level[p] - 1
+            cov[x] = 2.0 ** level[x]
+            break
+
+    # preorder traversal, children in insertion order (to_arrays parity)
+    order = np.empty(n, np.int64)
+    stack = [root]
+    w = 0
+    while stack:
+        cur = stack.pop()
+        order[w] = cur
+        w += 1
+        ch = children[cur]
+        if ch:
+            stack.extend(reversed(ch))
+    level_a = np.asarray(level, np.int64)[order]
+    parent_a = np.asarray(parent, np.int64)[order]
+    pdist_a = np.asarray(pdist, np.float64)[order]
+    maxd_a = np.asarray(maxd, np.float64)[order]
+    return {"ID": order, "level": level_a, "parent_ID": parent_a,
+            "parent_dist": pdist_a, "maxdist": maxd_a}

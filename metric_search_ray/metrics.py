@@ -124,6 +124,16 @@ class Hamming:
                            np.asarray(X, np.int64)).astype(np.float64)
 
 
+def planar_dist(dx, dy):
+    """sqrt(dx*dx + dy*dy) in a fixed op order.  Unlike ``hypot``
+    (implementation-defined rounding), every op here is IEEE-754-exact
+    per element, so scalar Python math, numpy vectors and any future
+    kernel produce bit-identical values — which is what lets the
+    flat-array tree builder (covertree.build_planar_tree_arrays) use
+    scalar arithmetic and still match the Node-based tree bit-for-bit."""
+    return np.sqrt(dx * dx + dy * dy)
+
+
 class PlanarDeg:
     """Planar lat/lon degree distance — the geo-partitioning metric."""
 
@@ -132,12 +142,12 @@ class PlanarDeg:
     def __call__(self, a, b) -> float:
         a = np.asarray(a, np.float64)
         b = np.asarray(b, np.float64)
-        return float(np.hypot(a[0] - b[0], a[1] - b[1]))
+        return float(planar_dist(a[0] - b[0], a[1] - b[1]))
 
     def batch(self, q, X) -> np.ndarray:
         X = np.asarray(X, np.float64)
         q = np.asarray(q, np.float64).ravel()
-        return np.hypot(X[:, 0] - q[0], X[:, 1] - q[1])
+        return planar_dist(X[:, 0] - q[0], X[:, 1] - q[1])
 
 
 class Edit:

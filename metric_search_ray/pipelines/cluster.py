@@ -56,7 +56,7 @@ def clustering(ckpt_dir: str, distribution, center: tuple[float, float],
     radius = _anchor_radius(None, center)
     if anchors:
         c0 = np.asarray(anchors[0], np.float64)
-        radius = max((float(np.hypot(*(np.asarray(a) - c0))) for a in anchors[1:]),
+        radius = max((float(np.sqrt(((np.asarray(a) - c0) ** 2).sum())) for a in anchors[1:]),
                      default=radius)
         center = tuple(c0)
     manifest = buildmod.load_manifest(ckpt_dir)

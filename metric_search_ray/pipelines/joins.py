@@ -22,6 +22,7 @@ import ray
 
 from .. import cell as cellmod
 from .. import geom
+from ..metrics import planar_dist
 from . import build as buildmod
 
 
@@ -115,7 +116,7 @@ class RnnActor:
                 for _salt, path in self.by_cell[int(c)]:
                     # vectorized exact range scan (strict <, rnn semantics)
                     plat, plon, ids = _load_arrays_cached(path)
-                    d = np.hypot(plat - la, plon - lo)
+                    d = planar_dist(plat - la, plon - lo)
                     for i in np.flatnonzero(d < self.radius):
                         out_q.append(qid)
                         out_i.append(str(ids[i]))

@@ -35,7 +35,7 @@ import ray
 
 from .. import cell as cellmod
 from .. import phash as phashmod
-from ..metrics import PlanarDeg
+from ..metrics import PlanarDeg, planar_dist
 from . import build as buildmod
 
 
@@ -136,7 +136,7 @@ class KnnActor:
         for _salt, path in self.by_cell.get(cell_id, ()):
             if self.method == "scan":
                 lat, lon, ids = _load_arrays_cached(path)
-                d = np.hypot(lat - qlat, lon - qlon)
+                d = planar_dist(lat - qlat, lon - qlon)
                 kk = min(k, len(d))
                 sel = np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
                 for i in sel:
@@ -213,8 +213,8 @@ class KnnActor:
                     continue
                 for _salt, path in self.by_cell[ci]:
                     lat, lon, ids = _load_arrays_cached(path)
-                    d = np.hypot(lat[None, :] - qlat[active, None],
-                                 lon[None, :] - qlon[active, None])
+                    d = planar_dist(lat[None, :] - qlat[active, None],
+                                    lon[None, :] - qlon[active, None])
                     m = d.shape[1]
                     all_d = np.concatenate([best_d[active], d], axis=1)
                     all_id = np.concatenate(

@@ -237,3 +237,24 @@ def test_introspection():
     kids = []
     t.traverse_child(lambda n: kids.append(n.ID))
     assert len(kids) == 6  # all but root
+
+
+def test_fast_builder_matches_node_tree():
+    """build_planar_tree_arrays must be bit-identical to sequential
+    CoverTree(PlanarDeg).insert + to_arrays, including promotion-heavy
+    and duplicate/tie-heavy inputs."""
+    from metric_search_ray.covertree import build_planar_tree_arrays
+    from metric_search_ray.metrics import PlanarDeg
+
+    for trial, n in [(1, 300), (2, 1500)]:
+        r = np.random.default_rng(trial)
+        pts = np.stack([r.uniform(-90, 90, n), r.uniform(-180, 180, n)], axis=1)
+        pts[n // 2:n // 2 + 5] = pts[0]          # exact duplicates
+        pts[n // 4:n // 4 + 30] = pts[10] + r.normal(0, 1e-4, (30, 2))  # hot cluster
+        t = CoverTree(metric=PlanarDeg())
+        for p in pts:
+            t.insert(p)
+        a = t.to_arrays()
+        b = build_planar_tree_arrays(pts)
+        for k in ("ID", "level", "parent_ID", "parent_dist", "maxdist"):
+            assert np.array_equal(a[k], b[k]), k
