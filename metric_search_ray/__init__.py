@@ -27,3 +27,16 @@ from . import cell, codecs, geocode, geom, metrics, phash  # noqa: F401
 from .covertree import CoverTree  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def use_hash_shuffle() -> None:
+    """Switch Ray Data's shuffle strategy to HASH_SHUFFLE (idempotent).
+
+    The engine's query routing uses ``repartition(keys=...)`` (a hash
+    exchange with no sort barrier), which Ray only plans under this
+    strategy; it also removes the sort step from groupby exchanges.
+    Called by the pipelines that need it (knn.knn_geo); safe to call
+    once per session from any entry point."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE

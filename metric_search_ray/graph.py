@@ -277,6 +277,27 @@ def connected_components_ray(edges_ds, num_partitions: int = 8,
     fixpoint — silently returning unconverged labels would be a wrong
     answer (with squaring, 50 rounds covers diameters ~2^50).
     """
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    # Pin the sort-based shuffle for this function: the per-round plan
+    # holds 2 joins + an aggregate, and under HASH_SHUFFLE each wants
+    # its own long-lived aggregator actor pool — on small CPU counts
+    # those pools starve each other (observed deadlock).  Every dataset
+    # here is materialized inside this call, so the pin can be scoped
+    # with a save/restore.
+    # Ray captures a DataContext copy on the ROOT dataset; derived
+    # datasets inherit it, so pin the strategy on the input dataset's
+    # captured context (the global context would be ignored).
+    ctx = getattr(edges_ds, "context", None) or DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    try:
+        return _connected_components_ray(edges_ds, num_partitions, max_iters)
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+
+
+def _connected_components_ray(edges_ds, num_partitions: int, max_iters: int):
     sym = edges_ds.map_batches(
         lambda b: pa.table({
             "node": pa.array(np.concatenate([b.column("src").to_numpy(),

@@ -80,22 +80,29 @@ def part_path(ckpt_dir: str, cell_id: int, salt: int) -> str:
 def plan_salts(ds: "rd.Dataset", target_rows: int = DEFAULT_TARGET_ROWS) -> dict[int, int]:
     """Count pre-pass: cells with more than target_rows get k > 1 salts.
 
-    `groupby(cell).count()` is a shuffle of (cell) only — tiny relative
-    to the data; its result (#distinct-cells rows) is collected to the
-    driver and broadcast into the salting stage.
+    Per-batch partial counts stream to the driver (one row per distinct
+    cell per batch, bounded by 4^res per batch) and combine with one
+    vectorized pass — no groupby shuffle for a result this small.
     """
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         vals, cnt = np.unique(batch.column("cell").to_numpy(), return_counts=True)
         return pa.table({"cell": pa.array(vals, pa.int64()),
                          "partial_n": pa.array(cnt, pa.int64())})
 
-    counts = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-                .groupby("cell").aggregate(Sum("partial_n", alias_name="n"))
-              ).to_pandas()
-    k = np.maximum(1, np.ceil(counts["n"] / target_rows)).astype(int)
-    return {int(c): int(n) for c, n in zip(counts["cell"], k) if n > 1}
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    cs, ns = [], []
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        cs.append(b.column("cell").to_numpy())
+        ns.append(b.column("partial_n").to_numpy())
+    if not cs:
+        return {}
+    cs = np.concatenate(cs)
+    ns = np.concatenate(ns)
+    cells, inv = np.unique(cs, return_inverse=True)
+    totals = np.zeros(len(cells), np.int64)
+    np.add.at(totals, inv, ns)
+    k = np.maximum(1, np.ceil(totals / target_rows)).astype(int)
+    return {int(c): int(n) for c, n in zip(cells, k) if n > 1}
 
 
 def _build_partition(tbl: pa.Table, ckpt_dir: str, resume: bool) -> pa.Table:

@@ -105,26 +105,39 @@ class RnnActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .knn import _load_arrays_cached
-        qids = batch.column("query_id").to_pylist()
+        qids = np.asarray(batch.column("query_id").to_pylist(), dtype=object)
         lats = batch.column("lat").to_numpy()
         lons = batch.column("lon").to_numpy()
-        out_q, out_i, out_d = [], [], []
-        for qid, la, lo in zip(qids, lats, lons):
-            # candidate cells: box lower-bound < radius (exact, no rings)
-            lbs = cellmod.point_cell_min_dist_deg(float(la), float(lo), self.cells)
-            for c in self.cells[lbs < self.radius]:
-                for _salt, path in self.by_cell[int(c)]:
-                    # vectorized exact range scan (strict <, rnn semantics)
+        hit_q, hit_i, hit_d = [], [], []
+        if len(qids):
+            # one (n_queries, n_cells) lower-bound matrix for the whole
+            # batch; then one distance matrix per candidate partition
+            # shared by every query probing it (grouped-scan shape, like
+            # knn._group_scan) — no per-query or per-hit Python work
+            lbs = cellmod.points_cells_min_dist_deg(lats, lons, self.cells)
+            probe = lbs < self.radius                    # (n_q, n_cells)
+            for ci in np.flatnonzero(probe.any(axis=0)):
+                qs = np.flatnonzero(probe[:, ci])
+                for _salt, path in self.by_cell[int(self.cells[ci])]:
                     plat, plon, ids = _load_arrays_cached(path)
-                    d = planar_dist(plat - la, plon - lo)
-                    for i in np.flatnonzero(d < self.radius):
-                        out_q.append(qid)
-                        out_i.append(str(ids[i]))
-                        out_d.append(float(d[i]))
+                    d = planar_dist(plat[None, :] - lats[qs, None],
+                                    plon[None, :] - lons[qs, None])
+                    rr, cc = np.nonzero(d < self.radius)  # strict: rnn semantics
+                    if len(rr):
+                        hit_q.append(qs[rr])
+                        hit_i.append(ids[cc])
+                        hit_d.append(d[rr, cc])
+        if hit_q:
+            hq = np.concatenate(hit_q)
+            return pa.table({
+                "query_id": pa.array(qids[hq], pa.string()),
+                "image_id": pa.array(np.concatenate(hit_i), pa.string()),
+                "dist": pa.array(np.concatenate(hit_d), pa.float64()),
+            })
         return pa.table({
-            "query_id": pa.array(out_q, pa.string()),
-            "image_id": pa.array(out_i, pa.string()),
-            "dist": pa.array(out_d, pa.float64()),
+            "query_id": pa.array([], pa.string()),
+            "image_id": pa.array([], pa.string()),
+            "dist": pa.array([], pa.float64()),
         })
 
 

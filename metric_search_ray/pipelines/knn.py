@@ -222,8 +222,23 @@ class KnnActor:
                          np.broadcast_to(ids, (len(active), m))], axis=1)
                     kk = min(kmax, all_d.shape[1])
                     sel = np.argpartition(all_d, kk - 1, axis=1)[:, :kmax]
-                    best_d[active] = np.take_along_axis(all_d, sel, axis=1)
-                    best_id[active] = np.take_along_axis(all_id, sel, axis=1)
+                    new_d = np.take_along_axis(all_d, sel, axis=1)
+                    new_id = np.take_along_axis(all_id, sel, axis=1)
+                    # deterministic boundary ties: argpartition resolves
+                    # equal distances at the kmax cut arbitrarily; rows
+                    # where extra candidates tie with the k-th distance
+                    # are re-cut on the (dist, image_id) order that the
+                    # serial path and the merge stage use
+                    kth = new_d.max(axis=1)
+                    n_le = (all_d <= kth[:, None]).sum(axis=1)
+                    for r in np.flatnonzero((n_le > kmax) & np.isfinite(kth)):
+                        idxs = np.flatnonzero(all_d[r] <= kth[r])
+                        ordr = np.lexsort((all_id[r, idxs].astype(str),
+                                           all_d[r, idxs]))[:kmax]
+                        new_d[r] = all_d[r, idxs[ordr]]
+                        new_id[r] = all_id[r, idxs[ordr]]
+                    best_d[active] = new_d
+                    best_id[active] = new_id
         return best_d, best_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -286,6 +301,21 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
     res = int(cellmod.cell_res(manifest.column("cell").to_numpy()[:1])[0])
     if route_by_home_cell is None:
         route_by_home_cell = True
+    if route_by_home_cell:
+        # This pipeline's only exchange is the keyed repartition below,
+        # which Ray plans only under the hash-shuffle strategy.  The
+        # strategy lives on the DataContext captured by the ROOT
+        # dataset (shared by everything derived from it), so flip it on
+        # the caller's queries dataset — scoped to this lineage, NOT
+        # the global context (a global flip would put every later
+        # groupby in the session on 200-partition hash aggregates).
+        from ray.data.context import ShuffleStrategy
+        qctx = getattr(queries_ds, "context", None)
+        use_keyed = qctx is not None
+        if use_keyed:
+            qctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    else:
+        use_keyed = False
 
     def add_home(batch: pa.Table) -> pa.Table:
         lat_u, lon_u = cellmod.latlon_to_units(batch.column("lat").to_numpy(),
@@ -295,12 +325,21 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
 
     routed = queries_ds.map_batches(add_home, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    if route_by_home_cell:
-        routed = routed.sort("home_cell")
     # few input blocks starve the map stage (task parallelism == blocks)
     width = max(2 * int(_ray.cluster_resources().get("CPU", 8)),
                 concurrency * 2, 8)
-    routed = routed.repartition(width)
+    if route_by_home_cell and use_keyed:
+        # hash-partition by home cell: co-locates a cell's queries for
+        # the per-cell vectorized group scan and the partition caches,
+        # WITHOUT the global sort barrier a sort() would add (the scan
+        # groups rows by home cell inside each batch anyway, so only
+        # locality matters, not order) — the sort was the largest
+        # parallelism-independent fixed cost in the 4-vs-16 scaling run
+        routed = routed.repartition(width, keys=["home_cell"])
+    elif route_by_home_cell:
+        routed = routed.sort("home_cell").repartition(width)
+    else:
+        routed = routed.repartition(width)
     if not use_actor_pool:
         return routed.map_batches(KnnActor(ckpt_dir), batch_format="pyarrow",
                                   batch_size=batch_size, num_cpus=1)

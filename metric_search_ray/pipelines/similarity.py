@@ -87,6 +87,77 @@ def assign_ivf_lists(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
 
 
+def build_ivf_index(ds, ckpt_dir: str, centroids: np.ndarray,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    resume: bool = True) -> "pa.Table":
+    """Persist the IVF index: centroids + one parquet file per inverted
+    list, so repeated queries read only their probed lists instead of
+    re-assigning the corpus per call.
+
+    Same checkpoint discipline as pipelines/build.py: atomic tmp+rename
+    per list file (file presence = completed, rerun skips), manifest
+    parquet with per-list lineage/metrics."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    cent = np.asarray(centroids, np.float64)
+    cpath = os.path.join(ckpt_dir, "centroids.npy")
+    if not os.path.exists(cpath):
+        tmp = os.path.join(ckpt_dir, f"centroids.tmp.{os.getpid()}.npy")
+        np.save(tmp, cent)
+        os.replace(tmp, cpath)
+
+    def write_list(g: pa.Table) -> pa.Table:
+        lid = int(g.column("ivf_list")[0].as_py())
+        path = os.path.join(ckpt_dir, f"list-{lid:05d}.parquet")
+        if resume and os.path.exists(path):
+            md = pq.read_metadata(path)
+            return pa.table({"ivf_list": [lid], "n_rows": [md.num_rows],
+                             "path": [path], "resumed": [True]})
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(g.drop_columns(["ivf_list"]), tmp)
+        os.replace(tmp, path)
+        return pa.table({"ivf_list": [lid], "n_rows": [g.num_rows],
+                         "path": [path], "resumed": [False]})
+
+    manifest_ds = (assign_ivf_lists(ds, cent, vec_col)
+                   .groupby("ivf_list").map_groups(write_list, batch_format="pyarrow"))
+    manifest = pa.Table.from_pandas(manifest_ds.to_pandas(), preserve_index=False)
+    tmp = os.path.join(ckpt_dir, f"manifest.tmp.{os.getpid()}")
+    pq.write_table(manifest, tmp)
+    os.replace(tmp, os.path.join(ckpt_dir, "manifest.parquet"))
+    return manifest
+
+
+def knn_ivf_index(ckpt_dir: str, query_ids, query_vecs, k: int = 10,
+                  nprobe: int = 4, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Approximate cosine top-k over a persisted IVF index: loads the
+    centroids, picks each query's nprobe lists, and reads ONLY those
+    list files (column pruning + file pruning at the source)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    cent = np.load(os.path.join(ckpt_dir, "centroids.npy"))
+    q = np.asarray(query_vecs, np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    manifest = pq.read_table(os.path.join(ckpt_dir, "manifest.parquet"))
+    by_list = dict(zip(manifest.column("ivf_list").to_pylist(),
+                       manifest.column("path").to_pylist()))
+    paths = [by_list[int(l)] for l in np.unique(probes) if int(l) in by_list]
+    if not paths:
+        import pandas as pd
+        return rd.from_pandas(pd.DataFrame(
+            {"query_id": [], id_col: [], "similarity": [], "rank": []}))
+    listed = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return knn_cosine(listed, query_ids, q, k, vec_col=vec_col, id_col=id_col)
+
+
 def knn_ivf(ds, query_ids, query_vecs, centroids: np.ndarray, k: int = 10,
             nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id"):
     """Approximate cosine top-k probing the nprobe nearest IVF lists.

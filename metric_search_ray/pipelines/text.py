@@ -122,17 +122,29 @@ def lang_id(ds):
 
 
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """64-bit document fingerprint: Rabin rolling hash of the whole
-    normalized text (whitespace-collapsed, lowercased)."""
+    """64-bit document fingerprint: polynomial hash (base = the FNV
+    prime, natural uint64 wrap) of the normalized text's bytes
+    (whitespace-collapsed, lowercased).
+
+    h = sum_i byte[i] * B^(n-1-i) mod 2^64, computed per doc as two
+    vectorized numpy passes (power ladder via multiply.accumulate +
+    one dot) — sequential FNV chaining would force a per-byte Python
+    loop; a polynomial admits the same distribution with none."""
+    B = np.uint64(1099511628211)
+
     def fn(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column(text_col).to_pylist():
-            norm = " ".join((t or "").lower().split()).encode("utf-8")
-            h = np.uint64(1469598103934665603)  # FNV-1a 64
-            with np.errstate(over="ignore"):
-                for b in norm:
-                    h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
-            out.append(int(h.astype(np.int64)))
+        texts = batch.column(text_col).to_pylist()
+        out = np.zeros(len(texts), np.uint64)
+        with np.errstate(over="ignore"):
+            for i, t in enumerate(texts):
+                norm = " ".join((t or "").lower().split()).encode("utf-8")
+                if not norm:
+                    continue
+                data = np.frombuffer(norm, np.uint8).astype(np.uint64)
+                pows = np.full(len(data), B, np.uint64)
+                pows[0] = 1
+                np.multiply.accumulate(pows, out=pows)   # B^i, wraps mod 2^64
+                out[i] = np.sum(data * pows[::-1], dtype=np.uint64)
         return pa.table({id_col: batch.column(id_col),
-                         "fingerprint": pa.array(out, pa.int64())})
+                         "fingerprint": pa.array(out.astype(np.int64), pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

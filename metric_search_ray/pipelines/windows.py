@@ -80,26 +80,93 @@ def sliding(ds, key_col: str, ts_col: str, size_s: int, slide_s: int, value_col:
             .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value")))
 
 
+def _sessionize(ep: np.ndarray, vals: np.ndarray, gap_s: int):
+    """ts-sorted epochs/values -> (starts, ends, counts, sums) arrays,
+    one entry per gap-delimited session — all segment-reduce numpy."""
+    new_session = np.concatenate([[True], np.diff(ep) > gap_s])
+    starts = np.flatnonzero(new_session)
+    ends = np.concatenate([starts[1:], [len(ep)]])
+    return (ep[starts], ep[ends - 1], (ends - starts).astype(np.int64),
+            np.add.reduceat(vals, starts))
+
+
 def sessions(ds, key_col: str, ts_col: str, gap_s: int, value_col: str):
     """Gap-based sessions per key: (key, session_start, session_end, n,
     sum_value).  Ordering assumption: map_groups hands one full key per
-    group; events are sorted by ts inside the UDF."""
+    group; events are sorted by ts inside the UDF.
+
+    SKEW NOTE: one key's entire history lands in one task.  For keys
+    holding a large fraction of all events use ``sessions_scalable``,
+    which pre-splits by coarse time range and merges boundary sessions.
+    """
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
         ep = g[ts_col].astype("datetime64[s]").astype(np.int64).to_numpy()
-        new_session = np.concatenate([[True], np.diff(ep) > gap_s])
-        sid = np.cumsum(new_session) - 1
-        out = []
-        for s in np.unique(sid):
-            m = sid == s
-            out.append({
-                key_col: g[key_col].iloc[0],
-                "session_start": int(ep[m].min()),
-                "session_end": int(ep[m].max()),
-                "n": int(m.sum()),
-                "sum_value": float(g[value_col].to_numpy()[m].sum()),
-            })
-        return pd.DataFrame(out)
+        s0, s1, n, sv = _sessionize(ep, g[value_col].to_numpy(), gap_s)
+        return pd.DataFrame({
+            key_col: g[key_col].iloc[0],
+            "session_start": s0.astype(np.int64),
+            "session_end": s1.astype(np.int64),
+            "n": n,
+            "sum_value": sv.astype(np.float64),
+        })
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def sessions_scalable(ds, key_col: str, ts_col: str, gap_s: int, value_col: str,
+                      bucket_s: int = 7 * 86400):
+    """Skew-hardened sessions: identical output to ``sessions``.
+
+    Phase 1 partitions by (key, floor(ts / bucket_s)) so a hot key's
+    events spread over many tasks (one per coarse time bucket) and
+    sessionizes within each bucket.  Phase 2 merges adjacent bucket
+    sessions whose gap <= gap_s per key — its input is one row per
+    bucket-session, bounded by total_time_range / gap_s per key (not by
+    the key's event count), which is what makes the hot key safe.
+    ``bucket_s`` must be >= gap_s."""
+    if bucket_s < gap_s:
+        raise ValueError("bucket_s must be >= gap_s")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ep = _ts_to_epoch(batch, ts_col)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "bucket": pa.array(ep // bucket_s, pa.int64()),
+            "ep": pa.array(ep, pa.int64()),
+            value_col: batch.column(value_col),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ep")
+        ep = g["ep"].to_numpy()
+        s0, s1, n, sv = _sessionize(ep, g[value_col].to_numpy(), gap_s)
+        return pd.DataFrame({
+            key_col: g[key_col].iloc[0],
+            "session_start": s0.astype(np.int64),
+            "session_end": s1.astype(np.int64),
+            "n": n,
+            "sum_value": sv.astype(np.float64),
+        })
+
+    partial = (ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+               .groupby([key_col, "bucket"]).map_groups(per_bucket, batch_format="pandas"))
+
+    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start")
+        s0 = g["session_start"].to_numpy()
+        s1 = g["session_end"].to_numpy()
+        # chain-merge adjacent bucket sessions across boundaries
+        keep = np.concatenate([[True], s0[1:] - s1[:-1] > gap_s])
+        grp = np.flatnonzero(keep)
+        ends = np.concatenate([grp[1:], [len(s0)]])
+        return pd.DataFrame({
+            key_col: g[key_col].iloc[0],
+            "session_start": s0[grp].astype(np.int64),
+            "session_end": s1[ends - 1].astype(np.int64),
+            "n": np.add.reduceat(g["n"].to_numpy(), grp).astype(np.int64),
+            "sum_value": np.add.reduceat(g["sum_value"].to_numpy(), grp),
+        })
+
+    return partial.groupby(key_col).map_groups(merge_key, batch_format="pandas")

@@ -199,3 +199,60 @@ def test_multimodal_stages(ray_session, tiny_images):
     }))
     with pytest.raises(Exception):
         multimodal.sample_frames(bad).to_pandas()
+
+
+def test_ivf_persisted_index(ray_session, tmp_path):
+    """build_ivf_index + knn_ivf_index must match in-memory knn_ivf with
+    the same centroids; a rebuild resumes every list file."""
+    import ray.data as rd
+    from metric_search_ray.pipelines import similarity
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    x = rng.normal(size=(n, d))
+    tbl = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(list(x), pa.list_(pa.float64(), d))})
+    ds = rd.from_arrow(tbl)
+    cent = similarity.seed_centroids(ds, n_lists=8)
+    q = x[:3]
+    mem = similarity.knn_ivf(ds, [0, 1, 2], q, cent, k=5, nprobe=3).to_pandas()
+    ck = str(tmp_path / "ivf")
+    m1 = similarity.build_ivf_index(ds, ck, cent)
+    assert not m1.to_pandas()["resumed"].any()
+    idx = similarity.knn_ivf_index(ck, [0, 1, 2], q, k=5, nprobe=3).to_pandas()
+    key = ["query_id", "rank"]
+    mem_s = mem.sort_values(key).reset_index(drop=True)
+    idx_s = idx.sort_values(key).reset_index(drop=True)
+    assert mem_s["vec_id"].tolist() == idx_s["vec_id"].tolist()
+    np.testing.assert_allclose(mem_s["similarity"], idx_s["similarity"], atol=1e-12)
+    # resume: every list file skipped on rebuild
+    m2 = similarity.build_ivf_index(ds, ck, cent)
+    assert m2.to_pandas()["resumed"].all()
+
+
+def test_sessions_scalable_matches_sessions_hot_key(ray_session):
+    """Hot key (one user = 50% of events) — the skew-hardened two-phase
+    sessionizer must produce exactly the plain sessionizer's output."""
+    import pandas as pd
+    import ray.data as rd
+    from metric_search_ray.pipelines import windows
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    user = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 50, n))
+    base = np.datetime64("2025-01-01", "s").astype(np.int64)
+    ts = base + np.sort(rng.integers(0, 90 * 86400, n))
+    df = pd.DataFrame({
+        "user_id": user.astype(np.int64),
+        "ts": ts.astype("datetime64[s]"),
+        "value": rng.normal(size=n),
+    })
+    ds = rd.from_pandas(df)
+    cols = ["user_id", "session_start", "session_end", "n"]
+    a = windows.sessions(ds, "user_id", "ts", 3600, "value").to_pandas()
+    b = windows.sessions_scalable(ds, "user_id", "ts", 3600, "value",
+                                  bucket_s=86400).to_pandas()
+    a = a.sort_values(cols).reset_index(drop=True)
+    b = b.sort_values(cols).reset_index(drop=True)
+    assert a[cols].equals(b[cols])
+    np.testing.assert_allclose(a["sum_value"], b["sum_value"], atol=1e-9)
