@@ -283,17 +283,29 @@ class KnnActor:
 
 
 def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 256,
-            use_actor_pool: bool = True, route_by_home_cell: bool | None = None):
+            use_actor_pool: bool = True, route_by_home_cell: bool | None = None,
+            route_strategy: str = "sort"):
     """Geo kNN pipeline.  ``use_actor_pool=False`` ships a pickled
     KnnActor instance to stateless tasks instead — no pool spawn cost,
     warm-worker reuse; right for short bursts, while long-running query
     streams amortize the actor pool's per-actor caches better.
 
-    ``route_by_home_cell`` (default on): sort queries by home cell.
+    ``route_by_home_cell`` (default on): co-locate queries by home cell.
     This is load-bearing twice over — worker partition caches serve a
     locality of cells, AND the scan path vectorizes per home-cell
     group, so a batch of co-located queries costs one ring sweep
     instead of one per query (measured 8x when disabled).
+
+    ``route_strategy`` picks the exchange that does the co-location:
+    - ``"sort"`` (default): global sort by home cell.  A barrier, but
+      cheap in practice — measured 0.76 s for 10k queries at 32 cpus.
+    - ``"hash"``: ``repartition(keys=["home_cell"])`` under Ray's
+      hash-shuffle strategy.  No sort barrier, but the hash exchange
+      spawns an aggregator actor pool whose startup (~seconds) swamps
+      small/medium query tables — measured 8.6 s for the same 10k
+      queries.  Worth it only for very large query streams where the
+      pool cost amortizes; it also flips the shuffle strategy on the
+      queries dataset's captured DataContext (scoped to that lineage).
     """
     import ray as _ray
 
@@ -301,21 +313,13 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
     res = int(cellmod.cell_res(manifest.column("cell").to_numpy()[:1])[0])
     if route_by_home_cell is None:
         route_by_home_cell = True
-    if route_by_home_cell:
-        # This pipeline's only exchange is the keyed repartition below,
-        # which Ray plans only under the hash-shuffle strategy.  The
-        # strategy lives on the DataContext captured by the ROOT
-        # dataset (shared by everything derived from it), so flip it on
-        # the caller's queries dataset — scoped to this lineage, NOT
-        # the global context (a global flip would put every later
-        # groupby in the session on 200-partition hash aggregates).
+    use_keyed = False
+    if route_by_home_cell and route_strategy == "hash":
         from ray.data.context import ShuffleStrategy
         qctx = getattr(queries_ds, "context", None)
-        use_keyed = qctx is not None
-        if use_keyed:
+        if qctx is not None:
             qctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    else:
-        use_keyed = False
+            use_keyed = True
 
     def add_home(batch: pa.Table) -> pa.Table:
         lat_u, lon_u = cellmod.latlon_to_units(batch.column("lat").to_numpy(),
@@ -329,12 +333,6 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
     width = max(2 * int(_ray.cluster_resources().get("CPU", 8)),
                 concurrency * 2, 8)
     if route_by_home_cell and use_keyed:
-        # hash-partition by home cell: co-locates a cell's queries for
-        # the per-cell vectorized group scan and the partition caches,
-        # WITHOUT the global sort barrier a sort() would add (the scan
-        # groups rows by home cell inside each batch anyway, so only
-        # locality matters, not order) — the sort was the largest
-        # parallelism-independent fixed cost in the 4-vs-16 scaling run
         routed = routed.repartition(width, keys=["home_cell"])
     elif route_by_home_cell:
         routed = routed.sort("home_cell").repartition(width)
