@@ -59,6 +59,7 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[stage] {name} {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     # ---- inputs: lineitem-derived geo points (the widest table) + images.
@@ -114,6 +115,19 @@ def run_bench() -> dict:
         "knn_geo",
         lambda: knn.knn_geo(rd.from_arrow(qtbl), ckpt, batch_size=512,
                             use_actor_pool=False).count())
+
+    # ---- 2b. radius join: 10k queries against the same index (grouped
+    # vectorized range scan in RnnActor)
+    nrq = 10_000
+    rqt = pa.table({
+        "query_id": pa.array([f"r-{i:05d}" for i in range(nrq)], pa.string()),
+        "lat": pa.array(rng.uniform(-85, 85, nrq), pa.float64()),
+        "lon": pa.array(rng.uniform(-180, 180, nrq), pa.float64()),
+    })
+    counts["radius_rows"] = timed(
+        "radius_join",
+        lambda: joins.radius_join(rd.from_arrow(rqt), ckpt, radius=2.0,
+                                  batch_size=1024).count())
 
     # ---- 3. point-in-polygon spatial join over all points, task mode
     counts["pip_rows"] = timed(
@@ -171,6 +185,7 @@ def run_bench() -> dict:
     tput = {
         "index_build_rows_per_sec": round(n_points / timings["build_geo_index"], 1),
         "knn_queries_per_sec": round(nq / timings["knn_geo"], 1),
+        "radius_queries_per_sec": round(nrq / timings["radius_join"], 1),
         "pip_rows_per_sec": round(n_points / timings["pip_join"], 1),
         "tiles_rows_per_sec": round(n_points / timings["tile_counts"], 1),
         "img_decode_rows_per_sec": round(n_images / timings["img_validate"], 1),

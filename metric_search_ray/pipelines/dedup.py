@@ -169,13 +169,23 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column(id_col).to_numpy(zero_copy_only=False))
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[iu]), "id_b": pa.array(ids[ju])})
+    # self-join on (band, band_hash) instead of a per-bucket map_groups
+    # UDF — see hamming_pairs for the rationale (bucket count ~= row
+    # count makes per-group Python calls the bottleneck)
+    import ray as _ray
+    npart = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = exploded.join(exploded, join_type="inner", num_partitions=npart,
+                           on=("band", "band_hash"),
+                           right_on=("band", "band_hash"), right_suffix="_r")
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    def ordered_pairs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.less(b.column(id_col), b.column(f"{id_col}_r"))
+        sub = b.filter(keep)
+        return pa.table({"id_a": sub.column(id_col),
+                         "id_b": sub.column(f"{id_col}_r")})
+
+    pairs = joined.map_batches(ordered_pairs, batch_format="pyarrow")
     # dedupe pairs found in multiple bands: grouped aggregate, not a
     # per-pair Python UDF
     from ray.data.aggregate import Count
@@ -206,7 +216,11 @@ def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     Verification joins candidate ids back to the document table (two
     hash joins on id) so full texts move only for candidate pairs.
     """
-    cands = minhash_lsh_candidates(ds, text_col, id_col, num_perm, bands, k)
+    # materialize: candidates are small, and this decouples the
+    # candidate self-join from the two verify joins below (3 concurrent
+    # join operators starve each other's aggregator pools on few CPUs)
+    cands = minhash_lsh_candidates(ds, text_col, id_col, num_perm, bands, k
+                                   ).materialize()
     docs = ds.select_columns([id_col, text_col])
     j1 = cands.join(docs, join_type="inner", num_partitions=num_partitions,
                     on=("id_a",), right_on=(id_col,), right_suffix="_a")
@@ -329,41 +343,39 @@ def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
     exploded = ds.select_columns([id_col, hash_col]).map_batches(
         explode, batch_format="pyarrow")
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = g.column(id_col).to_numpy(zero_copy_only=False)
-        hs = g.column(hash_col).to_numpy()
-        n = len(ids)
-        if n > warn_bucket_rows:
-            log.warning(
-                "hamming_pairs bucket (band=%s, bits=%s) has %d rows — "
-                "O(n^2) scan; check bit_width / consider hash-splitting",
-                g.column("band")[0].as_py(), g.column("band_bits")[0].as_py(), n)
-        order = np.argsort(ids, kind="stable")
-        ids, hs = ids[order], hs[order]
-        a, b, d = [], [], []
-        # chunked upper-triangular pairwise scan: numpy throughput,
-        # bounded memory (chunk x n matrix)
-        chunk = max(1, min(512, (1 << 22) // max(n, 1)))
-        for i0 in range(0, n, chunk):
-            i1 = min(i0 + chunk, n)
-            ham = phashmod.hamming_matrix(hs[i0:i1], hs[i0:])
-            rr, cc = np.nonzero((ham <= max_hamming)
-                                & (np.arange(i0, n)[None, :]
-                                   > np.arange(i0, i1)[:, None]))
-            if len(rr):
-                a.append(ids[i0 + rr])
-                b.append(ids[i0 + cc])
-                d.append(ham[rr, cc].astype(np.int64))
-        if not a:
-            return pa.table({"id_a": pa.array([], pa.string() if ids.dtype == object else pa.int64()),
-                             "id_b": pa.array([], pa.string() if ids.dtype == object else pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        return pa.table({"id_a": pa.array(np.concatenate(a)),
-                         "id_b": pa.array(np.concatenate(b)),
-                         "hamming": pa.array(np.concatenate(d), pa.int64())})
+    # Bucket pairing as a SELF-JOIN on (band, band_bits): the join
+    # engine co-locates equal buckets in vectorized C++ — a
+    # groupby().map_groups here would invoke a Python UDF once per
+    # bucket, and with well-distributed bands #buckets ~= #rows
+    # (measured: 60k rows -> 180k buckets -> minutes of pure per-group
+    # overhead).  The join emits every within-bucket ordered pair;
+    # hamming is verified vectorized and multi-band duplicates collapse
+    # in a grouped Min aggregate.
+    import ray as _ray
+    npart = max(2, min(16, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    pairs_raw = exploded.join(exploded, join_type="inner", num_partitions=npart,
+                              on=("band", "band_bits"),
+                              right_on=("band", "band_bits"), right_suffix="_r")
 
-    pairs = exploded.groupby(["band", "band_bits"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    def verify_pairs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ida = b.column(id_col)
+        idb = b.column(f"{id_col}_r")
+        keep = pc.less(ida, idb)
+        sub = b.filter(keep)
+        if sub.num_rows > warn_bucket_rows:
+            log.warning("hamming_pairs join batch has %d candidate pairs — "
+                        "hot bucket; check bit_width", sub.num_rows)
+        ham = phashmod.hamming(sub.column(hash_col).to_numpy(),
+                               sub.column(f"{hash_col}_r").to_numpy())
+        ok = ham <= max_hamming
+        return pa.table({
+            "id_a": sub.column(id_col).filter(pa.array(ok)),
+            "id_b": sub.column(f"{id_col}_r").filter(pa.array(ok)),
+            "hamming": pa.array(ham[ok], pa.int64()),
+        })
+
+    pairs = pairs_raw.map_batches(verify_pairs, batch_format="pyarrow")
     # a pair found in k bands appears k times with identical hamming:
     # dedupe with a grouped Min aggregate (no per-pair Python UDF)
     from ray.data.aggregate import Min
@@ -395,8 +407,9 @@ def embedding_dedup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id"
                          vec_col: batch.column(vec_col)})
 
     sigs = ds.map_batches(sig, batch_format="pyarrow")
+    # materialized for the same join-decoupling reason as minhash
     cands = hamming_pairs(sigs, hash_col="planehash", id_col=id_col,
-                          max_hamming=max_hamming)
+                          max_hamming=max_hamming).materialize()
 
     # Ray's hash join rejects (fixed_size_)list non-key fields — carry the
     # vector as raw float64 bytes through the two id joins instead
