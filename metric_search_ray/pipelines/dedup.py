@@ -343,44 +343,172 @@ def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
     exploded = ds.select_columns([id_col, hash_col]).map_batches(
         explode, batch_format="pyarrow")
 
-    # Bucket pairing as a SELF-JOIN on (band, band_bits): the join
-    # engine co-locates equal buckets in vectorized C++ — a
-    # groupby().map_groups here would invoke a Python UDF once per
-    # bucket, and with well-distributed bands #buckets ~= #rows
-    # (measured: 60k rows -> 180k buckets -> minutes of pure per-group
-    # overhead).  The join emits every within-bucket ordered pair;
-    # hamming is verified vectorized and multi-band duplicates collapse
-    # in a grouped Min aggregate.
+    # Two regimes, two mechanisms (both exact):
+    #
+    # - SMALL buckets dominate when hashes are well distributed: bucket
+    #   count ~= row count, so a groupby().map_groups per bucket pays
+    #   ~1ms of Python UDF overhead each (measured: 60k rows -> 180k
+    #   buckets -> minutes).  A SELF-JOIN on (band, band_bits) pairs
+    #   them inside the join engine with no per-bucket Python, and its
+    #   output is bounded by small_cap x rows.
+    # - HOT buckets (skewed hashes, e.g. near-identical images): the
+    #   join would MATERIALIZE the full O(n^2) cross-product as rows
+    #   (measured: 13M-pair join batches).  Those few buckets instead
+    #   run a chunked in-place matrix scan that filters to
+    #   hamming <= max before emitting anything.
+    #
+    # The census that routes rows is a distributed bucket count; only
+    # buckets above small_cap are collected to the driver (few, by the
+    # definition of skew) and broadcast into the split filter.
     import ray as _ray
+    import pyarrow.compute as pc
+
+    small_cap = 64
+    exploded = exploded.materialize()   # consumed by census + both splits
+    if exploded.count() <= 1_000_000:
+        # small input: per-batch partial counts combined on the driver
+        # (bounded by the row count) — skips a ~5s fixed-cost shuffle
+        def partial(b: pa.Table) -> pa.Table:
+            band = b.column("band").to_numpy()
+            bits = b.column("band_bits").to_numpy()
+            ob, ov, on = [], [], []
+            for bi in np.unique(band):
+                v, c = np.unique(bits[band == bi], return_counts=True)
+                ob.append(np.full(len(v), bi, np.int64))
+                ov.append(v)
+                on.append(c)
+            return pa.table({"band": pa.array(np.concatenate(ob), pa.int64()),
+                             "band_bits": pa.array(np.concatenate(ov), pa.int64()),
+                             "n": pa.array(np.concatenate(on), pa.int64())})
+
+        pb, pv, pn = [], [], []
+        for b in (exploded.map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow", batch_size=None)):
+            pb.append(b.column("band").to_numpy())
+            pv.append(b.column("band_bits").to_numpy())
+            pn.append(b.column("n").to_numpy())
+        band_a = np.concatenate(pb) if pb else np.empty(0, np.int64)
+        bits_a = np.concatenate(pv) if pv else np.empty(0, np.int64)
+        n_a = np.concatenate(pn) if pn else np.empty(0, np.int64)
+        order = np.lexsort((bits_a, band_a))
+        band_a, bits_a, n_a = band_a[order], bits_a[order], n_a[order]
+        newgrp = np.concatenate([[True], (np.diff(band_a) != 0)
+                                 | (np.diff(bits_a) != 0)]) if len(band_a) else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(newgrp)
+        tot = np.add.reduceat(n_a, starts) if len(starts) else np.empty(0, np.int64)
+        hot_sel = starts[tot > small_cap] if len(starts) else np.empty(0, np.int64)
+        hot_keys = [(int(band_a[i]), int(bits_a[i])) for i in hot_sel]
+    else:
+        counts = exploded.groupby(["band", "band_bits"]).count()
+        hot = counts.map_batches(
+            lambda b: b.filter(pc.greater(b.column("count()"), small_cap)),
+            batch_format="pyarrow").to_pandas()
+        # an empty filter result loses its schema on the pandas conversion
+        hot_keys = ([] if "band" not in hot.columns else
+                    list(zip(hot["band"].tolist(), hot["band_bits"].tolist())))
+    if hot_keys:
+        log.warning("hamming_pairs: %d hot buckets (> %d rows) routed to "
+                    "chunked scans", len(hot_keys), small_cap)
+
+    def hot_mask(batch: pa.Table) -> np.ndarray:
+        band = batch.column("band").to_numpy()
+        bits = batch.column("band_bits").to_numpy()
+        m = np.zeros(len(band), bool)
+        for b_, bb_ in hot_keys:
+            m |= (band == b_) & (bits == bb_)
+        return m
+
+    small = exploded.map_batches(
+        lambda b: b.filter(pa.array(~hot_mask(b))), batch_format="pyarrow")
+
     npart = max(2, min(16, int(_ray.cluster_resources().get("CPU", 8)) // 2))
-    pairs_raw = exploded.join(exploded, join_type="inner", num_partitions=npart,
-                              on=("band", "band_bits"),
-                              right_on=("band", "band_bits"), right_suffix="_r")
+    joined = small.join(small, join_type="inner", num_partitions=npart,
+                        on=("band", "band_bits"),
+                        right_on=("band", "band_bits"), right_suffix="_r")
+
+    def _band_bits_of(h: np.ndarray, bi: int) -> np.ndarray:
+        lo = bi * width
+        hi = bit_width if bi == n_bands - 1 else lo + width
+        mask = (np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)
+        return (h >> np.uint64(lo)) & mask
+
+    def _first_band_only(ha: np.ndarray, hb: np.ndarray,
+                         band: np.ndarray) -> np.ndarray:
+        """True where ``band`` is the FIRST band in which ha and hb
+        agree.  Emitting a pair only from its first matching band makes
+        emission globally unique BY CONSTRUCTION — no (id_a, id_b)
+        dedup shuffle afterwards (that aggregate was the single most
+        expensive phase of this operator)."""
+        keep = np.ones(len(ha), bool)
+        for bi in range(n_bands - 1):
+            match = _band_bits_of(ha, bi) == _band_bits_of(hb, bi)
+            keep &= ~(match & (band > bi))
+        return keep
 
     def verify_pairs(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ida = b.column(id_col)
-        idb = b.column(f"{id_col}_r")
-        keep = pc.less(ida, idb)
-        sub = b.filter(keep)
-        if sub.num_rows > warn_bucket_rows:
-            log.warning("hamming_pairs join batch has %d candidate pairs — "
-                        "hot bucket; check bit_width", sub.num_rows)
-        ham = phashmod.hamming(sub.column(hash_col).to_numpy(),
-                               sub.column(f"{hash_col}_r").to_numpy())
-        ok = ham <= max_hamming
+        sub = b.filter(pc.less(b.column(id_col), b.column(f"{id_col}_r")))
+        ha = sub.column(hash_col).to_numpy().astype(np.uint64)
+        hb = sub.column(f"{hash_col}_r").to_numpy().astype(np.uint64)
+        ham = phashmod.popcount64(ha ^ hb)
+        ok = (ham <= max_hamming) & _first_band_only(
+            ha, hb, sub.column("band").to_numpy())
         return pa.table({
             "id_a": sub.column(id_col).filter(pa.array(ok)),
             "id_b": sub.column(f"{id_col}_r").filter(pa.array(ok)),
             "hamming": pa.array(ham[ok], pa.int64()),
         })
 
-    pairs = pairs_raw.map_batches(verify_pairs, batch_format="pyarrow")
-    # a pair found in k bands appears k times with identical hamming:
-    # dedupe with a grouped Min aggregate (no per-pair Python UDF)
-    from ray.data.aggregate import Min
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    pairs = joined.map_batches(verify_pairs, batch_format="pyarrow")
+
+    if hot_keys:
+        big = exploded.map_batches(
+            lambda b: b.filter(pa.array(hot_mask(b))), batch_format="pyarrow")
+
+        def bucket_scan(g: pa.Table) -> pa.Table:
+            ids = g.column(id_col).to_numpy(zero_copy_only=False)
+            hs = g.column(hash_col).to_numpy()
+            bnd = int(g.column("band")[0].as_py())
+            order = np.argsort(ids, kind="stable")
+            ids, hs = ids[order], hs[order]
+            n = len(ids)
+            if n > warn_bucket_rows:
+                log.warning("hamming_pairs hot bucket has %d rows — O(n^2) "
+                            "scan; check bit_width", n)
+            a, b, d = [], [], []
+            chunk = max(1, (1 << 23) // max(n, 1))
+            rows_all = np.arange(n)
+            hu = hs.astype(np.uint64)
+            for i0 in range(0, n, chunk):
+                i1 = min(i0 + chunk, n)
+                ham = phashmod.hamming_matrix(hs[i0:i1], hs)
+                rr, cc = np.nonzero((ham <= max_hamming)
+                                    & (rows_all[None, :]
+                                       > rows_all[i0:i1, None]))
+                if len(rr):
+                    keep = _first_band_only(hu[i0 + rr], hu[cc],
+                                            np.full(len(rr), bnd, np.int64))
+                    rr, cc = rr[keep], cc[keep]
+                if len(rr):
+                    a.append(ids[i0 + rr])
+                    b.append(ids[cc])
+                    d.append(ham[rr, cc].astype(np.int64))
+            if not a:
+                empty = pa.array([], pa.string() if ids.dtype == object else pa.int64())
+                return pa.table({"id_a": empty, "id_b": empty,
+                                 "hamming": pa.array([], pa.int64())})
+            return pa.table({"id_a": pa.array(np.concatenate(a)),
+                             "id_b": pa.array(np.concatenate(b)),
+                             "hamming": pa.array(np.concatenate(d), pa.int64())})
+
+        hot_pairs = big.groupby(["band", "band_bits"]).map_groups(
+            bucket_scan, batch_format="pyarrow")
+        pairs = pairs.union(hot_pairs)
+
+    # no dedup pass needed: first-matching-band emission is unique by
+    # construction across bands AND across the small/hot split (a
+    # bucket is either wholly small or wholly hot)
+    return pairs
 
 
 # ---------------------------------------------------------------- embeddings

@@ -142,9 +142,18 @@ class RnnActor:
 
 
 def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
-                batch_size: int = 256):
+                batch_size: int = 256, use_actor_pool: bool = True):
     """All (query, image) pairs with planar-degree dist < radius (strict,
-    matching the reference's rnn)."""
+    matching the reference's rnn).  ``use_actor_pool=False`` ships a
+    pickled RnnActor to stateless tasks — parallelism then follows the
+    cluster instead of the fixed pool size (same tradeoff as knn_geo)."""
+    import ray as _ray
+
+    if not use_actor_pool:
+        width = max(2 * int(_ray.cluster_resources().get("CPU", 8)), 8)
+        return queries_ds.repartition(width).map_batches(
+            RnnActor(ckpt_dir, radius), batch_format="pyarrow",
+            batch_size=batch_size, num_cpus=1)
     return queries_ds.map_batches(
         RnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir, "radius": radius},
         batch_format="pyarrow", batch_size=batch_size,
