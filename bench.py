@@ -168,10 +168,15 @@ def run_bench() -> dict:
         sub = rd.read_parquet(images_path).map_batches(
             lambda b: b.filter(pc.less(b.column("image_id"), "img-00012000")),
             batch_format="pyarrow")
+        # narrow read for the pair stage: only (image_id, phash) leave
+        # storage — the bytes column is needed just for the SSIM verify
+        narrow = rd.read_parquet(images_path, columns=["image_id", "phash"]
+                                 ).map_batches(
+            lambda b: b.filter(pc.less(b.column("image_id"), "img-00012000")),
+            batch_format="pyarrow")
         pairs = timed(
             "near_dup_pairs",
-            lambda: dedup.hamming_pairs(sub.select_columns(["image_id", "phash"]),
-                                        max_hamming=2, bit_width=64
+            lambda: dedup.hamming_pairs(narrow, max_hamming=2, bit_width=64
                                         ).limit(50_000).materialize())
         # broadcast only the candidate images (tiny), not the whole subset
         pdf = pairs.to_pandas()
