@@ -569,6 +569,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["h"] = out["h"].astype(np.int64)
         return out
 
+    def doc_fingerprint(sf_dir: str):
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return textops.fingerprint_mod(ds)
+
+    def events_sliding_window(sf_dir: str):
+        from metric_search_ray.pipelines import windows
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+        out = windows.sliding(ds, "user_id", "ts", 7200, 3600, "value").to_pandas()
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
+    def phash_knn(sf_dir: str):
+        from metric_search_ray.pipelines import knn
+        pts = _orders_points(sf_dir).select_columns(["o_orderkey", "phash"])
+        # query hashes = the phashes of o_orderkey 1..8 (SQL-derivable)
+        qdf = (pts.filter(lambda r: r["o_orderkey"] <= 8).to_pandas()
+               .sort_values("o_orderkey"))
+        out = knn.knn_metric(pts, qdf["o_orderkey"].tolist(),
+                             qdf["phash"].to_numpy(), k=10, metric="hamming",
+                             data_col="phash", id_col="o_orderkey").to_pandas()
+        out["hamming"] = out["dist"].astype(np.int64)
+        return out[["query_id", "o_orderkey", "rank", "hamming"]]
+
     def graph_components(sf_dir: str):
         from metric_search_ray import graph
         g = graph.margulis(576)
@@ -605,6 +631,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_ivf": embed_knn_ivf,
         "embed_dedup": embed_dedup,
         "graph_components": graph_components,
+        "doc_fingerprint": doc_fingerprint,
+        "events_sliding_window": events_sliding_window,
+        "phash_knn": phash_knn,
     }
 
 
@@ -904,6 +933,41 @@ SELECT doc_id,
   CAST(CASE WHEN cjk * 5 > length(text) THEN cjk ELSE bn END AS BIGINT) AS n_best,
   CAST(len(toks) AS BIGINT) AS n_toks
 FROM b
+""",
+        # 31-bit Horner fingerprint over raw codepoints — list_reduce
+        # computes the identical fold (text.fingerprint_mod)
+        "doc_fingerprint": """
+SELECT doc_id,
+  CASE WHEN text IS NULL OR text = '' THEN 0
+       ELSE list_reduce(list_transform(string_split(text, ''),
+                                       c -> CAST(unicode(c) AS BIGINT)),
+                        (a, x) -> (a * 257 + x) % 2147483647) END AS fp31
+FROM documents
+""",
+        # sliding windows (size 7200, slide 3600): each event lands in
+        # the k = size/slide windows containing it
+        "events_sliding_window": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ep, value FROM events),
+w AS (SELECT user_id, (ep // 3600) * 3600 - j * 3600 AS window_start, value
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) g
+      WHERE ep < (ep // 3600) * 3600 - j * 3600 + 7200)
+SELECT user_id, window_start, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+        # exact Hamming kNN over the 16-bit orders phash; ties broken
+        # by o_orderkey on both sides
+        "phash_knn": f"""
+WITH {_pts_cte()},
+ph AS (SELECT okey, (s1 % 65536) AS phash FROM pts),
+q AS (SELECT okey AS query_id, phash AS qh FROM ph WHERE okey <= 8),
+d AS (SELECT q.query_id, p.okey AS o_orderkey,
+             bit_count(xor(q.qh, p.phash)) AS hamming
+      FROM q CROSS JOIN ph p)
+SELECT query_id, o_orderkey,
+       row_number() OVER (PARTITION BY query_id ORDER BY hamming, o_orderkey) AS rank,
+       CAST(hamming AS BIGINT) AS hamming
+FROM d
+QUALIFY rank <= 10
 """,
         # margulis(576) is a connected expander, so every node's
         # component is the min node id (0); the graph itself is a fixed

@@ -121,6 +121,41 @@ def lang_id(ds):
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
 
 
+def fingerprint_mod(ds, text_col: str = "text", id_col: str = "doc_id",
+                    base: int = 257, mod: int = (1 << 31) - 1):
+    """31-bit document fingerprint: Horner fold of the raw text's
+    unicode codepoints, ``h = fold(acc*base + cp) mod p`` — the same
+    value DuckDB computes with
+    ``list_reduce(list_transform(string_split(text, ''), c ->
+    unicode(c)), (a, x) -> (a*257 + x) % p)``, making this the
+    SQL-oracled fingerprint (``fingerprint`` keeps the full-width
+    64-bit variant).
+
+    Vectorized: one power-table build per batch, then per doc a single
+    elementwise multiply + chunked exact sums (cp < 2^21, pow < 2^31,
+    2048-term chunks < 2^63 — no overflow)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        max_len = max((len(t) for t in texts), default=0)
+        pows = np.empty(max(max_len, 1), np.uint64)
+        pows[0] = 1
+        for i in range(1, len(pows)):           # scalar ladder, once per batch
+            pows[i] = (pows[i - 1] * base) % mod
+        out = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
+            v = cp * pows[len(cp) - 1::-1]
+            total = np.uint64(0)
+            for j in range(0, len(v), 2048):
+                total = (total + np.sum(v[j:j + 2048], dtype=np.uint64)) % np.uint64(mod)
+            out[i] = int(total)
+        return pa.table({id_col: batch.column(id_col),
+                         "fp31": pa.array(out, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     """64-bit document fingerprint: polynomial hash (base = the FNV
     prime, natural uint64 wrap) of the normalized text's bytes

@@ -115,6 +115,15 @@ def test_text_ops(ray_session):
     assert q.loc[1, "n_words"] == 4
     assert q.loc[1, "stopword_ratio"] == pytest.approx(0.25)
     assert q.loc[2, "punct_ratio"] == pytest.approx(2 / 9)
+    fpm = text.fingerprint_mod(ds).to_pandas().set_index("doc_id")["fp31"]
+    # Horner oracle in plain Python ints
+    def horner(t, p=(1 << 31) - 1):
+        acc = 0
+        for ch in t:
+            acc = (acc * 257 + ord(ch)) % p
+        return acc
+    assert fpm[1] == horner("the quick brown fox")
+    assert fpm[3] == 0
     fp = text.fingerprint(ds).to_pandas()
     fp2 = text.fingerprint(ds).to_pandas()
     pd.testing.assert_frame_equal(fp.sort_values("doc_id").reset_index(drop=True),
