@@ -94,6 +94,81 @@ class ImageFeatures:
         })
 
 
+def _decode_pcm16(buf: bytes) -> tuple[int, np.ndarray]:
+    """Deterministic raw-audio container: 8-byte header (sample_rate
+    uint32 LE, n_samples uint32 LE) + s16le mono samples.  The real
+    containers (wav/flac/mp3) need audio libraries absent in this
+    environment and raise via _decode_or_raise's stub boundary."""
+    if len(buf) < 8:
+        raise ValueError("pcm16 buffer shorter than its header")
+    rate = int.from_bytes(buf[0:4], "little")
+    n = int.from_bytes(buf[4:8], "little")
+    samples = np.frombuffer(buf, np.int16, count=n, offset=8)
+    if len(samples) != n:
+        raise ValueError("pcm16 truncated payload")
+    return rate, samples
+
+
+def encode_pcm16(rate: int, samples: np.ndarray) -> bytes:
+    s = np.asarray(samples, np.int16)
+    return (int(rate).to_bytes(4, "little") + len(s).to_bytes(4, "little")
+            + s.tobytes())
+
+
+class AudioFeatures:
+    """Audio analogue of ImageFeatures: decode -> compact descriptor as
+    fixed_size_list<float32, 11> (duration, rms, zero-crossing rate,
+    8 log-spaced spectral band energies).  Same actor contract a real
+    model would use (state in __init__, batched work in __call__);
+    only the deterministic 'pcm16' container decodes here — wav/flac
+    raise the explicit stub error."""
+
+    DIM = 11
+
+    def __init__(self, n_bands: int = 8):
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        feats = np.zeros((len(bufs), self.DIM), np.float32)
+        for i, (buf, fmt) in enumerate(zip(bufs, fmts)):
+            if fmt != "pcm16":
+                if fmt in STUBBED_FORMATS:
+                    raise NotImplementedError(
+                        f"audio container {fmt!r} needs an audio library not "
+                        "present in this environment; only 'pcm16' decodes")
+                raise ValueError(f"unknown audio fmt {fmt!r}")
+            rate, s = _decode_pcm16(buf)
+            x = s.astype(np.float64) / 32768.0
+            n = len(x)
+            if n == 0 or rate == 0:
+                continue
+            feats[i, 0] = n / rate
+            feats[i, 1] = np.sqrt(np.mean(x * x))
+            feats[i, 2] = np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))
+            spec = np.abs(np.fft.rfft(x)) ** 2
+            # log-spaced band starts over [0, len(spec)); <= n_bands bands
+            starts = np.unique(np.concatenate(
+                [[0], np.geomspace(1, max(len(spec) - 1, 1),
+                                   self.n_bands).astype(np.int64)]))[:self.n_bands]
+            e = np.add.reduceat(spec, starts)
+            total = spec.sum() or 1.0
+            feats[i, 3:3 + len(e)] = e / total
+        return pa.table({
+            "audio_id": batch.column("audio_id"),
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), pa.float32()), self.DIM),
+        })
+
+
+def audio_features(ds, concurrency: int = 4, batch_size: int = 256):
+    """audio Dataset (audio_id, bytes, fmt, ...) -> (audio_id, features)."""
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
+
+
 class FrameSampler:
     """Video frame sampling stage — STUB: real decoders are absent, so
     this implements the full Ray-side contract (schema in/out, per-actor

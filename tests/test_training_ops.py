@@ -265,3 +265,34 @@ def test_sessions_scalable_matches_sessions_hot_key(ray_session):
     b = b.sort_values(cols).reset_index(drop=True)
     assert a[cols].equals(b[cols])
     np.testing.assert_allclose(a["sum_value"], b["sum_value"], atol=1e-9)
+
+
+def test_audio_features(ray_session):
+    """pcm16 decode + descriptor: a pure tone's energy concentrates in
+    one spectral band; the wav stub raises the explicit boundary."""
+    rate = 8000
+    t = np.arange(rate) / rate
+    rows = []
+    for i, freq in enumerate([200.0, 1800.0]):
+        s = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+        rows.append({"audio_id": f"a-{i}", "fmt": "pcm16",
+                     "bytes": multimodal.encode_pcm16(rate, s)})
+    tbl = pa.table({"audio_id": pa.array([r["audio_id"] for r in rows]),
+                    "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+                    "fmt": pa.array([r["fmt"] for r in rows])})
+    out = multimodal.audio_features(rd.from_arrow(tbl), concurrency=2).to_pandas()
+    assert len(out) == 2
+    f0 = np.asarray(out.set_index("audio_id").loc["a-0", "features"])
+    f1 = np.asarray(out.set_index("audio_id").loc["a-1", "features"])
+    assert f0[0] == pytest.approx(1.0)              # duration 1s
+    assert f0[1] == pytest.approx(20000 / 32768 / np.sqrt(2), rel=1e-3)  # rms
+    # higher tone crosses zero more often and peaks in a later band
+    assert f1[2] > f0[2]
+    assert np.argmax(f1[3:]) > np.argmax(f0[3:])
+    assert f0[3:].sum() == pytest.approx(1.0, abs=1e-3)
+    # stub boundary is explicit
+    bad = pa.table({"audio_id": pa.array(["b"]),
+                    "bytes": pa.array([b"RIFF"], pa.binary()),
+                    "fmt": pa.array(["wav"])})
+    with pytest.raises(Exception, match="audio library|NotImplemented"):
+        multimodal.audio_features(rd.from_arrow(bad), concurrency=2).materialize()
