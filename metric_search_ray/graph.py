@@ -79,6 +79,20 @@ class Graph:
             frontier = nxt
         return out
 
+    def get_neighbours_old(self, index: int, max_deep: int) -> list[list[int]]:
+        """Parity port of the reference's legacy DFS variant
+        (graph.cpp:50-109, "left for comparison" there).
+
+        That implementation enumerates EVERY walk of length <= maxDeep
+        from the start node and keeps each node's minimum depth seen.
+        The minimum over all walks of length <= k is exactly the BFS
+        shortest-path depth, so its RESULT equals ``get_neighbours``
+        (the reference's own per-depth order is an unordered_map walk —
+        unspecified); only its cost differs (exponential vs linear).
+        Delegates to the BFS accordingly — re-enacting the walk
+        enumeration would reproduce cost, not semantics."""
+        return self.get_neighbours(index, max_deep)
+
     def connected_components(self) -> list[list[int]]:
         """All components, sorted by size descending (parity with
         all_connected_components, connected_components.hpp:241-258)."""
@@ -245,12 +259,82 @@ def margulis(n: int) -> Graph:
 
 
 def random_uniform(n: int, n_connections: int, seed: int = 42) -> Graph:
-    """Random graph with ~n_connections out-edges per node, seeded
-    (deterministic stand-in for graph.cpp:671-774)."""
+    """Random unweighted graph with ~n_connections out-edges per node,
+    seeded (the engine's everyday generator; the reference's weighted
+    fill semantics live in RandomUniformWeighted)."""
     rng = np.random.default_rng(seed)
     src = np.repeat(np.arange(n, dtype=np.int64), n_connections)
     dst = rng.integers(0, n, n * n_connections)
     return Graph(np.stack([src, dst], 1), n_nodes=n)
+
+
+class RandomUniformWeighted:
+    """Faithful port of the reference's ``RandomUniform`` weighted graph
+    (graph.cpp:671-774): DIRECTED (isSymmetric=false), weighted.
+
+    - ``n_connections > 0``: for every COLUMN, draw rows uniformly with
+      retry-on-collision until exactly n_connections distinct entries
+      exist, each weighted U(lower, upper) — constant in-degree per
+      column, self-loops permitted (the reference writes the matrix
+      directly, bypassing buildEdges' self-loop drop).  The reference's
+      "empty cell" test is ``weight == 0``, so a drawn weight of
+      exactly 0 leaves the cell refillable — quirk preserved.
+    - ``n_connections <= 0``: dense total fill, every (row, col) drawn.
+
+    The reference uses an UNSEEDED std::default_random_engine (fixed
+    implementation-defined stream); this port keeps the exact
+    structure under a seeded numpy Generator instead — same semantics,
+    explicit determinism.
+    ``get_neighbours`` mirrors the reference's weighted stub (a bare
+    ``return {}`` at graph.cpp:52-55): weighted traversal is
+    unimplemented there too."""
+
+    def __init__(self, n_nodes: int, lower_bound: float = 0.0,
+                 upper_bound: float = 1.0, n_connections: int = 0,
+                 seed: int = 1):
+        self.n = n_nodes
+        rng = np.random.default_rng(seed)
+        if n_connections > 0:
+            rows, cols, ws = [], [], []
+            filled: set[tuple[int, int]] = set()
+            for c in range(n_nodes):
+                count = 0
+                while count < n_connections:
+                    r = int(rng.integers(0, n_nodes))
+                    if (r, c) not in filled:
+                        wt = float(rng.uniform(lower_bound, upper_bound))
+                        count += 1
+                        if wt == 0.0:
+                            # quirk preserved: the reference assigns the 0
+                            # and advances count, but its occupancy test is
+                            # "weight == 0" — the cell stays refillable and
+                            # the column may end under n_connections
+                            continue
+                        filled.add((r, c))
+                        rows.append(r)
+                        cols.append(c)
+                        ws.append(wt)
+                    # else: retry (count--)
+            self.edges = np.stack([np.asarray(rows, np.int64),
+                                   np.asarray(cols, np.int64)], axis=1)
+            self.weights = np.asarray(ws, np.float64)
+        else:
+            r, c = np.mgrid[0:n_nodes, 0:n_nodes]
+            self.edges = np.stack([r.ravel().astype(np.int64),
+                                   c.ravel().astype(np.int64)], axis=1)
+            self.weights = rng.uniform(lower_bound, upper_bound,
+                                       n_nodes * n_nodes)
+
+    def get_nodes_number(self) -> int:
+        return self.n
+
+    def is_valid(self) -> bool:
+        return self.n > 0
+
+    def get_neighbours(self, index: int, max_deep: int) -> list[list[int]]:
+        """Weighted-graph neighbour metric is a stub in the reference
+        (graph.cpp:171 returns {}); mirrored."""
+        return []
 
 
 # ------------------------------------------------------- distributed CC

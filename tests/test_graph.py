@@ -101,3 +101,37 @@ def test_connected_components_ray_matches_local(ray_session):
         assert expected[n] == lbl
     touched = set(e.ravel().tolist())
     assert set(got) == touched
+
+
+def test_get_neighbours_old_matches_bfs():
+    """Legacy DFS variant (graph.cpp:50-109): min depth over all walks
+    == BFS depth, so results must be identical per depth (as sets)."""
+    g = graph.grid8(5, 5)
+    for start in (0, 12, 24):
+        a = g.get_neighbours(start, 3)
+        b = g.get_neighbours_old(start, 3)
+        assert [sorted(x) for x in a] == [sorted(x) for x in b]
+
+
+def test_random_uniform_weighted():
+    """Reference RandomUniform semantics (graph.cpp:671-774): directed,
+    per-column constant in-degree with retry, weights in range; dense
+    overload fills everything; weighted get_neighbours is the
+    reference's stub (empty)."""
+    import numpy as np
+    g = graph.RandomUniformWeighted(40, 0.5, 2.0, n_connections=3, seed=7)
+    assert g.is_valid() and g.get_nodes_number() == 40
+    cols, counts = np.unique(g.edges[:, 1], return_counts=True)
+    assert len(cols) == 40 and (counts == 3).all()      # exact in-degree
+    # distinct rows per column
+    for c in cols:
+        rows = g.edges[g.edges[:, 1] == c, 0]
+        assert len(set(rows.tolist())) == len(rows)
+    assert ((g.weights >= 0.5) & (g.weights < 2.0)).all()
+    assert g.get_neighbours(0, 2) == []                 # weighted stub parity
+    d = graph.RandomUniformWeighted(6, -1.0, 1.0, n_connections=0, seed=3)
+    assert len(d.edges) == 36 and len(d.weights) == 36
+    assert ((d.weights >= -1.0) & (d.weights < 1.0)).all()
+    # determinism
+    g2 = graph.RandomUniformWeighted(40, 0.5, 2.0, n_connections=3, seed=7)
+    assert np.array_equal(g.edges, g2.edges) and np.array_equal(g.weights, g2.weights)
