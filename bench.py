@@ -95,10 +95,13 @@ def run_bench() -> dict:
     # ---- 1. partitioned cover-tree index build over the points (fresh)
     ckpt = os.path.join(work, "geoidx")
     res = 5 if n_points > 30_000 else 4
-    # target_rows trades per-partition tree depth (build CPU) against
-    # query fan-out; 5k keeps the Python tree build shallow at this scale
+    # target_rows trades per-partition tree build CPU against partition
+    # count (task + checkpoint-file overhead): the scalar flat-array
+    # builder made 20k-row trees cheap (~0.15s), so fewer/larger
+    # partitions win — 5k produced 1059 partitions at sf0.1 with the
+    # groupby and 1059 parquet writes dominating the stage
     manifest = timed("build_geo_index",
-                     lambda: build.build_index(pts, ckpt, res=res, target_rows=5_000,
+                     lambda: build.build_index(pts, ckpt, res=res, target_rows=20_000,
                                                resume=False, materialize_tagged=True))
     counts["index_rows"] = int(manifest.column("n_rows").to_numpy().sum())
 
