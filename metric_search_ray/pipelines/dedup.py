@@ -37,15 +37,27 @@ def add_content_hash(batch: pa.Table, text_col: str, out: str = "content_hash") 
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per distinct content (hash-partitioned)."""
+    """Keep the min-id row per distinct content (hash-partitioned).
+
+    Keeper selection is a grouped Min AGGREGATE over (content_hash ->
+    min id) — with mostly-unique content, #groups ~= #rows and a
+    map_groups UDF would pay per-group Python overhead (see
+    hamming_pairs).  The min-id set then joins back to the rows by id
+    to recover full keeper rows."""
+    from ray.data.aggregate import Min
+
+    import ray as _ray
+
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow", zero_copy_batch=True)
-
-    def keep_first(g: pa.Table) -> pa.Table:
-        ids = g.column(id_col).to_numpy(zero_copy_only=False)
-        return g.take([int(np.argmin(ids))]).drop_columns(["content_hash"])
-
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
+    keep_ids = (hashed.groupby("content_hash")
+                .aggregate(Min(id_col, alias_name="keep_id"))
+                .select_columns(["keep_id"]))
+    npart = max(2, min(16, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = ds.join(keep_ids, join_type="inner", num_partitions=npart,
+                     on=(id_col,), right_on=("keep_id",))
+    cols = ds.schema().names
+    return joined.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- shingles / minhash

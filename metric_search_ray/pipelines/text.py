@@ -39,13 +39,11 @@ def token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def bpe_ish_token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Regex token count approximating BPE pre-tokenization (GPT-2-style
-    split on words / numbers / punctuation runs)."""
-    import re
-    pat = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
-
+    split on words / numbers / punctuation runs) — one vectorized
+    str.count pass, no per-doc findall."""
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        n = [len(pat.findall(t or "")) for t in texts]
+        s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        n = s.str.count(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+").to_numpy(np.int64)
         return pa.table({id_col: batch.column(id_col),
                          "n_bpe_tokens": pa.array(n, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -90,29 +88,33 @@ class LangId:
         self.markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column("text").to_pylist()]
-        langs, confs, n_best, n_toks = [], [], [], []
-        for t in texts:
-            toks = t.lower().split()
-            n = max(len(toks), 1)
-            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
-            # integer-only CJK gate (cjk/len > 0.2) — exact, SQL-replayable
-            if cjk * 5 > len(t):
-                langs.append("zh")
-                confs.append(cjk / max(len(t), 1))
-                n_best.append(cjk)
-                n_toks.append(len(toks))
-                continue
-            counts = {lang: sum(1 for w in toks if w in mk)
-                      for lang, mk in self.markers.items() if mk}
-            # first-max wins on ties (dict order en, de, fr, es)
-            best = max(counts, key=counts.get)
-            langs.append(best if counts[best] > 0 else "unknown")
-            confs.append(counts[best] / n)
-            n_best.append(counts[best])
-            n_toks.append(len(toks))
-        out = batch.append_column("lang_pred", pa.array(langs, pa.string()))
-        out = out.append_column("lang_conf", pa.array(confs, pa.float64()))
+        s = pd.Series([t or "" for t in batch.column("text").to_pylist()])
+        n_rows = len(s)
+        n_chars = s.str.len().to_numpy(np.int64)
+        cjk = s.str.count(r"[一-鿿]").to_numpy(np.int64)
+        toks = s.str.lower().str.split()
+        n_toks = toks.map(len).to_numpy(np.int64)
+        # per-language marker counts via one explode + isin per language
+        flat = toks.explode()
+        idx = flat.index.to_numpy()
+        order = ["en", "de", "fr", "es"]
+        counts = np.zeros((n_rows, len(order)), np.int64)
+        for li, lang in enumerate(order):
+            hit = flat.isin(self.markers[lang]).to_numpy()
+            np.add.at(counts[:, li], idx[hit], 1)
+        # first-max wins on ties: argmax over the fixed language order
+        best_li = np.argmax(counts, axis=1)
+        best_n = counts[np.arange(n_rows), best_li]
+        lang_arr = np.asarray(order, dtype=object)[best_li]
+        lang_arr[best_n == 0] = "unknown"
+        # integer-only CJK gate (cjk/len > 0.2) — exact, SQL-replayable
+        is_zh = cjk * 5 > n_chars
+        lang_arr[is_zh] = "zh"
+        n_best = np.where(is_zh, cjk, best_n)
+        conf = np.where(is_zh, cjk / np.maximum(n_chars, 1),
+                        best_n / np.maximum(n_toks, 1))
+        out = batch.append_column("lang_pred", pa.array(lang_arr, pa.string()))
+        out = out.append_column("lang_conf", pa.array(conf, pa.float64()))
         out = out.append_column("n_best", pa.array(n_best, pa.int64()))
         return out.append_column("n_toks", pa.array(n_toks, pa.int64()))
 
