@@ -554,6 +554,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_value"] = out["sum_value"].round(6)
         return out
 
+    def events_sessions_scalable(sf_dir: str):
+        # the skew-hardened two-phase sessionizer must reproduce the
+        # plain one bit-for-bit on (key, start, end, n); sums via
+        # partial+merge differ only in float add order (round 6)
+        from metric_search_ray.pipelines import windows
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+        out = windows.sessions_scalable(ds, "user_id", "ts", 3600, "value",
+                                        bucket_s=86400).to_pandas()
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
     def doc_simhash_pairs(sf_dir: str):
         from metric_search_ray.pipelines import dedup
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -624,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_cluster": img_cluster,
         "events_tumbling_window": events_tumbling_window,
         "events_sessions": events_sessions,
+        "events_sessions_scalable": events_sessions_scalable,
         "doc_simhash_pairs": doc_simhash_pairs,
         "img_resize": img_resize,
         "doc_minhash_pairs": doc_minhash_pairs,
@@ -801,6 +814,17 @@ SELECT user_id,
 FROM events GROUP BY 1, 2
 """,
         "events_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ep, value FROM events),
+o AS (SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                       OR ep - lag(ep) OVER w > 3600 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep)),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ep
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id, min(ep) AS session_start, max(ep) AS session_end,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+        "events_sessions_scalable": """
 WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ep, value FROM events),
 o AS (SELECT *, CASE WHEN lag(ep) OVER w IS NULL
                        OR ep - lag(ep) OVER w > 3600 THEN 1 ELSE 0 END AS new_s

@@ -192,3 +192,19 @@ def test_ssim_verify_pairs(ray_session, tiny_images):
         other = out[~dup_mask]["ssim_dist"].dropna()
         if len(dup_scores) and len(other):
             assert dup_scores.mean() <= other.mean() + 1e-9
+
+
+def test_knn_geo_hash_routing_matches_sort(index_dir, geo_points):
+    """route_strategy='hash' (keyed repartition, no sort barrier) must
+    return exactly the default sort-routed results."""
+    ckpt, _ = index_dir
+    q = fixtures.knn_queries(40)
+    import pyarrow as pa
+    a = (knn.knn_geo(rd.from_arrow(pa.table(q)), ckpt, concurrency=2)
+         .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (knn.knn_geo(rd.from_arrow(pa.table(q)), ckpt, concurrency=2,
+                     route_strategy="hash")
+         .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert a[["query_id", "image_id", "rank"]].equals(
+        b[["query_id", "image_id", "rank"]])
+    np.testing.assert_allclose(a["dist"], b["dist"], atol=0)
