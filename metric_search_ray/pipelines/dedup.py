@@ -48,6 +48,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     import ray as _ray
 
+    if ds.limit(1).count() == 0:
+        return ds   # empty input: the id join would see schema-less blocks
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow", zero_copy_batch=True)
     keep_ids = (hashed.groupby("content_hash")
@@ -377,6 +379,15 @@ def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
 
     small_cap = 64
     exploded = exploded.materialize()   # consumed by census + both splits
+    if exploded.count() == 0:
+        # empty input: the join path would hand schema-less blocks to
+        # the hash aggregator (ArrowInvalid) — return a typed empty set
+        import ray.data as _rd
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+            "hamming": pa.array([], pa.int64())}))
     if exploded.count() <= 1_000_000:
         # small input: per-batch partial counts combined on the driver
         # (bounded by the row count) — skips a ~5s fixed-cost shuffle

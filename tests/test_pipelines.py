@@ -208,3 +208,15 @@ def test_knn_geo_hash_routing_matches_sort(index_dir, geo_points):
     assert a[["query_id", "image_id", "rank"]].equals(
         b[["query_id", "image_id", "rank"]])
     np.testing.assert_allclose(a["dist"], b["dist"], atol=0)
+
+
+def test_knn_geo_empty_queries(index_dir):
+    import pyarrow as pa
+    ckpt, _ = index_dir
+    q = rd.from_arrow(pa.table({
+        "query_id": pa.array([], pa.string()),
+        "lat": pa.array([], pa.float64()),
+        "lon": pa.array([], pa.float64()),
+        "k": pa.array([], pa.int32()),
+    }))
+    assert knn.knn_geo(q, ckpt, concurrency=2).count() == 0
