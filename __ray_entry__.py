@@ -566,6 +566,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_value"] = out["sum_value"].round(6)
         return out
 
+    def events_asof(sf_dir: str):
+        # for every event, the user's most recent strictly-earlier
+        # purchase event (as-of backward join); -1 when none
+        from metric_search_ray.pipelines import windows
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts", "event_type"])
+        purchases = ds.filter(lambda r: r["event_type"] == "purchase")
+        return windows.asof_join_ids(ds, purchases, "user_id", "ts",
+                                     "event_id", "event_id")
+
     def doc_simhash_pairs(sf_dir: str):
         from metric_search_ray.pipelines import dedup
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -637,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": events_tumbling_window,
         "events_sessions": events_sessions,
         "events_sessions_scalable": events_sessions_scalable,
+        "events_asof": events_asof,
         "doc_simhash_pairs": doc_simhash_pairs,
         "img_resize": img_resize,
         "doc_minhash_pairs": doc_minhash_pairs,
@@ -823,6 +834,17 @@ s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ep
 SELECT user_id, min(ep) AS session_start, max(ep) AS session_end,
        count(*) AS n, round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid
+""",
+        # DuckDB ASOF JOIN replays the backward match; (user, ts) pairs
+        # are unique in the fixture, so no tie-break is exercised
+        "events_asof": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ep, event_type
+           FROM events),
+p AS (SELECT user_id, ep, event_id AS pid FROM e WHERE event_type = 'purchase')
+SELECT e.event_id,
+       CAST(coalesce(p.pid, -1) AS BIGINT) AS asof_event_id,
+       CAST(coalesce(p.ep, -1) AS BIGINT) AS asof_ep
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ep > p.ep
 """,
         "events_sessions_scalable": """
 WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ep, value FROM events),

@@ -115,6 +115,60 @@ def sessions(ds, key_col: str, ts_col: str, gap_s: int, value_col: str):
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def asof_join_ids(left_ds, right_ds, key_col: str, ts_col: str,
+                  left_id: str, right_id: str, strict: bool = True):
+    """Per-key backward as-of join (an operator Ray Data lacks): for
+    every left row, the right row of the same key with the greatest
+    timestamp < left.ts (``strict``) or <= (non-strict); -1 when no
+    right row precedes it.
+
+    Shuffle shape: both sides project to (key, ts, id) — payloads never
+    move; callers hash-join payloads back by id.  The match itself is a
+    union + ``groupby(key)`` with a vectorized searchsorted per key
+    (ties on ts resolve to the greatest right id — deterministic).
+    Partitioning assumption: one key's rows fit one task (same skew
+    note as ``sessions``; pre-split by coarse time range + boundary
+    carry is the mitigation at extreme key skew).
+
+    Returns (left_id, matched right_id | -1, matched ts | -1).
+    """
+    def project(ds_, id_col_, side_):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                key_col: b.column(key_col),
+                "ep": pa.array(_ts_to_epoch(b, ts_col), pa.int64()),
+                "row_id": b.column(id_col_),
+                "side": pa.array(np.full(b.num_rows, side_, np.int8)),
+            })
+        return ds_.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    both = project(left_ds, left_id, 0).union(project(right_ds, right_id, 1))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0]
+        r = g[g["side"] == 1]
+        lid = l["row_id"].to_numpy()
+        lep = l["ep"].to_numpy()
+        rep = r["ep"].to_numpy()
+        rid = r["row_id"].to_numpy()
+        if len(rep) == 0:
+            out_id = np.full(len(lid), -1, np.int64)
+            out_ep = np.full(len(lid), -1, np.int64)
+        else:
+            order = np.lexsort((rid, rep))    # ties -> greatest id is LAST
+            rep, rid = rep[order], rid[order]
+            pos = np.searchsorted(rep, lep,
+                                  side="left" if strict else "right") - 1
+            hit = pos >= 0
+            out_id = np.where(hit, rid[np.maximum(pos, 0)], -1)
+            out_ep = np.where(hit, rep[np.maximum(pos, 0)], -1)
+        return pd.DataFrame({left_id: lid,
+                             "asof_" + right_id: out_id.astype(np.int64),
+                             "asof_ep": out_ep.astype(np.int64)})
+
+    return both.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 def sessions_scalable(ds, key_col: str, ts_col: str, gap_s: int, value_col: str,
                       bucket_s: int = 7 * 86400):
     """Skew-hardened sessions: identical output to ``sessions``.

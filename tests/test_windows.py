@@ -83,3 +83,38 @@ def test_sliding_validates_args(events):
     ds, _ = events
     with pytest.raises(ValueError):
         windows.sliding(ds, "user_id", "ts", 7000, 3600, "value")
+
+
+def test_asof_join_ids(ray_session):
+    """Backward as-of join: strict/non-strict boundaries, duplicate-ts
+    tie-break to the greatest right id, -1 when nothing precedes."""
+    import pandas as pd
+    import ray.data as rd
+    from metric_search_ray.pipelines import windows
+
+    base = np.datetime64("2025-06-01T00:00:00", "s").astype("datetime64[us]")
+    sec = np.timedelta64(1_000_000, "us")
+    left = pd.DataFrame({
+        "lid": np.arange(4, dtype=np.int64),
+        "k": np.asarray([1, 1, 1, 2], np.int64),
+        "ts": [base + 5 * sec, base + 10 * sec, base + 20 * sec, base + 9 * sec],
+    })
+    right = pd.DataFrame({
+        "rid": np.asarray([100, 101, 102, 103], np.int64),
+        "k": np.asarray([1, 1, 1, 1], np.int64),
+        # two right rows share ts=10s: tie must resolve to rid 102
+        "ts": [base + 10 * sec, base + 2 * sec, base + 10 * sec, base + 30 * sec],
+    })
+    out = windows.asof_join_ids(
+        rd.from_pandas(left.rename(columns={"k": "user_id"})),
+        rd.from_pandas(right.rename(columns={"k": "user_id"})),
+        "user_id", "ts", "lid", "rid").to_pandas().set_index("lid")
+    assert out.loc[0, "asof_rid"] == 101          # only 2s precedes 5s
+    assert out.loc[1, "asof_rid"] == 101          # strict: 10s excluded
+    assert out.loc[2, "asof_rid"] == 102          # tie at 10s -> max rid
+    assert out.loc[3, "asof_rid"] == -1           # key 2 has no right rows
+    out2 = windows.asof_join_ids(
+        rd.from_pandas(left.rename(columns={"k": "user_id"})),
+        rd.from_pandas(right.rename(columns={"k": "user_id"})),
+        "user_id", "ts", "lid", "rid", strict=False).to_pandas().set_index("lid")
+    assert out2.loc[1, "asof_rid"] == 102         # non-strict includes 10s
