@@ -392,6 +392,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sim_r"] = out["similarity"].round(6)
         return out[["query_id", "vec_id", "rank", "sim_r"]]
 
+    def embed_knn_l2(sf_dir: str):
+        from metric_search_ray.pipelines import similarity
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        head = pq.read_table(path, columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "in", [3, 4, 5])]
+                             ).to_pandas().sort_values("vec_id")
+        qv = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+        out = similarity.knn_l2(ds, head["vec_id"].tolist(), qv, k=5).to_pandas()
+        out["dist_r"] = out["dist"].round(6)
+        return out[["query_id", "vec_id", "rank", "dist_r"]]
+
+    def orders_customer_agg(sf_dir: str):
+        # relational breadth: hash join orders->customer, then a grouped
+        # aggregate per customer nation
+        from ray.data.aggregate import Count, Sum
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_custkey", "o_totalprice"])
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+        j = orders.join(cust, join_type="inner", num_partitions=4,
+                        on=("o_custkey",), right_on=("c_custkey",))
+        out = (j.groupby("c_nationkey")
+               .aggregate(Count(alias_name="n_orders"),
+                          Sum("o_totalprice", alias_name="revenue"))).to_pandas()
+        out["revenue"] = out["revenue"].round(4)
+        return out
+
     def events_hourly(sf_dir: str):
         ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                              columns=["event_type", "ts", "value"])
@@ -636,6 +664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
         "embed_knn_cosine": embed_knn_cosine,
+        "embed_knn_l2": embed_knn_l2,
+        "orders_customer_agg": orders_customer_agg,
         "events_hourly": events_hourly,
         "lineitem_agg": lineitem_agg,
         "img_validate": img_validate,
@@ -816,6 +846,24 @@ SELECT query_id, vec_id,
        round(sim, 6) AS sim_r
 FROM d
 QUALIFY rank <= 5
+""",
+        "embed_knn_l2": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (3, 4, 5)),
+d AS (SELECT q.query_id, e.vec_id,
+             list_distance(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS dist
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank,
+       round(dist, 6) AS dist_r
+FROM d
+QUALIFY rank <= 5
+""",
+        "orders_customer_agg": """
+SELECT c.c_nationkey, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
 """,
         "events_tumbling_window": """
 SELECT user_id,

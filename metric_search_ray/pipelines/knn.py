@@ -373,11 +373,15 @@ class _PartitionTopK:
             x = batch.column(self.data_col).to_numpy()
             dmat = phashmod.hamming_matrix(qdata, x).astype(np.float64)
         elif self.metric == "euclidian":
-            x = np.stack(batch.column(self.data_col).to_numpy(zero_copy_only=False))
+            # float64 throughout: float32 partial sums in the expanded
+            # form make self-distances ~1e-5 instead of ~1e-13
+            x = np.stack(batch.column(self.data_col).to_numpy(zero_copy_only=False)
+                         ).astype(np.float64)
             d2 = ((qdata**2).sum(1)[:, None] - 2 * qdata @ x.T + (x**2).sum(1)[None, :])
             dmat = np.sqrt(np.maximum(d2, 0))
         elif self.metric == "cosine_sim":
-            x = np.stack(batch.column(self.data_col).to_numpy(zero_copy_only=False))
+            x = np.stack(batch.column(self.data_col).to_numpy(zero_copy_only=False)
+                         ).astype(np.float64)
             qn = qdata / np.linalg.norm(qdata, axis=1, keepdims=True)
             xn = x / np.linalg.norm(x, axis=1, keepdims=True)
             dmat = -(qn @ xn.T)  # rank by similarity descending
