@@ -444,8 +444,15 @@ def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
 
     small = exploded.map_batches(
         lambda b: b.filter(pa.array(~hot_mask(b))), batch_format="pyarrow")
-
     npart = max(2, min(16, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    # materialize + coalesce: with heavy skew most/all rows are hot and
+    # the filter leaves empty (schema-less) blocks that the join's
+    # aggregator rejects; repartition merges them away, and an entirely
+    # empty small side skips the join
+    small = small.materialize()
+    small_empty = small.count() == 0
+    if not small_empty:
+        small = small.repartition(npart)
     joined = small.join(small, join_type="inner", num_partitions=npart,
                         on=("band", "band_bits"),
                         right_on=("band", "band_bits"), right_suffix="_r")
@@ -482,7 +489,15 @@ def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
             "hamming": pa.array(ham[ok], pa.int64()),
         })
 
-    pairs = joined.map_batches(verify_pairs, batch_format="pyarrow")
+    if small_empty:
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+        import ray.data as _rd
+        pairs = _rd.from_arrow(pa.table({
+            "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+            "hamming": pa.array([], pa.int64())}))
+    else:
+        pairs = joined.map_batches(verify_pairs, batch_format="pyarrow")
 
     if hot_keys:
         big = exploded.map_batches(
