@@ -121,6 +121,11 @@ def ssim_verify_pairs(images_ds, pairs_ds, id_col: str = "image_id",
     NaN for shape-mismatched pairs (SSIM is defined per equal-shape
     images in the reference).
     """
+    # materialize the candidate pairs: when pairs_ds itself ends in a
+    # join (hamming banding), executing it lazily would put 3+ join
+    # operators in one plan — their aggregator actor pools starve each
+    # other on small CPU counts (same decoupling as dedup's verify)
+    pairs_ds = pairs_ds.materialize()
     imgs = images_ds.select_columns([id_col, "bytes", "fmt"])
     j1 = pairs_ds.join(imgs, join_type="inner", num_partitions=num_partitions,
                        on=("id_a",), right_on=(id_col,), right_suffix="_a")
