@@ -412,7 +412,14 @@ def knn_metric(data_ds, query_ids, query_data, k: int, metric: str = "hamming",
                data_col: str = "phash", id_col: str = "image_id",
                batch_size: int = 8192):
     """Exact metric kNN: broadcast queries, partition-local top-k, then a
-    per-query merge.  ``query_data`` is a small numpy array (n_q, ...)."""
+    per-query merge.  ``query_data`` is a small numpy array (n_q, ...).
+
+    Scale contract: the query set is the BROADCAST SMALL SIDE (every
+    data task scans all queries, and the merge runs one group per
+    query) — right for asking hundreds-to-thousands of questions of an
+    arbitrarily large corpus.  For large query TABLES use the
+    partitioned-index routing (knn_geo / a metric-space analogue), not
+    this scatter-gather."""
     ref = ray.put((list(query_ids), np.asarray(query_data)))
     local = data_ds.map_batches(
         _PartitionTopK(ref, k, metric, data_col, id_col),
