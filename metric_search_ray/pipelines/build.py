@@ -40,7 +40,6 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from .. import cell as cellmod
 from ..covertree import CoverTree
 from ..metrics import PlanarDeg
 from ..stages import assign

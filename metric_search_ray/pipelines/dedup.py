@@ -275,8 +275,6 @@ def _rename_first_present(ds, candidates: list[str], new_name: str):
 # ---------------------------------------------------------------- simhash
 
 
-_TOKEN_SPLIT = None
-
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over md5 token hashes (sign of weighted bit sums).
