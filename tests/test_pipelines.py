@@ -220,3 +220,27 @@ def test_knn_geo_empty_queries(index_dir):
         "k": pa.array([], pa.int32()),
     }))
     assert knn.knn_geo(q, ckpt, concurrency=2).count() == 0
+
+
+def test_job_entrypoint(ray_session, tiny_images, tmp_path):
+    """python -m metric_search_ray.job contract: runs inside an existing
+    Ray session, writes knn/pip/tiles parquet + metrics.json, and a
+    rerun resumes every index partition."""
+    import json
+    from metric_search_ray import job
+
+    out1 = tmp_path / "out1"
+    rc = job.main(["--input", tiny_images, "--ckpt", str(tmp_path / "idx"),
+                   "--output", str(out1), "--res", "4", "--target-rows", "500",
+                   "--knn-concurrency", "2"])
+    assert rc == 0
+    m = json.loads((out1 / "metrics.json").read_text())
+    assert m["invalid_rows"] == 0 and m["resumed_partitions"] == 0
+    assert (out1 / "knn").exists() and (out1 / "pip").exists()
+    out2 = tmp_path / "out2"
+    rc = job.main(["--input", tiny_images, "--ckpt", str(tmp_path / "idx"),
+                   "--output", str(out2), "--res", "4", "--target-rows", "500",
+                   "--knn-concurrency", "2", "--skip-validate"])
+    assert rc == 0
+    m2 = json.loads((out2 / "metrics.json").read_text())
+    assert m2["resumed_partitions"] == m2["index_partitions"]
