@@ -619,6 +619,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["h"] = out["h"].astype(np.int64)
         return out
 
+    def doc_bpe_tokens(sf_dir: str):
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return textops.bpe_ish_token_count(ds)
+
     def doc_fingerprint(sf_dir: str):
         from metric_search_ray.pipelines import text as textops
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -685,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_ivf": embed_knn_ivf,
         "embed_dedup": embed_dedup,
         "graph_components": graph_components,
+        "doc_bpe_tokens": doc_bpe_tokens,
         "doc_fingerprint": doc_fingerprint,
         "events_sliding_window": events_sliding_window,
         "phash_knn": phash_knn,
@@ -1027,6 +1034,14 @@ SELECT doc_id,
   CAST(CASE WHEN cjk * 5 > length(text) THEN cjk ELSE bn END AS BIGINT) AS n_best,
   CAST(len(toks) AS BIGINT) AS n_toks
 FROM b
+""",
+        # GPT-2-ish pre-tokenization count; pandas re and DuckDB RE2
+        # agree on this ASCII-class pattern (verified over the fixture)
+        "doc_bpe_tokens": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]+')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
 """,
         # 31-bit Horner fingerprint over raw codepoints — list_reduce
         # computes the identical fold (text.fingerprint_mod)
