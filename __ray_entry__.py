@@ -625,6 +625,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "text"])
         return textops.bpe_ish_token_count(ds)
 
+    def graph_neighbours(sf_dir: str):
+        # BFS hop-depths from node 0 on the margulis(576) expander,
+        # truncated at depth 3 (reference getNeighbours semantics)
+        from metric_search_ray import graph
+        g = graph.margulis(576)
+        by_depth = g.get_neighbours(0, 3)
+        nodes, depths = [], []
+        for d, ns in enumerate(by_depth):
+            nodes.extend(int(x) for x in ns)
+            depths.extend([d] * len(ns))
+        return pd.DataFrame({"node": np.asarray(nodes, np.int64),
+                             "depth": np.asarray(depths, np.int64)})
+
     def doc_fingerprint(sf_dir: str):
         from metric_search_ray.pipelines import text as textops
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -691,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_ivf": embed_knn_ivf,
         "embed_dedup": embed_dedup,
         "graph_components": graph_components,
+        "graph_neighbours": graph_neighbours,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_fingerprint": doc_fingerprint,
         "events_sliding_window": events_sliding_window,
@@ -1084,6 +1098,28 @@ QUALIFY rank <= 10
         "graph_components": """
 SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS component
 FROM range(576)
+""",
+        # BFS depths via bounded recursive walk enumeration: min depth
+        # over all walks of length <= 3 == shortest-path depth (8-regular
+        # graph, <= ~600 walk rows — no cycle guard needed)
+        "graph_neighbours": """
+WITH RECURSIVE
+cells AS (SELECT a.i, b.j
+          FROM (SELECT unnest(generate_series(0, 23)) AS i) a,
+               (SELECT unnest(generate_series(0, 23)) AS j) b),
+e0 AS (
+  SELECT i * 24 + j AS src, ((i + 2 * j) % 24) * 24 + j AS dst FROM cells
+  UNION ALL SELECT i * 24 + j, i * 24 + (2 * i + j) % 24 FROM cells
+  UNION ALL SELECT i * 24 + j, i * 24 + (2 * i + j + 1) % 24 FROM cells
+  UNION ALL SELECT i * 24 + j, ((i + 2 * j + 1) % 24) * 24 + j FROM cells),
+edges AS (SELECT src, dst FROM e0 WHERE src <> dst
+          UNION SELECT dst, src FROM e0 WHERE src <> dst),
+bfs(node, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.depth < 3)
+SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY node
 """,
         # fixture formula replay (fixtures.row_of): ids img-%08d, fmt by
         # i % 5, every stored row decodes cleanly => valid = true
