@@ -625,6 +625,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "text"])
         return textops.bpe_ish_token_count(ds)
 
+    def geo_pairwise(sf_dir: str):
+        # per-tile pairwise planar distances (the reference Matrix as a
+        # grouped small-side op); subset keeps groups small, pairs are
+        # normalized to (min_id, max_id) so row orientation is canonical
+        from metric_search_ray import matrixdist
+        from metric_search_ray.metrics import PlanarDeg
+        from metric_search_ray.stages import assign as assign_stage
+        pts = (_orders_points(sf_dir)
+               .filter(lambda r: r["o_orderkey"] % 100 == 0)
+               .map_batches(lambda b: assign_stage.assign_tile(b, 4),
+                            batch_format="pyarrow"))
+        out = matrixdist.grouped_pairwise(
+            pts, "tile_id", ["lat", "lon"], PlanarDeg(),
+            id_col="o_orderkey").to_pandas()
+        out["id_a"] = np.minimum(out["id_i"], out["id_j"]).astype(np.int64)
+        out["id_b"] = np.maximum(out["id_i"], out["id_j"]).astype(np.int64)
+        out["dist_r"] = out["dist"].round(6)
+        return out[["tile_id", "id_a", "id_b", "dist_r"]]
+
     def graph_neighbours(sf_dir: str):
         # BFS hop-depths from node 0 on the margulis(576) expander,
         # truncated at depth 3 (reference getNeighbours semantics)
@@ -705,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": embed_dedup,
         "graph_components": graph_components,
         "graph_neighbours": graph_neighbours,
+        "geo_pairwise": geo_pairwise,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_fingerprint": doc_fingerprint,
         "events_sliding_window": events_sliding_window,
@@ -1098,6 +1118,23 @@ QUALIFY rank <= 10
         "graph_components": """
 SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS component
 FROM range(576)
+""",
+        # per-tile pairwise planar distances; identical IEEE expression
+        # (lat_u/1e6 subtraction then sqrt(dx*dx+dy*dy)) on both sides
+        "geo_pairwise": f"""
+WITH {_pts_cte()},
+sub AS (SELECT okey, lat_u, lon_u FROM pts WHERE okey % 100 = 0),
+txy AS (SELECT okey, lat_u, lon_u,
+  (LEAST(((lat_u + 90000000) * 16) // 180000000, 15) * 16
+   + LEAST(((lon_u + 180000000) * 16) // 360000000, 15)) AS tile_id
+  FROM sub)
+SELECT a.tile_id,
+       a.okey AS id_a, b.okey AS id_b,
+       round(sqrt((a.lat_u / 1000000.0 - b.lat_u / 1000000.0)
+                  * (a.lat_u / 1000000.0 - b.lat_u / 1000000.0)
+                  + (a.lon_u / 1000000.0 - b.lon_u / 1000000.0)
+                  * (a.lon_u / 1000000.0 - b.lon_u / 1000000.0)), 6) AS dist_r
+FROM txy a JOIN txy b ON a.tile_id = b.tile_id AND a.okey < b.okey
 """,
         # BFS depths via bounded recursive walk enumeration: min depth
         # over all walks of length <= 3 == shortest-path depth (8-regular
