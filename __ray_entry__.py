@@ -619,6 +619,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["h"] = out["h"].astype(np.int64)
         return out
 
+    def doc_top_tokens(sf_dir: str):
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return textops.top_tokens(ds, k=20)
+
     def doc_bpe_tokens(sf_dir: str):
         from metric_search_ray.pipelines import text as textops
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -726,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_neighbours": graph_neighbours,
         "geo_pairwise": geo_pairwise,
         "doc_bpe_tokens": doc_bpe_tokens,
+        "doc_top_tokens": doc_top_tokens,
         "doc_fingerprint": doc_fingerprint,
         "events_sliding_window": events_sliding_window,
         "phash_knn": phash_knn,
@@ -1068,6 +1075,16 @@ SELECT doc_id,
   CAST(CASE WHEN cjk * 5 > length(text) THEN cjk ELSE bn END AS BIGINT) AS n_best,
   CAST(len(toks) AS BIGINT) AS n_toks
 FROM b
+""",
+        # corpus heavy hitters: top 20 lowercased whitespace tokens,
+        # ties by token ascending
+        "doc_top_tokens": """
+SELECT w AS token, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> '')
+GROUP BY w
+ORDER BY n DESC, w ASC
+LIMIT 20
 """,
         # GPT-2-ish pre-tokenization count; pandas re and DuckDB RE2
         # agree on this ASCII-class pattern (verified over the fixture)

@@ -123,6 +123,45 @@ def lang_id(ds):
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
 
 
+def top_tokens(ds, k: int = 20, text_col: str = "text",
+               lowercase: bool = True):
+    """Corpus-wide heavy hitters: the k most frequent whitespace tokens
+    (ties broken by token ascending).
+
+    Shuffle shape: per-batch PARTIAL counts (np.unique over the
+    exploded token array) reduce each batch to its distinct tokens
+    before the grouped Sum — the exchange carries vocabulary, not
+    corpus; the final top-k runs over the aggregated vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        if lowercase:
+            s = s.str.lower()
+        toks = s.str.split().explode().dropna()
+        vals, cnt = np.unique(toks.to_numpy(dtype=object), return_counts=True) \
+            if len(toks) else (np.empty(0, object), np.empty(0, np.int64))
+        return pa.table({"token": pa.array(vals, pa.string()),
+                         "partial_n": pa.array(cnt, pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("token").aggregate(Sum("partial_n", alias_name="n")))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        # per-block candidate top-k (top-k is a semilattice: the global
+        # top-k survives any per-block pre-truncation)
+        t = batch.column("token").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy()
+        order = np.lexsort((t, -n))[:k]
+        return pa.table({"token": pa.array(t[order], pa.string()),
+                         "n": pa.array(n[order], pa.int64())})
+
+    # final cut on the tiny candidate set (<= k per block)
+    cand = counts.map_batches(topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return cand.reset_index(drop=True)
+
+
 def fingerprint_mod(ds, text_col: str = "text", id_col: str = "doc_id",
                     base: int = 257, mod: int = (1 << 31) - 1):
     """31-bit document fingerprint: Horner fold of the raw text's

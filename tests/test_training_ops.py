@@ -132,6 +132,11 @@ def test_text_ops(ray_session):
     assert bpe[2] == 6  # a b c , d !
     li = text.lang_id(ds).to_pandas().set_index("doc_id")
     assert li.loc[1, "lang_pred"] == "en"
+    tt = text.top_tokens(rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["b a a", "a b c", "c a"], pa.string())})), k=2)
+    assert tt["token"].tolist() == ["a", "b"]   # a:4, then b:2 beats c:2 by name
+    assert tt["n"].tolist() == [4, 2]
 
 
 @pytest.fixture(scope="module")
