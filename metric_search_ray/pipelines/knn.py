@@ -138,7 +138,14 @@ class KnnActor:
                 lat, lon, ids = _load_arrays_cached(path)
                 d = planar_dist(lat - qlat, lon - qlon)
                 kk = min(k, len(d))
-                sel = np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
+                if kk < len(d):
+                    sel = np.argpartition(d, kk - 1)[:kk]
+                    # argpartition cuts equal distances at the boundary
+                    # arbitrarily; include every tie with the kth value so
+                    # the (dist, id) sort below decides deterministically
+                    sel = np.flatnonzero(d <= d[sel].max())
+                else:
+                    sel = np.arange(len(d))
                 for i in sel:
                     best.append((float(d[i]), str(ids[i])))
             else:
