@@ -89,7 +89,8 @@ def point_in_polygon_join(points_ds, polygon_layer: dict, how: str = "inner",
 class RnnActor:
     """Actor pool: radius search against the partitioned geo index."""
 
-    def __init__(self, ckpt_dir: str, radius: float, cache_trees: int = 64):
+    def __init__(self, ckpt_dir: str, radius: float, cache_trees: int = 64,
+                 part_refs: dict | None = None):
         import collections
         manifest = buildmod.load_manifest(ckpt_dir)
         self.by_cell = buildmod.cells_in_manifest(manifest)
@@ -97,6 +98,7 @@ class RnnActor:
         self.radius = radius
         self._cache: "collections.OrderedDict" = collections.OrderedDict()
         self.cache_trees = cache_trees
+        self.part_refs = part_refs
 
     def _tree(self, path: str):
         from .knn import _load_tree_cached
@@ -104,7 +106,7 @@ class RnnActor:
         return _load_tree_cached(path, PlanarDeg(), self.cache_trees)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .knn import _load_arrays_cached
+        from .knn import _resolve_arrays
         qids = np.asarray(batch.column("query_id").to_pylist(), dtype=object)
         lats = batch.column("lat").to_numpy()
         lons = batch.column("lon").to_numpy()
@@ -119,7 +121,7 @@ class RnnActor:
             for ci in np.flatnonzero(probe.any(axis=0)):
                 qs = np.flatnonzero(probe[:, ci])
                 for _salt, path in self.by_cell[int(self.cells[ci])]:
-                    plat, plon, ids = _load_arrays_cached(path)
+                    plat, plon, ids = _resolve_arrays(path, self.part_refs)
                     d = planar_dist(plat[None, :] - lats[qs, None],
                                     plon[None, :] - lons[qs, None])
                     rr, cc = np.nonzero(d < self.radius)  # strict: rnn semantics
@@ -142,19 +144,27 @@ class RnnActor:
 
 
 def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
-                batch_size: int = 256, use_actor_pool: bool = True):
+                batch_size: int = 256, use_actor_pool: bool = True,
+                preload: bool = True):
     """All (query, image) pairs with planar-degree dist < radius (strict,
     matching the reference's rnn).  ``use_actor_pool=False`` ships a
     pickled RnnActor to stateless tasks — parallelism then follows the
-    cluster instead of the fixed pool size (same tradeoff as knn_geo)."""
+    cluster instead of the fixed pool size (same tradeoff as knn_geo).
+    ``preload``: share the staged object-store partition arrays (see
+    knn.stage_partition_arrays) instead of per-worker parquet decodes."""
     import ray as _ray
 
+    from .knn import stage_partition_arrays
+
+    part_refs = stage_partition_arrays(ckpt_dir) if preload else None
     if not use_actor_pool:
         width = max(2 * int(_ray.cluster_resources().get("CPU", 8)), 8)
         return queries_ds.repartition(width).map_batches(
-            RnnActor(ckpt_dir, radius), batch_format="pyarrow",
+            RnnActor(ckpt_dir, radius, part_refs=part_refs),
+            batch_format="pyarrow",
             batch_size=batch_size, num_cpus=1)
     return queries_ds.map_batches(
-        RnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir, "radius": radius},
+        RnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir, "radius": radius,
+                                         "part_refs": part_refs},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)

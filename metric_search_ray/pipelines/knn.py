@@ -46,6 +46,66 @@ from . import build as buildmod
 _TREE_CACHE: "collections.OrderedDict[str, tuple]" = collections.OrderedDict()
 _ARRAY_CACHE: "collections.OrderedDict[tuple, tuple]" = collections.OrderedDict()
 
+# Driver-side memo of staged partition ObjectRefs, keyed by
+# (ckpt_dir, manifest mtime): knn_geo and radius_join against the same
+# index share one staging wave.
+_STAGE_REFS: dict = {}
+
+
+def _read_partition_arrays(path: str):
+    """One partition checkpoint -> the scan arrays (lat, lon, ids)."""
+    import pyarrow.parquet as _pq
+    tbl = _pq.read_table(path, columns=["lat", "lon", "image_id"])
+    return (tbl.column("lat").to_numpy(),
+            tbl.column("lon").to_numpy(),
+            tbl.column("image_id").to_numpy(zero_copy_only=False))
+
+
+def stage_partition_arrays(ckpt_dir: str) -> dict:
+    """Stage every partition's scan arrays into the Ray object store.
+
+    One distributed read wave (one task per checkpoint file) instead of
+    every worker decoding every parquet file through its private LRU:
+    task-mode kNN at W workers otherwise pays up to W reads per
+    partition (cold page cache made this stage swing 4-19s at 16 cpus).
+    Returns {path: ObjectRef}; refs are resolved lazily per worker with
+    zero-copy float buffers, and Ray's object store handles spilling and
+    node locality (only partitions a worker's queries touch transfer to
+    its node).  Memoized per (ckpt_dir, manifest mtime) so successive
+    query stages share one wave.  At very large partition counts, batch
+    several files per task before adopting this 1:1 fan-out.
+    """
+    import os as _os
+    man_path = _os.path.join(ckpt_dir, "manifest.parquet")
+    key = (ckpt_dir, _os.stat(man_path).st_mtime_ns)
+    hit = _STAGE_REFS.get(key)
+    if hit is not None:
+        return hit
+    manifest = buildmod.load_manifest(ckpt_dir)
+    fn = ray.remote(num_cpus=1)(_read_partition_arrays)
+    refs = {p: fn.remote(p) for p in manifest.column("path").to_pylist()}
+    _STAGE_REFS.clear()          # one live index per driver is the norm
+    _STAGE_REFS[key] = refs
+    return refs
+
+
+def _resolve_arrays(path: str, part_refs: dict | None, cap: int = 2048):
+    """Scan arrays for one partition: from the staged ObjectRef when
+    available (zero-copy get, memoized per process), else from disk."""
+    ref = part_refs.get(path) if part_refs else None
+    if ref is None:
+        return _load_arrays_cached(path, cap)
+    key = ("ref", path)
+    hit = _ARRAY_CACHE.get(key)
+    if hit is not None:
+        _ARRAY_CACHE.move_to_end(key)
+        return hit
+    arrays = ray.get(ref)
+    _ARRAY_CACHE[key] = arrays
+    if len(_ARRAY_CACHE) > cap:
+        _ARRAY_CACHE.popitem(last=False)
+    return arrays
+
 
 def _load_arrays_cached(path: str, cap: int = 2048):
     """Light checkpoint load for the vectorized scan path: (lat, lon,
@@ -100,7 +160,7 @@ class KnnActor:
     """
 
     def __init__(self, ckpt_dir: str, cache_trees: int = 512,
-                 method: str = "scan"):
+                 method: str = "scan", part_refs: dict | None = None):
         """``method='scan'`` answers per-partition queries with a
         vectorized exact distance scan over the partition's points —
         optimal below ~10^5 rows/partition, where numpy throughput beats
@@ -114,12 +174,14 @@ class KnnActor:
         self._cache: collections.OrderedDict = collections.OrderedDict()
         self.cache_trees = cache_trees
         self.method = method
+        self.part_refs = part_refs
         self.metric = PlanarDeg()
 
     def __getstate__(self):
         # instance (task) mode: ship the manifest lookup, never the cache
         return {k: getattr(self, k) for k in
-                ("by_cell", "res", "cache_trees", "metric", "method")}
+                ("by_cell", "res", "cache_trees", "metric", "method",
+                 "part_refs")}
 
     def __setstate__(self, state):
         for k, v in state.items():
@@ -135,7 +197,7 @@ class KnnActor:
         salt assignment."""
         for _salt, path in self.by_cell.get(cell_id, ()):
             if self.method == "scan":
-                lat, lon, ids = _load_arrays_cached(path)
+                lat, lon, ids = _resolve_arrays(path, self.part_refs)
                 d = planar_dist(lat - qlat, lon - qlon)
                 kk = min(k, len(d))
                 if kk < len(d):
@@ -214,38 +276,48 @@ class KnnActor:
             active = active[keep]
             if len(active) == 0:
                 break
-            for c in ring_cells:
-                ci = int(c)
-                if ci not in self.by_cell:
-                    continue
-                for _salt, path in self.by_cell[ci]:
-                    lat, lon, ids = _load_arrays_cached(path)
-                    d = planar_dist(lat[None, :] - qlat[active, None],
-                                    lon[None, :] - qlon[active, None])
-                    m = d.shape[1]
-                    all_d = np.concatenate([best_d[active], d], axis=1)
-                    all_id = np.concatenate(
-                        [best_id[active],
-                         np.broadcast_to(ids, (len(active), m))], axis=1)
-                    kk = min(kmax, all_d.shape[1])
-                    sel = np.argpartition(all_d, kk - 1, axis=1)[:, :kmax]
-                    new_d = np.take_along_axis(all_d, sel, axis=1)
-                    new_id = np.take_along_axis(all_id, sel, axis=1)
-                    # deterministic boundary ties: argpartition resolves
-                    # equal distances at the kmax cut arbitrarily; rows
-                    # where extra candidates tie with the k-th distance
-                    # are re-cut on the (dist, image_id) order that the
-                    # serial path and the merge stage use
-                    kth = new_d.max(axis=1)
-                    n_le = (all_d <= kth[:, None]).sum(axis=1)
-                    for r in np.flatnonzero((n_le > kmax) & np.isfinite(kth)):
-                        idxs = np.flatnonzero(all_d[r] <= kth[r])
-                        ordr = np.lexsort((all_id[r, idxs].astype(str),
-                                           all_d[r, idxs]))[:kmax]
-                        new_d[r] = all_d[r, idxs[ordr]]
-                        new_id[r] = all_id[r, idxs[ordr]]
-                    best_d[active] = new_d
-                    best_id[active] = new_id
+            # one merged scan per ring: concatenating every present
+            # partition of the ring into a single distance matrix +
+            # top-k cut replaces one numpy pass per ~500-row partition
+            # (the fine res-5 grid makes per-partition overhead dominate
+            # otherwise).  Result identical: the same candidate union,
+            # and the (dist, id) tie cut is merge-order independent.
+            paths = [path
+                     for c in ring_cells
+                     for _salt, path in self.by_cell.get(int(c), ())]
+            if not paths:
+                continue
+            parts = [_resolve_arrays(p, self.part_refs) for p in paths]
+            lat = np.concatenate([p[0] for p in parts])
+            lon = np.concatenate([p[1] for p in parts])
+            ids = (parts[0][2] if len(parts) == 1
+                   else np.concatenate([p[2] for p in parts]))
+            d = planar_dist(lat[None, :] - qlat[active, None],
+                            lon[None, :] - qlon[active, None])
+            m = d.shape[1]
+            all_d = np.concatenate([best_d[active], d], axis=1)
+            all_id = np.concatenate(
+                [best_id[active],
+                 np.broadcast_to(ids, (len(active), m))], axis=1)
+            kk = min(kmax, all_d.shape[1])
+            sel = np.argpartition(all_d, kk - 1, axis=1)[:, :kmax]
+            new_d = np.take_along_axis(all_d, sel, axis=1)
+            new_id = np.take_along_axis(all_id, sel, axis=1)
+            # deterministic boundary ties: argpartition resolves
+            # equal distances at the kmax cut arbitrarily; rows
+            # where extra candidates tie with the k-th distance
+            # are re-cut on the (dist, image_id) order that the
+            # serial path and the merge stage use
+            kth = new_d.max(axis=1)
+            n_le = (all_d <= kth[:, None]).sum(axis=1)
+            for rr in np.flatnonzero((n_le > kmax) & np.isfinite(kth)):
+                idxs = np.flatnonzero(all_d[rr] <= kth[rr])
+                ordr = np.lexsort((all_id[rr, idxs].astype(str),
+                                   all_d[rr, idxs]))[:kmax]
+                new_d[rr] = all_d[rr, idxs[ordr]]
+                new_id[rr] = all_id[rr, idxs[ordr]]
+            best_d[active] = new_d
+            best_id[active] = new_id
         return best_d, best_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -291,7 +363,7 @@ class KnnActor:
 
 def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 256,
             use_actor_pool: bool = True, route_by_home_cell: bool | None = None,
-            route_strategy: str = "sort"):
+            route_strategy: str = "sort", preload: bool = True):
     """Geo kNN pipeline.  ``use_actor_pool=False`` ships a pickled
     KnnActor instance to stateless tasks instead — no pool spawn cost,
     warm-worker reuse; right for short bursts, while long-running query
@@ -313,6 +385,11 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
       queries.  Worth it only for very large query streams where the
       pool cost amortizes; it also flips the shuffle strategy on the
       queries dataset's captured DataContext (scoped to that lineage).
+
+    ``preload`` (default on): stage partition scan arrays into the
+    object store once (``stage_partition_arrays``) so workers resolve
+    zero-copy refs instead of each decoding the parquet checkpoints.
+    Disable for query mixes that touch a small corner of a huge index.
     """
     import ray as _ray
 
@@ -345,10 +422,14 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
         routed = routed.sort("home_cell").repartition(width)
     else:
         routed = routed.repartition(width)
+    part_refs = stage_partition_arrays(ckpt_dir) if preload else None
     if not use_actor_pool:
-        return routed.map_batches(KnnActor(ckpt_dir), batch_format="pyarrow",
+        return routed.map_batches(KnnActor(ckpt_dir, part_refs=part_refs),
+                                  batch_format="pyarrow",
                                   batch_size=batch_size, num_cpus=1)
-    return routed.map_batches(KnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir},
+    return routed.map_batches(KnnActor,
+                              fn_constructor_kwargs={"ckpt_dir": ckpt_dir,
+                                                     "part_refs": part_refs},
                               batch_format="pyarrow", batch_size=batch_size,
                               concurrency=concurrency, num_cpus=1)
 
