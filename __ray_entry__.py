@@ -519,6 +519,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "text"])
         return dedup.minhash_dedup_pairs(ds, threshold=0.5)
 
+    def doc_jaccard_pairs(sf_dir: str):
+        from metric_search_ray.pipelines import dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return dedup.ngram_jaccard_pairs(ds, threshold=0.5, df_cap=50)
+
     def doc_lang_id(sf_dir: str):
         from metric_search_ray.pipelines import text as textops
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -725,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": doc_simhash_pairs,
         "img_resize": img_resize,
         "doc_minhash_pairs": doc_minhash_pairs,
+        "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_lang_id": doc_lang_id,
         "embed_knn_ivf": embed_knn_ivf,
         "embed_dedup": embed_dedup,
@@ -795,6 +802,38 @@ JOIN sizes za ON za.doc_id = c.id_a
 JOIN sizes zb ON zb.doc_id = c.id_b
 WHERE coalesce(i.n_inter, 0) >= {threshold} * (za.ns + zb.ns - coalesce(i.n_inter, 0))
 """
+
+def _jaccard_oracle_sql(df_cap: int = 50, threshold: float = 0.5) -> str:
+    """DuckDB replay of dedup.ngram_jaccard_pairs(threshold=0.5,
+    df_cap=50): same shingle hash (polynomial over codepoints, see
+    _minhash_oracle_sql), exact Jaccard over the df-capped shingle
+    universe via an inverted-index self-join."""
+    p4, p3, p2, p1 = 257**4, 257**3, 257**2, 257
+    return f"""
+WITH pos AS (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+        FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+  (CASE WHEN i     <= length(text) THEN unicode(substr(text, i,     1)) * {p4} ELSE 0 END
+ + CASE WHEN i + 1 <= length(text) THEN unicode(substr(text, i + 1, 1)) * {p3} ELSE 0 END
+ + CASE WHEN i + 2 <= length(text) THEN unicode(substr(text, i + 2, 1)) * {p2} ELSE 0 END
+ + CASE WHEN i + 3 <= length(text) THEN unicode(substr(text, i + 3, 1)) * {p1} ELSE 0 END
+ + CASE WHEN i + 4 <= length(text) THEN unicode(substr(text, i + 4, 1)) ELSE 0 END) AS h
+ FROM pos),
+dft AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+capped AS (SELECT s.doc_id, s.h FROM sh s JOIN dft d ON d.h = s.h
+           WHERE d.df <= {df_cap}),
+sizes AS (SELECT doc_id, count(*) AS ns FROM capped GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(za.ns + zb.ns - i.n_inter AS BIGINT) AS n_union
+FROM inter i JOIN sizes za ON za.doc_id = i.id_a
+             JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.n_inter >= {threshold} * (za.ns + zb.ns - i.n_inter)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     n = 1 << TILE_RES
@@ -1044,6 +1083,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         # candidates, integer-Jaccard verify — so DuckDB reproduces the
         # full pipeline including which candidate pairs LSH surfaces
         "doc_minhash_pairs": _minhash_oracle_sql(),
+        "doc_jaccard_pairs": _jaccard_oracle_sql(),
         # marker-vocabulary language id (pipelines/text.LangId): CJK
         # gate (5*han_chars > n_chars), else argmax of per-language
         # marker counts over lowercased whitespace tokens, first-max

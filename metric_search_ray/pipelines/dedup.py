@@ -39,21 +39,23 @@ def add_content_hash(batch: pa.Table, text_col: str, out: str = "content_hash") 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per distinct content (hash-partitioned).
 
-    Keeper selection is a grouped Min AGGREGATE over (content_hash ->
-    min id) — with mostly-unique content, #groups ~= #rows and a
-    map_groups UDF would pay per-group Python overhead (see
-    hamming_pairs).  The min-id set then joins back to the rows by id
-    to recover full keeper rows."""
-    from ray.data.aggregate import Min
-
+    Keeper selection is a grouped Min over (content_hash -> min id) —
+    with mostly-unique content, #groups ~= #rows, so it runs through
+    fastagg.sort_block_aggregate (per-BLOCK C++ group_by after the
+    sort; Ray's built-in aggregate pays per-group Python overhead at
+    this cardinality).  The min-id set then joins back to the rows by
+    id to recover full keeper rows."""
     import ray as _ray
+
+    from .fastagg import sort_block_aggregate
 
     if ds.limit(1).count() == 0:
         return ds   # empty input: the id join would see schema-less blocks
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow", zero_copy_batch=True)
-    keep_ids = (hashed.groupby("content_hash")
-                .aggregate(Min(id_col, alias_name="keep_id"))
+    keep_ids = (sort_block_aggregate(
+                    hashed.select_columns(["content_hash", id_col]),
+                    "content_hash", {"keep_id": (id_col, "min")})
                 .select_columns(["keep_id"]))
     npart = max(2, min(16, int(_ray.cluster_resources().get("CPU", 8)) // 2))
     joined = ds.join(keep_ids, join_type="inner", num_partitions=npart,
@@ -220,6 +222,126 @@ def jaccard_counts(text_a: str, text_b: str, k: int = 5) -> tuple[int, int]:
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     i, u = jaccard_counts(text_a, text_b, k)
     return i / u
+
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5, k: int = 5, df_cap: int = 50,
+                        num_partitions: int = 8):
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    Unlike ``minhash_dedup_pairs`` (probabilistic candidate recall),
+    this computes the TRUE Jaccard similarity over the df-capped
+    shingle universe: shingles appearing in more than ``df_cap``
+    documents ("stop shingles") are dropped on BOTH sides of the
+    similarity, and every surviving pair intersection is found by a
+    distributed self-join on shingle hash.  Semantics: Jaccard over
+    {h : df(h) <= df_cap}, exact — no sampling, no hashing error.
+
+    Scale shape: the self-join's output is bounded by
+    ``df_cap * sum(|shingles per doc|)`` — LINEAR in corpus size (each
+    exploded row meets at most df_cap partners), so the cap is what
+    makes the all-pairs semantics tractable at 100 TB; without it the
+    hot-shingle groups contribute O(df^2) pairs.  Only (id, h, ns) int
+    rows ever shuffle; documents never move.  One wide groupby (shingle
+    df census), one self-join, one pair-groupby — the hot set rides a
+    ray.put broadcast and per-doc sizes are computed map-side, so no
+    semi-join or sizes join exists.
+
+    Returns (id_a, id_b, n_inter, n_union) with id_a < id_b and
+    n_inter >= threshold * n_union — integer columns, so a DuckDB
+    oracle hash-compares exactly.
+    """
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .fastagg import sort_block_aggregate
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        hs = [_shingle_hashes(t or "", k) for t in texts]
+        return pa.table({
+            "h": pa.array(np.concatenate(hs).astype(np.int64) if len(hs) else
+                          np.empty(0, np.int64), pa.int64()),
+        })
+
+    # pass A: the hot-shingle ("stop shingle") set, df > cap.  It is the
+    # SMALL side — |hot| <= total_occurrences / df_cap — so it
+    # broadcasts (ray.put once, zero-copy numpy per worker) instead of
+    # paying a semi-join; the per-(h)-count census is the only wide op
+    # (block-aggregated: #distinct shingles ~ corpus size).
+    exploded = ds.select_columns([text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    hot_df = (sort_block_aggregate(exploded, "h",
+                                   {"df": (None, "count")})
+              .map_batches(lambda b: b.filter(pc.greater(b.column("df"),
+                                                         df_cap)),
+                           batch_format="pyarrow")
+              .select_columns(["h"]).to_pandas())
+    hot_ref = _ray.put(np.sort(hot_df["h"].to_numpy()))
+
+    # pass B: re-shingle per document (vectorized, cheaper than
+    # shuffling shingles back), drop hot shingles, and compute each
+    # doc's capped size ns IN-BATCH — whole docs never split across
+    # batches here, so no sizes shuffle/join is needed at all.
+    def capped_rows(batch: pa.Table) -> pa.Table:
+        hot = _ray.get(hot_ref)
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_id, out_h, out_ns = [], [], []
+        for i, t in enumerate(texts):
+            hs = _shingle_hashes(t or "", k).astype(np.int64)
+            if len(hot):
+                hs = hs[~np.isin(hs, hot)]
+            if len(hs) == 0:
+                continue
+            out_id.append(np.repeat(np.asarray([ids[i]], object), len(hs)))
+            out_h.append(hs)
+            out_ns.append(np.full(len(hs), len(hs), np.int64))
+        idt = batch.schema.field(id_col).type
+        if not out_h:
+            return pa.table({id_col: pa.array([], idt),
+                             "h": pa.array([], pa.int64()),
+                             "ns": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id)).cast(idt),
+            "h": pa.array(np.concatenate(out_h), pa.int64()),
+            "ns": pa.array(np.concatenate(out_ns), pa.int64()),
+        })
+
+    withns = ds.select_columns([id_col, text_col]).map_batches(
+        capped_rows, batch_format="pyarrow").materialize()
+    joined = withns.join(withns, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("h",), right_on=("h",), right_suffix="_r")
+
+    def ordered(b: pa.Table) -> pa.Table:
+        keep = pc.less(b.column(id_col), b.column(f"{id_col}_r"))
+        sub = b.filter(keep)
+        return pa.table({"id_a": sub.column(id_col),
+                         "id_b": sub.column(f"{id_col}_r"),
+                         "ns_a": sub.column("ns"),
+                         "ns_b": sub.column("ns_r")})
+
+    # pair reduction: #groups ~ #candidate pairs, so Ray's built-in
+    # grouped aggregate pays ~10s of per-group Python at 100k pairs —
+    # sort_block_aggregate does the same reduction in C++ per block
+    from .fastagg import sort_block_aggregate
+    pairs = sort_block_aggregate(
+        joined.map_batches(ordered, batch_format="pyarrow"),
+        ["id_a", "id_b"],
+        {"n_inter": (None, "count"),
+         "na": ("ns_a", "min"),
+         "nb": ("ns_b", "min")})
+
+    def finish(b: pa.Table) -> pa.Table:
+        ni = b.column("n_inter").to_numpy()
+        nu = (b.column("na").to_numpy() + b.column("nb").to_numpy() - ni)
+        out = pa.table({"id_a": b.column("id_a"), "id_b": b.column("id_b"),
+                        "n_inter": pa.array(ni, pa.int64()),
+                        "n_union": pa.array(nu, pa.int64())})
+        return out.filter(pa.array(ni >= threshold * nu))
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
 
 
 def minhash_dedup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",

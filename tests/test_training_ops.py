@@ -64,6 +64,65 @@ def test_minhash_near_dup_pairs(docs_ds):
         assert (int(row["n_inter"]), int(row["n_union"])) == (ni, nu)
 
 
+def test_ngram_jaccard_pairs_exact(docs_ds):
+    """Inverted-index Jaccard vs a brute-force python oracle (df-capped
+    universe, threshold filter, integer counts)."""
+    ds, texts, ids = docs_ds
+    cap, thr = 30, 0.5
+    out = dedup.ngram_jaccard_pairs(ds, threshold=thr, df_cap=cap).to_pandas()
+    # brute-force oracle over the capped shingle universe
+    import collections
+    sets = [set(dedup._shingle_hashes(t, 5).tolist()) for t in texts]
+    df = collections.Counter()
+    for s in sets:
+        df.update(s)
+    keep = {h for h, c in df.items() if c <= cap}
+    capped = [s & keep for s in sets]
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ni = len(capped[a] & capped[b])
+            nu = len(capped[a]) + len(capped[b]) - ni
+            if nu and ni >= thr * nu:
+                expect[(ids[a], ids[b])] = (ni, nu)
+    got = {(r.id_a, r.id_b): (r.n_inter, r.n_union)
+           for r in out.itertuples()}
+    assert got == expect
+    # the 5 exact-dup pairs are present with jaccard 1
+    for j in range(5):
+        assert got[(j, 40 + j)][0] == got[(j, 40 + j)][1]
+
+
+def test_sort_block_aggregate_matches_ray_groupby(ray_session):
+    """fastagg == Ray's own grouped aggregate, including keys split
+    across sorted blocks (many repartitioned input blocks force edge
+    healing to run)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from metric_search_ray.pipelines.fastagg import sort_block_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    tbl = pa.table({
+        "k1": pa.array(rng.integers(0, 40, n).astype(str)),  # hot keys
+        "k2": pa.array(rng.integers(0, 5, n), pa.int64()),
+        "v": pa.array(rng.integers(-100, 100, n), pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(16)
+    got = sort_block_aggregate(
+        ds, ["k1", "k2"],
+        {"n": (None, "count"), "s": ("v", "sum"),
+         "lo": ("v", "min"), "hi": ("v", "max")}).to_pandas()
+    exp = (rd.from_arrow(tbl).groupby(["k1", "k2"])
+           .aggregate(Count(alias_name="n"), Sum("v", alias_name="s"),
+                      Min("v", alias_name="lo"), Max("v", alias_name="hi"))
+           .to_pandas())
+    key = ["k1", "k2"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_simhash_pairs(docs_ds):
     ds, texts, ids = docs_ds
     out = dedup.simhash_pairs(ds, max_hamming=3).to_pandas()
