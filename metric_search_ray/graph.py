@@ -390,10 +390,16 @@ def _connected_components_ray(edges_ds, num_partitions: int, max_iters: int):
                                             b.column("src").to_numpy()]), pa.int64()),
         }), batch_format="pyarrow").materialize()  # reused every round
 
-    labels = sym.groupby("node").min("nbr").map_batches(
+    # per-node min reductions run through fastagg.sort_block_aggregate:
+    # #groups == #nodes, where Ray's built-in aggregate pays per-group
+    # Python overhead every round
+    from .pipelines.fastagg import sort_block_aggregate
+
+    labels = sort_block_aggregate(
+        sym, "node", {"mn": ("nbr", "min")}).map_batches(
         lambda b: pa.table({
             "node": b.column("node"),
-            "component": pa.compute.min_element_wise(b.column("node"), b.column("min(nbr)")),
+            "component": pa.compute.min_element_wise(b.column("node"), b.column("mn")),
         }), batch_format="pyarrow").materialize()  # consumed 3x per round
 
     prev_sum = None
@@ -411,11 +417,8 @@ def _connected_components_ray(edges_ds, num_partitions: int, max_iters: int):
                                       else "component"),
             }), batch_format="pyarrow")
         cand = prop.select_columns(["node", "component"]).union(labels).union(sq)
-        labels = cand.groupby("node").min("component").map_batches(
-            lambda b: pa.table({
-                "node": b.column("node"),
-                "component": b.column("min(component)"),
-            }), batch_format="pyarrow").materialize()
+        labels = sort_block_aggregate(
+            cand, "node", {"component": ("component", "min")}).materialize()
         s = labels.sum("component")
         if s == prev_sum:
             return labels

@@ -202,10 +202,11 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                          "id_b": sub.column(f"{id_col}_r")})
 
     pairs = joined.map_batches(ordered_pairs, batch_format="pyarrow")
-    # dedupe pairs found in multiple bands: grouped aggregate, not a
-    # per-pair Python UDF
-    from ray.data.aggregate import Count
-    dedup = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands_hit"))
+    # dedupe pairs found in multiple bands: #groups ~ #candidate pairs,
+    # so block-aggregated (per-group Python cost would dominate)
+    from .fastagg import sort_block_aggregate
+    dedup = sort_block_aggregate(pairs, ["id_a", "id_b"],
+                                 {"n_bands_hit": (None, "count")})
     return dedup.select_columns(["id_a", "id_b"])
 
 

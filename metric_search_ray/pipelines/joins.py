@@ -90,7 +90,7 @@ class RnnActor:
     """Actor pool: radius search against the partitioned geo index."""
 
     def __init__(self, ckpt_dir: str, radius: float, cache_trees: int = 64,
-                 part_refs: dict | None = None):
+                 part_refs=None):
         import collections
         manifest = buildmod.load_manifest(ckpt_dir)
         self.by_cell = buildmod.cells_in_manifest(manifest)

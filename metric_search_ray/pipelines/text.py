@@ -132,8 +132,6 @@ def top_tokens(ds, k: int = 20, text_col: str = "text",
     exploded token array) reduce each batch to its distinct tokens
     before the grouped Sum — the exchange carries vocabulary, not
     corpus; the final top-k runs over the aggregated vocabulary."""
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
         if lowercase:
@@ -144,8 +142,11 @@ def top_tokens(ds, k: int = 20, text_col: str = "text",
         return pa.table({"token": pa.array(vals, pa.string()),
                          "partial_n": pa.array(cnt, pa.int64())})
 
-    counts = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("token").aggregate(Sum("partial_n", alias_name="n")))
+    # vocabulary-sized group count: block-aggregated
+    from .fastagg import sort_block_aggregate
+    counts = sort_block_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "token", {"n": ("partial_n", "sum")})
 
     def topk(batch: pa.Table) -> pa.Table:
         # per-block candidate top-k (top-k is a semilattice: the global

@@ -82,8 +82,6 @@ def tiles_with_images(points_ds, res: int, driver_combine: bool | None = None):
     bincount instead of paying a groupby shuffle; finer resolutions
     fall back to the distributed groupby.
     """
-    from ray.data.aggregate import Sum
-
     def partial_counts(batch: pa.Table) -> pa.Table:
         t = batch.column("tile_id").to_numpy()
         vals, cnt = np.unique(t, return_counts=True)
@@ -110,8 +108,9 @@ def tiles_with_images(points_ds, res: int, driver_combine: bool | None = None):
             "tile_id": pa.array(keys, pa.int64()),
             "count()": pa.array(sums, pa.int64()),
         }))
-    return (partials.groupby("tile_id")
-            .aggregate(Sum("partial_n", alias_name="count()")))
+    from .fastagg import sort_block_aggregate
+    return sort_block_aggregate(partials, "tile_id",
+                                {"count()": ("partial_n", "sum")})
 
 
 def raster_vector_assignment(points_ds, polygon_layer: dict, res: int):

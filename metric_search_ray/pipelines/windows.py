@@ -33,8 +33,6 @@ def _ts_to_epoch(batch: pa.Table, ts_col: str) -> np.ndarray:
 
 def tumbling(ds, key_col: str, ts_col: str, size_s: int, value_col: str):
     """(key, window_start, n, sum_value) for fixed windows of size_s."""
-    from ray.data.aggregate import Count, Sum
-
     def bucket(batch: pa.Table) -> pa.Table:
         ep = _ts_to_epoch(batch, ts_col)
         ws = (ep // size_s) * size_s
@@ -44,15 +42,16 @@ def tumbling(ds, key_col: str, ts_col: str, size_s: int, value_col: str):
             value_col: batch.column(value_col),
         })
 
-    return (ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby([key_col, "window_start"])
-            .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value")))
+    # #groups ~ (keys x windows) grows with the log: block-aggregated
+    from .fastagg import sort_block_aggregate
+    return sort_block_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col, "window_start"],
+        {"n": (None, "count"), "sum_value": (value_col, "sum")})
 
 
 def sliding(ds, key_col: str, ts_col: str, size_s: int, slide_s: int, value_col: str):
     """Windows starting every slide_s covering size_s (size % slide == 0)."""
-    from ray.data.aggregate import Count, Sum
-
     if size_s % slide_s != 0:
         raise ValueError("size_s must be a multiple of slide_s")
     k = size_s // slide_s
@@ -75,9 +74,11 @@ def sliding(ds, key_col: str, ts_col: str, size_s: int, slide_s: int, value_col:
             value_col: pa.array(np.concatenate(vals), pa.float64()),
         })
 
-    return (ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby([key_col, "window_start"])
-            .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value")))
+    from .fastagg import sort_block_aggregate
+    return sort_block_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col, "window_start"],
+        {"n": (None, "count"), "sum_value": (value_col, "sum")})
 
 
 def _sessionize(ep: np.ndarray, vals: np.ndarray, gap_s: int):
