@@ -145,13 +145,14 @@ class RnnActor:
 
 def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
                 batch_size: int = 256, use_actor_pool: bool = True,
-                preload: bool = True):
+                preload: bool = False):
     """All (query, image) pairs with planar-degree dist < radius (strict,
     matching the reference's rnn).  ``use_actor_pool=False`` ships a
     pickled RnnActor to stateless tasks — parallelism then follows the
     cluster instead of the fixed pool size (same tradeoff as knn_geo).
-    ``preload``: share the staged object-store partition arrays (see
-    knn.stage_partition_arrays) instead of per-worker parquet decodes."""
+    ``preload`` (opt-in, see knn.knn_geo): share staged object-store
+    partition arrays instead of per-worker parquet decodes — for
+    multi-node remote-storage deployments."""
     import ray as _ray
 
     from .knn import stage_partition_arrays

@@ -294,48 +294,38 @@ class KnnActor:
             active = active[keep]
             if len(active) == 0:
                 break
-            # one merged scan per ring: concatenating every present
-            # partition of the ring into a single distance matrix +
-            # top-k cut replaces one numpy pass per ~500-row partition
-            # (the fine res-5 grid makes per-partition overhead dominate
-            # otherwise).  Result identical: the same candidate union,
-            # and the (dist, id) tie cut is merge-order independent.
-            paths = [path
-                     for c in ring_cells
-                     for _salt, path in self.by_cell.get(int(c), ())]
-            if not paths:
-                continue
-            parts = [_resolve_arrays(p, self.part_refs) for p in paths]
-            lat = np.concatenate([p[0] for p in parts])
-            lon = np.concatenate([p[1] for p in parts])
-            ids = (parts[0][2] if len(parts) == 1
-                   else np.concatenate([p[2] for p in parts]))
-            d = planar_dist(lat[None, :] - qlat[active, None],
-                            lon[None, :] - qlon[active, None])
-            m = d.shape[1]
-            all_d = np.concatenate([best_d[active], d], axis=1)
-            all_id = np.concatenate(
-                [best_id[active],
-                 np.broadcast_to(ids, (len(active), m))], axis=1)
-            kk = min(kmax, all_d.shape[1])
-            sel = np.argpartition(all_d, kk - 1, axis=1)[:, :kmax]
-            new_d = np.take_along_axis(all_d, sel, axis=1)
-            new_id = np.take_along_axis(all_id, sel, axis=1)
-            # deterministic boundary ties: argpartition resolves
-            # equal distances at the kmax cut arbitrarily; rows
-            # where extra candidates tie with the k-th distance
-            # are re-cut on the (dist, image_id) order that the
-            # serial path and the merge stage use
-            kth = new_d.max(axis=1)
-            n_le = (all_d <= kth[:, None]).sum(axis=1)
-            for rr in np.flatnonzero((n_le > kmax) & np.isfinite(kth)):
-                idxs = np.flatnonzero(all_d[rr] <= kth[rr])
-                ordr = np.lexsort((all_id[rr, idxs].astype(str),
-                                   all_d[rr, idxs]))[:kmax]
-                new_d[rr] = all_d[rr, idxs[ordr]]
-                new_id[rr] = all_id[rr, idxs[ordr]]
-            best_d[active] = new_d
-            best_id[active] = new_id
+            for c in ring_cells:
+                ci = int(c)
+                if ci not in self.by_cell:
+                    continue
+                for _salt, path in self.by_cell[ci]:
+                    lat, lon, ids = _resolve_arrays(path, self.part_refs)
+                    d = planar_dist(lat[None, :] - qlat[active, None],
+                                    lon[None, :] - qlon[active, None])
+                    m = d.shape[1]
+                    all_d = np.concatenate([best_d[active], d], axis=1)
+                    all_id = np.concatenate(
+                        [best_id[active],
+                         np.broadcast_to(ids, (len(active), m))], axis=1)
+                    kk = min(kmax, all_d.shape[1])
+                    sel = np.argpartition(all_d, kk - 1, axis=1)[:, :kmax]
+                    new_d = np.take_along_axis(all_d, sel, axis=1)
+                    new_id = np.take_along_axis(all_id, sel, axis=1)
+                    # deterministic boundary ties: argpartition resolves
+                    # equal distances at the kmax cut arbitrarily; rows
+                    # where extra candidates tie with the k-th distance
+                    # are re-cut on the (dist, image_id) order that the
+                    # serial path and the merge stage use
+                    kth = new_d.max(axis=1)
+                    n_le = (all_d <= kth[:, None]).sum(axis=1)
+                    for r in np.flatnonzero((n_le > kmax) & np.isfinite(kth)):
+                        idxs = np.flatnonzero(all_d[r] <= kth[r])
+                        ordr = np.lexsort((all_id[r, idxs].astype(str),
+                                           all_d[r, idxs]))[:kmax]
+                        new_d[r] = all_d[r, idxs[ordr]]
+                        new_id[r] = all_id[r, idxs[ordr]]
+                    best_d[active] = new_d
+                    best_id[active] = new_id
         return best_d, best_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -381,7 +371,7 @@ class KnnActor:
 
 def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 256,
             use_actor_pool: bool = True, route_by_home_cell: bool | None = None,
-            route_strategy: str = "sort", preload: bool = True):
+            route_strategy: str = "sort", preload: bool = False):
     """Geo kNN pipeline.  ``use_actor_pool=False`` ships a pickled
     KnnActor instance to stateless tasks instead — no pool spawn cost,
     warm-worker reuse; right for short bursts, while long-running query
@@ -404,10 +394,13 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
       pool cost amortizes; it also flips the shuffle strategy on the
       queries dataset's captured DataContext (scoped to that lineage).
 
-    ``preload`` (default on): stage partition scan arrays into the
+    ``preload`` (default OFF): stage partition scan arrays into the
     object store once (``stage_partition_arrays``) so workers resolve
-    zero-copy refs instead of each decoding the parquet checkpoints.
-    Disable for query mixes that touch a small corner of a huge index.
+    refs instead of each decoding the parquet checkpoints.  Opt-in: on
+    a single node the page cache makes repeated parquet decodes cheap
+    and staging measured net-negative (interleaved A/B at 16 cpus);
+    the win case is multi-node with remote/cold storage, where W
+    workers otherwise issue W redundant reads per partition.
     """
     import ray as _ray
 
