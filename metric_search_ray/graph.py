@@ -395,30 +395,52 @@ def _connected_components_ray(edges_ds, num_partitions: int, max_iters: int):
     # Python overhead every round
     from .pipelines.fastagg import sort_block_aggregate
 
+    # The trailing repartition (here and per round below) is load-bearing
+    # twice over: it stops per-round block-count growth (union + sort
+    # otherwise compound blocks every iteration), and it removes EMPTY
+    # blocks, which trigger a Ray 2.49 hash-shuffle join bug — if the
+    # first block a join side submits is empty, _shuffle_block returns
+    # before the schema broadcast, and rowless partitions then fail in
+    # acero with "No match for FieldRef" (hash_shuffle.py:223-258).
     labels = sort_block_aggregate(
         sym, "node", {"mn": ("nbr", "min")}).map_batches(
         lambda b: pa.table({
             "node": b.column("node"),
             "component": pa.compute.min_element_wise(b.column("node"), b.column("mn")),
-        }), batch_format="pyarrow").materialize()  # consumed 3x per round
+        }), batch_format="pyarrow").repartition(
+        num_partitions).materialize()  # consumed 3x per round
 
     prev_sum = None
     for it in range(max_iters):
+        # Right side of both joins: labels keyed by node, with columns
+        # renamed so neither join has a name conflict.  Distinct names
+        # sidestep the suffix-rename path entirely, and a renamed COPY
+        # avoids a self-join of one dataset object with itself — both
+        # were observed to nondeterministically corrupt the join-side
+        # schema ("No match or multiple matches for FieldRef") in the
+        # hash-shuffle finalize.
+        rlab = labels.map_batches(
+            lambda b: pa.table({"rnode": b.column("node"),
+                                "rcomp": b.column("component")}),
+            batch_format="pyarrow")
         # propagate: neighbour labels via hash join on the edge list
-        prop = sym.join(labels, join_type="inner", num_partitions=num_partitions,
-                        on=("nbr",), right_on=("node",), right_suffix="_r")
+        prop = sym.join(rlab, join_type="inner", num_partitions=num_partitions,
+                        on=("nbr",), right_on=("rnode",))
+        prop = prop.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "component": b.column("rcomp")}),
+            batch_format="pyarrow")
         # squaring: label-of-label — join labels to itself on component=node
-        sq = labels.join(labels, join_type="inner", num_partitions=num_partitions,
-                         on=("component",), right_on=("node",), right_suffix="_l")
+        sq = labels.join(rlab, join_type="inner", num_partitions=num_partitions,
+                         on=("component",), right_on=("rnode",))
         sq = sq.map_batches(
-            lambda b: pa.table({
-                "node": b.column("node"),
-                "component": b.column("component_l" if "component_l" in b.column_names
-                                      else "component"),
-            }), batch_format="pyarrow")
-        cand = prop.select_columns(["node", "component"]).union(labels).union(sq)
+            lambda b: pa.table({"node": b.column("node"),
+                                "component": b.column("rcomp")}),
+            batch_format="pyarrow")
+        cand = prop.union(labels).union(sq)
         labels = sort_block_aggregate(
-            cand, "node", {"component": ("component", "min")}).materialize()
+            cand, "node", {"component": ("component", "min")}).repartition(
+            num_partitions).materialize()
         s = labels.sum("component")
         if s == prev_sum:
             return labels
