@@ -703,6 +703,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      "dst": pa.array(e[:, 1], pa.int64())}))
         return graph.connected_components_ray(ds, num_partitions=4)
 
+    def doc_pii_scrub(sf_dir: str):
+        # the synthetic corpus carries no PII, so the query derives a
+        # deterministic PII-bearing text from the table's own columns
+        # (same construction in the SQL oracle), then scrubs it
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text", "source"])
+
+        def make_pii(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            s = pd.Series(b.column("text").to_pylist()).fillna("")
+            src = pd.Series(b.column("source").to_pylist()).fillna("")
+            pii = ("u" + pd.Series(ids.astype(str)) + "@" + src
+                   + ".com at 10.0." + pd.Series((ids % 256).astype(str))
+                   + ".7 tel +44 20 79" + pd.Series((10 + ids % 90).astype(str))
+                   + " 0958 ok " + s)
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "text": pa.array(pii.tolist(), pa.string())})
+
+        withpii = ds.map_batches(make_pii, batch_format="pyarrow")
+        return textops.pii_scrub(withpii)
+
+    def doc_split(sf_dir: str):
+        from metric_search_ray.pipelines import sampling
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])
+        return sampling.hash_split(ds, "doc_id", test_buckets=10)
+
+    def doc_stratified_sample(sf_dir: str):
+        from metric_search_ray.pipelines import sampling
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "lang"])
+        return sampling.stratified_sample(ds, "doc_id", "lang",
+                                          keep_buckets=20)
+
     return {
         "geo_tile_counts": geo_tile_counts,
         "geo_pip_rect": geo_pip_rect,
@@ -743,6 +778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "events_sliding_window": events_sliding_window,
         "phash_knn": phash_knn,
+        "doc_pii_scrub": doc_pii_scrub,
+        "doc_split": doc_split,
+        "doc_stratified_sample": doc_stratified_sample,
     }
 
 
@@ -1261,5 +1299,41 @@ SELECT query_id, vec_id,
        round(sim, 6) AS sim_r
 FROM d
 QUALIFY rank <= 5
+""",
+        # PII scrub replay: same derived text, same RE2 patterns, same
+        # application order (email -> ipv4 -> phone; counts taken on the
+        # pre-replacement text of each stage, like the operator)
+        "doc_pii_scrub": r"""
+WITH t0 AS (SELECT doc_id,
+  'u' || CAST(doc_id AS VARCHAR) || '@' || source || '.com at 10.0.'
+  || CAST(doc_id % 256 AS VARCHAR) || '.7 tel +44 20 79'
+  || CAST(10 + doc_id % 90 AS VARCHAR) || ' 0958 ok ' || text AS s
+  FROM documents),
+t1 AS (SELECT doc_id,
+  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n0,
+  regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS s
+  FROM t0),
+t2 AS (SELECT doc_id, n0,
+  len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n1,
+  regexp_replace(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS s
+  FROM t1),
+t3 AS (SELECT doc_id, n0, n1,
+  len(regexp_extract_all(s, '\+?\d[\d -]{7,}\d')) AS n2,
+  regexp_replace(s, '\+?\d[\d -]{7,}\d', '[PHONE]', 'g') AS s
+  FROM t2)
+SELECT doc_id, s AS clean_text, CAST(n0 + n1 + n2 AS BIGINT) AS n_redactions
+FROM t3
+""",
+        # deterministic hash split: md5_number_lower == little-endian
+        # uint64 of md5 bytes [8:16] (verified identity)
+        "doc_split": """
+SELECT doc_id,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+""",
+        "doc_stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(lang || '|' || CAST(doc_id AS VARCHAR)) % 100 < 20
 """,
     }

@@ -1,0 +1,76 @@
+"""Deterministic sampling / train-test splitting over any keyed table.
+
+A large-scale training-data pipeline needs REPRODUCIBLE row selection:
+the same corpus must produce the same sample on every run, on any
+cluster size, regardless of block layout — so `Dataset.random_sample`
+(seed-per-block, layout-dependent) is the wrong tool.  Everything here
+keys off a content hash of the row's id:
+
+    bucket(id) = md5(utf8(id))[8:16] as little-endian uint64  mod  B
+
+which is a pure function of the id — embarrassingly parallel, no
+shuffle, no coordination, and exactly replayable in SQL (DuckDB's
+``md5_number_lower(x) % B``), which is how the driver oracles verify
+these operators.
+
+The md5 call is per-row C code (~0.5us/row via hashlib); at extreme
+scale swap in a vectorized 64-bit hash (xxhash/wyhash over a byte
+matrix) — the bucketing contract stays the same.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _bucket_of(ids, n_buckets: int, salt: str = "") -> np.ndarray:
+    """uint64 md5-low-8 bucket per id.  ``salt`` namespaces independent
+    draws (stratified sampling salts with the stratum so strata are
+    sampled independently)."""
+    out = np.empty(len(ids), np.uint64)
+    enc = (salt + "|").encode() if salt else b""
+    for i, v in enumerate(ids):
+        key = enc + str(v).encode()
+        out[i] = int.from_bytes(hashlib.md5(key).digest()[8:], "little")
+    return out % np.uint64(n_buckets)
+
+
+def hash_split(ds, id_col: str, test_buckets: int = 10, n_buckets: int = 100):
+    """Add a ``split`` column: 'test' where bucket(id) < test_buckets,
+    else 'train'.  Deterministic, layout-independent, shuffle-free."""
+    def fn(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(batch.column(id_col).to_pylist(), n_buckets)
+        split = np.where(b < test_buckets, "test", "train")
+        return batch.append_column("split", pa.array(split, pa.string()))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_sample(ds, id_col: str, keep_buckets: int, n_buckets: int = 100,
+                salt: str = ""):
+    """Keep rows with bucket(id) < keep_buckets — a deterministic
+    ~keep_buckets/n_buckets fraction of the table."""
+    def fn(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(batch.column(id_col).to_pylist(), n_buckets, salt)
+        return batch.filter(pa.array(b < keep_buckets))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(ds, id_col: str, stratum_col: str, keep_buckets: int,
+                      n_buckets: int = 100):
+    """Per-stratum deterministic sample: bucket over (stratum|id) so
+    each stratum is an independent draw at the same rate — a skewed
+    stratum can't eat the whole budget.  Still one narrow map pass, no
+    groupby/shuffle (the census-then-sample design would need one)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        strata = batch.column(stratum_col).to_pylist()
+        out = np.empty(len(ids), np.uint64)
+        for i, (v, s) in enumerate(zip(ids, strata)):
+            key = (str(s) + "|" + str(v)).encode()
+            out[i] = int.from_bytes(hashlib.md5(key).digest()[8:], "little")
+        return batch.filter(pa.array(out % np.uint64(n_buckets) < keep_buckets))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

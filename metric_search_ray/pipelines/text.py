@@ -225,3 +225,38 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({id_col: batch.column(id_col),
                          "fingerprint": pa.array(out.astype(np.int64), pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# PII scrubbing patterns, applied in order: emails first (an address
+# can contain digit runs a later pattern would half-match), then IPv4
+# (dotted quads would otherwise match the phone pattern), then phone
+# numbers.  Deliberately RE2-compatible (no lookarounds/backrefs) so
+# the DuckDB oracle replays them verbatim with regexp_replace/
+# regexp_extract_all — parity verified empirically per pattern.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+?\d[\d -]{7,}\d"),
+)
+
+
+def pii_scrub(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Redact emails / IPv4 addresses / phone numbers: each match is
+    replaced with its [TAG].  Returns (id, clean_text, n_redactions).
+
+    One vectorized pandas ``str.count`` + ``str.replace`` pass per
+    pattern per batch (compiled regex, C loop) — no per-row Python.
+    Stateless map stage: embarrassingly parallel, shuffle-free."""
+    import re as _re
+    compiled = [(tag, _re.compile(pat)) for tag, pat in PII_PATTERNS]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        n = np.zeros(len(s), np.int64)
+        for tag, rx in compiled:
+            n += s.str.count(rx).to_numpy(np.int64)
+            s = s.str.replace(rx, f"[{tag}]", regex=True)
+        return pa.table({id_col: batch.column(id_col),
+                         "clean_text": pa.array(s.tolist(), pa.string()),
+                         "n_redactions": pa.array(n, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,89 @@
+"""Sampling + PII-scrub operators: determinism, SQL-hash parity, rates."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from metric_search_ray.pipelines import sampling, text as textops
+
+
+def _docs(n=400):
+    rng = np.random.default_rng(7)
+    langs = np.array(["en", "de", "fr", "es", "zh"])[rng.integers(0, 5, n)]
+    return pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                     "lang": pa.array(langs, pa.string())})
+
+
+def test_hash_split_deterministic_and_layout_independent(ray_session):
+    t = _docs()
+    a = sampling.hash_split(rd.from_arrow(t), "doc_id").to_pandas()
+    b = sampling.hash_split(rd.from_arrow(t).repartition(7), "doc_id").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"] == b["split"]).all()
+    # matches the md5 bucket contract row by row
+    for did, split in zip(a["doc_id"], a["split"]):
+        bkt = int.from_bytes(hashlib.md5(str(did).encode()).digest()[8:],
+                             "little") % 100
+        assert split == ("test" if bkt < 10 else "train")
+    frac = (a["split"] == "test").mean()
+    assert 0.03 < frac < 0.2  # ~10% of 400
+
+
+def test_stratified_sample_independent_per_stratum(ray_session):
+    t = _docs(1000)
+    out = sampling.stratified_sample(
+        rd.from_arrow(t), "doc_id", "lang", keep_buckets=20).to_pandas()
+    full = t.to_pandas()
+    # every kept row satisfies the salted-hash contract; every
+    # satisfying row is kept (exactness, not just rate)
+    kept = set(out["doc_id"])
+    for did, lang in zip(full["doc_id"], full["lang"]):
+        bkt = int.from_bytes(
+            hashlib.md5(f"{lang}|{did}".encode()).digest()[8:],
+            "little") % 100
+        assert (did in kept) == (bkt < 20)
+    # each stratum individually near the target rate
+    full["kept"] = full["doc_id"].isin(kept).astype(float)
+    rates = full.groupby("lang")["kept"].mean()
+    assert ((rates > 0.05) & (rates < 0.45)).all(), rates.to_dict()
+
+
+def test_hash_sample_subset_of_split(ray_session):
+    t = _docs()
+    samp = sampling.hash_sample(rd.from_arrow(t), "doc_id",
+                                keep_buckets=10).to_pandas()
+    split = sampling.hash_split(rd.from_arrow(t), "doc_id").to_pandas()
+    test_ids = set(split[split["split"] == "test"]["doc_id"])
+    assert set(samp["doc_id"]) == test_ids
+
+
+@pytest.mark.parametrize("txt,n_exp,clean_exp", [
+    ("mail bob.smith+x@ex.co.uk now", 1, "mail [EMAIL] now"),
+    ("ip 10.0.12.255 stop", 1, "ip [IP] stop"),
+    ("call +44 20 7946 0958 ok", 1, "call [PHONE] ok"),
+    ("a@b.io 1.2.3.4 +1 555 123 4567", 3, "[EMAIL] [IP] [PHONE]"),
+    ("nothing here", 0, "nothing here"),
+    ("", 0, ""),
+])
+def test_pii_scrub_cases(ray_session, txt, n_exp, clean_exp):
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array([txt], pa.string())}))
+    out = textops.pii_scrub(ds).to_pandas()
+    assert out["n_redactions"][0] == n_exp
+    assert out["clean_text"][0] == clean_exp
+
+
+def test_pii_scrub_ip_not_double_counted_as_phone(ray_session):
+    # dotted quad must be consumed by the IP pass before the phone pass
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array(["x 192.168.001.001 y"],
+                                                  pa.string())}))
+    out = textops.pii_scrub(ds).to_pandas()
+    assert out["n_redactions"][0] == 1
+    assert "[IP]" in out["clean_text"][0]
+    assert "[PHONE]" not in out["clean_text"][0]
