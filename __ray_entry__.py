@@ -725,6 +725,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         withpii = ds.map_batches(make_pii, batch_format="pyarrow")
         return textops.pii_scrub(withpii)
 
+    def doc_dedup_near(sf_dir: str):
+        # end-to-end near-dup dedup: exact jaccard pairs -> transitive
+        # clusters (distributed CC) -> keep the min-id member of each
+        from metric_search_ray.pipelines import dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        pairs = dedup.ngram_jaccard_pairs(ds, threshold=0.5, df_cap=50)
+        return dedup.near_dup_dedup(ds, pairs, num_partitions=4)
+
     def doc_split(sf_dir: str):
         from metric_search_ray.pipelines import sampling
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -781,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": doc_pii_scrub,
         "doc_split": doc_split,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_dedup_near": doc_dedup_near,
     }
 
 
@@ -1335,5 +1345,22 @@ FROM documents
         "doc_stratified_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(lang || '|' || CAST(doc_id AS VARCHAR)) % 100 < 20
+""",
+        # transitive closure of the jaccard near-dup graph: a doc is
+        # dropped iff some smaller id is reachable; duplicate clusters
+        # are tiny so the recursive closure stays small
+        "doc_dedup_near": f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_jaccard_oracle_sql()}) jp),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+  WHERE e.b <> r.a)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM reach r
+                  WHERE r.a = d.doc_id AND r.b < d.doc_id)
 """,
     }

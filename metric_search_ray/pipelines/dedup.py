@@ -725,3 +725,51 @@ def embedding_dedup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id"
         return out.filter(pa.compute.greater_equal(out.column("cosine"), cos_threshold))
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def near_dup_dedup(ds, pairs, id_col: str = "doc_id",
+                   num_partitions: int = 8):
+    """End-to-end near-duplicate DEDUP: a pair table (id_a, id_b) from
+    any candidate generator (minhash / simhash / jaccard / hamming /
+    embedding) -> transitive duplicate clusters -> keep the min-id
+    member of each cluster.  Returns the kept ids (one column,
+    ``id_col``).
+
+    Near-duplication is not transitive, but dedup must be: if A~B and
+    B~C, keeping both A and C leaves a near-pair in the corpus.  The
+    standard resolution (and the one MinHash-LSH pipelines use) is to
+    union the pair graph into connected components and keep one
+    canonical member per component — computed here with the
+    distributed min-label CC (graph.connected_components_ray), so the
+    closure never leaves the cluster: pairs shuffle as an edge list,
+    non-canonical members come back as a (usually much smaller) drop
+    list, and the final filter is one distributed LEFT ANTI hash join
+    (no driver-side id set).
+    """
+    import pyarrow.compute as pc
+
+    from ..graph import connected_components_ray
+
+    edges = pairs.map_batches(
+        lambda b: pa.table({"src": b.column("id_a").cast(pa.int64()),
+                            "dst": b.column("id_b").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    ids = ds.select_columns([id_col])
+    if edges.count() == 0:
+        return ids
+    labels = connected_components_ray(edges, num_partitions=num_partitions)
+    drop = labels.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("node"),
+                                        b.column("component")))
+                   .select(["node"]),
+        batch_format="pyarrow").materialize()
+    n_drop = drop.count()
+    if n_drop == 0:
+        return ids
+    # coalesce away the empty blocks the filter leaves (rowless blocks
+    # on a join side trip the Ray 2.49 schema-broadcast bug — see
+    # graph._connected_components_ray)
+    drop = drop.repartition(max(2, min(num_partitions, n_drop)))
+    return ids.join(drop, join_type="left_anti",
+                    num_partitions=num_partitions,
+                    on=(id_col,), right_on=("node",))

@@ -87,3 +87,26 @@ def test_pii_scrub_ip_not_double_counted_as_phone(ray_session):
     assert out["n_redactions"][0] == 1
     assert "[IP]" in out["clean_text"][0]
     assert "[PHONE]" not in out["clean_text"][0]
+
+
+def test_near_dup_dedup_transitive_closure(ray_session):
+    # planted chain 1~2, 2~3 (1!~3) plus isolated 4,5: dedup must keep
+    # exactly {1, 4, 5} — transitivity through the component, min id kept
+    from metric_search_ray.pipelines import dedup
+
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                     "text": pa.array(["a", "b", "c", "d", "e"])})
+    pairs = pa.table({"id_a": pa.array([1, 2], pa.int64()),
+                      "id_b": pa.array([2, 3], pa.int64())})
+    kept = dedup.near_dup_dedup(rd.from_arrow(docs), rd.from_arrow(pairs))
+    assert sorted(kept.to_pandas()["doc_id"]) == [1, 4, 5]
+
+
+def test_near_dup_dedup_no_pairs_keeps_all(ray_session):
+    from metric_search_ray.pipelines import dedup
+
+    docs = pa.table({"doc_id": pa.array([7, 8], pa.int64())})
+    pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    kept = dedup.near_dup_dedup(rd.from_arrow(docs), rd.from_arrow(pairs))
+    assert sorted(kept.to_pandas()["doc_id"]) == [7, 8]
