@@ -734,6 +734,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dedup.ngram_jaccard_pairs(ds, threshold=0.5, df_cap=50)
         return dedup.near_dup_dedup(ds, pairs, num_partitions=4)
 
+    def doc_bm25(sf_dir: str):
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = textops.bm25_score(
+            ds, ["table", "spark", "window", "vector"]).to_pandas()
+        out["score_r"] = out["score"].round(6)
+        return out[["doc_id", "score_r"]]
+
     def doc_split(sf_dir: str):
         from metric_search_ray.pipelines import sampling
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -791,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": doc_split,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_dedup_near": doc_dedup_near,
+        "doc_bm25": doc_bm25,
     }
 
 
@@ -1345,6 +1355,40 @@ FROM documents
         "doc_stratified_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(lang || '|' || CAST(doc_id AS VARCHAR)) % 100 < 20
+""",
+        # BM25 replay: same Lucene-form idf, same expression shapes and
+        # evaluation order as text.bm25_score (round(6) absorbs the
+        # associativity-of-sum last bits)
+        "doc_bm25": r"""
+WITH d AS (SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents),
+dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, dl,
+    len(list_filter(toks, x -> x = 'table'))  AS tf0,
+    len(list_filter(toks, x -> x = 'spark'))  AS tf1,
+    len(list_filter(toks, x -> x = 'window')) AS tf2,
+    len(list_filter(toks, x -> x = 'vector')) AS tf3
+  FROM dl),
+df AS (SELECT sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+              sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+              sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+              sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+       FROM tf),
+scored AS (SELECT doc_id,
+    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * (1.2 + 1.0)
+      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0)
+      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0)
+      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+  + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * tf3 * (1.2 + 1.0)
+      / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+  FROM tf CROSS JOIN stats CROSS JOIN df)
+SELECT doc_id, round(score, 6) AS score_r FROM scored WHERE score > 0
 """,
         # transitive closure of the jaccard near-dup graph: a doc is
         # dropped iff some smaller id is reachable; duplicate clusters

@@ -727,8 +727,30 @@ def embedding_dedup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id"
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+def _minlabel_components_numpy(src: np.ndarray, dst: np.ndarray):
+    """(unique nodes, component = min reachable node id) — vectorized
+    min-label propagation with pointer doubling, O(E log V) total work,
+    no per-edge Python.  Same fixpoint as the distributed CC."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    a, b = inv[:len(src)], inv[len(src):]
+    lab = np.arange(len(nodes))
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, a, lab[b])     # hook: each endpoint takes the
+        np.minimum.at(new, b, lab[a])     # smaller neighbour label
+        while True:                        # pointer doubling: label-of-label
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, lab):
+            return nodes, nodes[lab]
+        lab = new
+
+
 def near_dup_dedup(ds, pairs, id_col: str = "doc_id",
-                   num_partitions: int = 8):
+                   num_partitions: int = 8,
+                   driver_edge_cap: int = 1_000_000):
     """End-to-end near-duplicate DEDUP: a pair table (id_a, id_b) from
     any candidate generator (minhash / simhash / jaccard / hamming /
     embedding) -> transitive duplicate clusters -> keep the min-id
@@ -739,14 +761,19 @@ def near_dup_dedup(ds, pairs, id_col: str = "doc_id",
     B~C, keeping both A and C leaves a near-pair in the corpus.  The
     standard resolution (and the one MinHash-LSH pipelines use) is to
     union the pair graph into connected components and keep one
-    canonical member per component — computed here with the
-    distributed min-label CC (graph.connected_components_ray), so the
-    closure never leaves the cluster: pairs shuffle as an edge list,
-    non-canonical members come back as a (usually much smaller) drop
-    list, and the final filter is one distributed LEFT ANTI hash join
-    (no driver-side id set).
+    canonical member per component.
+
+    Size-adaptive closure: the pair graph is normally MUCH smaller
+    than the corpus, so up to ``driver_edge_cap`` edges (~16 MB at the
+    default) the components run as one vectorized numpy pass on the
+    driver and the drop set broadcasts into a shuffle-free ``is_in``
+    filter — the distributed min-label CC plus LEFT ANTI hash join
+    (both all-to-all) only engage above the cap, where they are the
+    scale-correct shape.
     """
     import pyarrow.compute as pc
+
+    import ray as _ray
 
     from ..graph import connected_components_ray
 
@@ -755,8 +782,27 @@ def near_dup_dedup(ds, pairs, id_col: str = "doc_id",
                             "dst": b.column("id_b").cast(pa.int64())}),
         batch_format="pyarrow").materialize()
     ids = ds.select_columns([id_col])
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ids
+    if n_edges <= driver_edge_cap:
+        # zero-row blocks can carry an EMPTY schema (filter/map leftovers)
+        # that concat_tables rejects — drop them, they hold no edges
+        tbl = pa.concat_tables(
+            [t for t in _ray.get(edges.to_arrow_refs()) if t.num_rows])
+        nodes, comp = _minlabel_components_numpy(
+            tbl.column("src").to_numpy(), tbl.column("dst").to_numpy())
+        drop_arr = pa.array(nodes[nodes != comp], pa.int64())
+        drop_ref = _ray.put(drop_arr)
+
+        def keep_fn(batch: pa.Table) -> pa.Table:
+            dropped = _ray.get(drop_ref)
+            m = pc.is_in(batch.column(id_col).cast(pa.int64()),
+                         value_set=dropped)
+            return batch.filter(pc.invert(m))
+
+        return ids.map_batches(keep_fn, batch_format="pyarrow",
+                               zero_copy_batch=True)
     labels = connected_components_ray(edges, num_partitions=num_partitions)
     drop = labels.map_batches(
         lambda b: b.filter(pc.not_equal(b.column("node"),

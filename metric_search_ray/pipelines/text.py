@@ -260,3 +260,68 @@ def pii_scrub(ds, text_col: str = "text", id_col: str = "doc_id"):
                          "clean_text": pa.array(s.tolist(), pa.string()),
                          "n_redactions": pa.array(n, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bm25_score(ds, terms: list[str], k1: float = 1.2, b: float = 0.75,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """BM25 relevance of every document against a fixed term list
+    (Robertson/Sparck-Jones idf in the non-negative Lucene form).
+    Returns (id, score) for docs matching at least one term.
+
+    Two passes, both shuffle-free:
+    1. census — per-batch partials of (df per term, total doc length,
+       doc count) stream to the driver; output size is bounded by
+       len(terms), independent of corpus size;
+    2. score — one vectorized pass: tokens exploded per batch with
+       np.repeat, per-term tf via np.bincount over an object-array
+       equality mask (C loop), no per-row Python.
+
+    Token semantics match token_count (whitespace split, empty -> 0
+    tokens) so the SQL oracle can replay both passes exactly.
+    """
+    terms = list(terms)
+
+    def _toks(batch: pa.Table):
+        s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        toks = s.str.strip().str.split(r"\s+")
+        lens = toks.map(lambda t: 0 if t == [""] else len(t)).to_numpy(np.int64)
+        flat = (np.concatenate([t for t in toks.to_list() if t != [""]])
+                if lens.sum() else np.empty(0, object))
+        row = np.repeat(np.arange(len(s)), lens)
+        return flat, row, lens
+
+    def census(batch: pa.Table) -> pa.Table:
+        flat, row, lens = _toks(batch)
+        df = np.empty(len(terms), np.int64)
+        for j, t in enumerate(terms):
+            hit = row[flat == t]
+            df[j] = len(np.unique(hit))
+        return pa.table({
+            "term_idx": pa.array(np.arange(len(terms)), pa.int64()),
+            "df": pa.array(df, pa.int64()),
+            "n_docs": pa.array(np.full(len(terms), len(lens)), pa.int64()),
+            "sum_dl": pa.array(np.full(len(terms), lens.sum()), pa.int64()),
+        })
+
+    parts = ds.map_batches(census, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    agg = parts.groupby("term_idx").agg(df=("df", "sum"))
+    per_batch = parts[parts["term_idx"] == 0]
+    n_total = int(per_batch["n_docs"].sum())
+    avgdl = float(per_batch["sum_dl"].sum()) / max(n_total, 1)
+    dfv = agg["df"].to_numpy(np.float64)
+    idf = np.log((n_total - dfv + 0.5) / (dfv + 0.5) + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, row, lens = _toks(batch)
+        n = len(lens)
+        sc = np.zeros(n, np.float64)
+        norm = k1 * (1.0 - b + b * lens / avgdl)
+        for j, t in enumerate(terms):
+            tf = np.bincount(row[flat == t], minlength=n).astype(np.float64)
+            sc += idf[j] * tf * (k1 + 1.0) / (tf + norm)
+        keep = sc > 0
+        return pa.table({id_col: batch.column(id_col).filter(pa.array(keep)),
+                         "score": pa.array(sc[keep], pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -110,3 +110,60 @@ def test_near_dup_dedup_no_pairs_keeps_all(ray_session):
                       "id_b": pa.array([], pa.int64())})
     kept = dedup.near_dup_dedup(rd.from_arrow(docs), rd.from_arrow(pairs))
     assert sorted(kept.to_pandas()["doc_id"]) == [7, 8]
+
+
+def test_bm25_matches_bruteforce(ray_session):
+    from metric_search_ray.pipelines import text as textops
+
+    docs = ["table spark table", "window vector", "spark", "nothing here",
+            "table table table spark window", ""]
+    ids = np.arange(len(docs), dtype=np.int64)
+    terms = ["table", "spark", "window"]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(docs, pa.string())}))
+    out = (textops.bm25_score(ds, terms).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # brute force
+    toks = [d.split() for d in docs]
+    lens = np.array([len(t) for t in toks], np.float64)
+    n = len(docs)
+    avgdl = lens.sum() / n
+    k1, b = 1.2, 0.75
+    exp = {}
+    for i, t in enumerate(toks):
+        s = 0.0
+        for term in terms:
+            df = sum(1 for tt in toks if term in tt)
+            idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            tf = t.count(term)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * lens[i] / avgdl))
+        if s > 0:
+            exp[int(ids[i])] = s
+    assert sorted(out["doc_id"]) == sorted(exp)
+    for did, sc in zip(out["doc_id"], out["score"]):
+        assert abs(sc - exp[int(did)]) < 1e-12, (did, sc, exp[int(did)])
+
+
+def test_near_dup_dedup_paths_agree_and_match_unionfind(ray_session):
+    from metric_search_ray import graph
+    from metric_search_ray.pipelines import dedup
+
+    rng = np.random.default_rng(5)
+    e = rng.integers(0, 40, (30, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    docs = pa.table({"doc_id": pa.array(np.arange(50), pa.int64())})
+    pairs = pa.table({"id_a": pa.array(e[:, 0], pa.int64()),
+                      "id_b": pa.array(e[:, 1], pa.int64())})
+    k_driver = dedup.near_dup_dedup(rd.from_arrow(docs), rd.from_arrow(pairs))
+    k_dist = dedup.near_dup_dedup(rd.from_arrow(docs), rd.from_arrow(pairs),
+                                  num_partitions=4, driver_edge_cap=0)
+    a = sorted(k_driver.to_pandas()["doc_id"])
+    b = sorted(k_dist.to_pandas()["doc_id"])
+    assert a == b
+    # union-find oracle: keep ids that are the min of their component
+    g = graph.Graph(e, n_nodes=50)
+    drop = set()
+    for comp in g.connected_components():
+        if len(comp) > 1:
+            drop |= set(comp) - {min(comp)}
+    assert a == sorted(set(range(50)) - drop)
