@@ -565,13 +565,18 @@ def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
 
     small = exploded.map_batches(
         lambda b: b.filter(pa.array(~hot_mask(b))), batch_format="pyarrow")
-    npart = max(2, min(16, int(_ray.cluster_resources().get("CPU", 8)) // 2))
     # materialize + coalesce: with heavy skew most/all rows are hot and
     # the filter leaves empty (schema-less) blocks that the join's
     # aggregator rejects; repartition merges them away, and an entirely
     # empty small side skips the join
     small = small.materialize()
-    small_empty = small.count() == 0
+    n_small = small.count()
+    small_empty = n_small == 0
+    # size-adaptive partition count: each hash-join partition costs an
+    # aggregator actor (pool spawn is the stage's fixed cost); a small
+    # exploded table doesn't amortize 16 of them
+    npart = max(2, min(16, int(_ray.cluster_resources().get("CPU", 8)) // 2,
+                       -(-n_small // 50_000)))
     if not small_empty:
         small = small.repartition(npart)
     joined = small.join(small, join_type="inner", num_partitions=npart,
