@@ -743,6 +743,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score_r"] = out["score"].round(6)
         return out[["doc_id", "score_r"]]
 
+    def orders_top_per_customer(sf_dir: str):
+        # group-wise top-k (the row_number window): top-3 orders by
+        # totalprice per customer, ties broken by orderkey
+        from metric_search_ray.pipelines import topk
+        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        out = topk.grouped_top_k(ds, "o_custkey", "o_totalprice", k=3,
+                                 id_col="o_orderkey").to_pandas()
+        out["price_r"] = out["o_totalprice"].round(2)
+        return out[["o_custkey", "o_orderkey", "price_r", "rank"]]
+
     def doc_split(sf_dir: str):
         from metric_search_ray.pipelines import sampling
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -801,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_dedup_near": doc_dedup_near,
         "doc_bm25": doc_bm25,
+        "orders_top_per_customer": orders_top_per_customer,
     }
 
 
@@ -1355,6 +1367,13 @@ FROM documents
         "doc_stratified_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(lang || '|' || CAST(doc_id AS VARCHAR)) % 100 < 20
+""",
+        "orders_top_per_customer": """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price_r,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+FROM orders
+QUALIFY rank <= 3
 """,
         # BM25 replay: same Lucene-form idf, same expression shapes and
         # evaluation order as text.bm25_score (round(6) absorbs the

@@ -167,3 +167,44 @@ def test_near_dup_dedup_paths_agree_and_match_unionfind(ray_session):
         if len(comp) > 1:
             drop |= set(comp) - {min(comp)}
     assert a == sorted(set(range(50)) - drop)
+
+
+def test_grouped_top_k_matches_window_oracle(ray_session):
+    import duckdb
+    from metric_search_ray.pipelines import topk
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 137, n), pa.int64()),  # many groups
+        "v": pa.array(rng.integers(0, 50, n).astype(np.float64)),  # heavy ties
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    out = (topk.grouped_top_k(rd.from_arrow(t).repartition(9), "g", "v",
+                              k=3, id_col="rid")
+           .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT g, v, rid,
+               row_number() OVER (PARTITION BY g ORDER BY v DESC, rid) AS rank
+        FROM t QUALIFY rank <= 3 ORDER BY g, rank""").df()
+    assert len(out) == len(exp)
+    assert (out["g"].to_numpy() == exp["g"].to_numpy()).all()
+    assert (out["rid"].to_numpy() == exp["rid"].to_numpy()).all()
+    assert (out["rank"].to_numpy() == exp["rank"].to_numpy()).all()
+
+
+def test_grouped_top_k_ascending_and_small_groups(ray_session):
+    import duckdb
+    from metric_search_ray.pipelines import topk
+
+    t = pa.table({"g": pa.array([1, 1, 2], pa.int64()),
+                  "v": pa.array([5.0, 3.0, 9.0]),
+                  "rid": pa.array([10, 11, 12], pa.int64())})
+    out = (topk.grouped_top_k(rd.from_arrow(t), "g", "v", k=2,
+                              id_col="rid", descending=False)
+           .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT g, v, rid, row_number() OVER (PARTITION BY g ORDER BY v, rid) AS rank
+        FROM t QUALIFY rank <= 2 ORDER BY g, rank""").df()
+    assert out["rid"].tolist() == exp["rid"].tolist()
+    assert out["rank"].tolist() == exp["rank"].tolist()
