@@ -208,3 +208,29 @@ def test_grouped_top_k_ascending_and_small_groups(ray_session):
         FROM t QUALIFY rank <= 2 ORDER BY g, rank""").df()
     assert out["rid"].tolist() == exp["rid"].tolist()
     assert out["rank"].tolist() == exp["rank"].tolist()
+
+
+def test_grouped_top_k_fuzz_vs_duckdb(ray_session):
+    import duckdb
+    from metric_search_ray.pipelines import topk
+
+    for seed, k, ngroups, blocks, desc in [(0, 1, 3, 2, True), (1, 7, 50, 5, True),
+                                           (2, 3, 1, 3, False), (3, 2, 200, 8, True),
+                                           (4, 10, 5, 4, False)]:
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 2000))
+        t = pa.table({
+            "g": pa.array(rng.integers(0, ngroups, n), pa.int64()),
+            "v": pa.array(rng.integers(-5, 6, n).astype(np.float64)),
+            "rid": pa.array(rng.permutation(n).astype(np.int64)),
+        })
+        out = (topk.grouped_top_k(rd.from_arrow(t).repartition(blocks), "g",
+                                  "v", k=k, id_col="rid", descending=desc)
+               .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True))
+        direction = "DESC" if desc else ""
+        exp = duckdb.sql(f"""
+            SELECT g, v, rid, row_number() OVER
+                   (PARTITION BY g ORDER BY v {direction}, rid) AS rank
+            FROM t QUALIFY rank <= {k} ORDER BY g, rank""").df()
+        assert out["rid"].tolist() == exp["rid"].tolist(), (seed, k)
+        assert out["rank"].tolist() == exp["rank"].tolist(), (seed, k)
