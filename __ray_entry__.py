@@ -754,6 +754,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["price_r"] = out["o_totalprice"].round(2)
         return out[["o_custkey", "o_orderkey", "price_r", "rank"]]
 
+    def doc_repetition(sf_dir: str):
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return textops.repetition_signals(ds)
+
     def doc_split(sf_dir: str):
         from metric_search_ray.pipelines import sampling
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -813,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_near": doc_dedup_near,
         "doc_bm25": doc_bm25,
         "orders_top_per_customer": orders_top_per_customer,
+        "doc_repetition": doc_repetition,
     }
 
 
@@ -1367,6 +1374,36 @@ FROM documents
         "doc_stratified_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(lang || '|' || CAST(doc_id AS VARCHAR)) % 100 < 20
+""",
+        # within-doc repetition signals (Gopher/C4 quality-filter
+        # inputs): list_extract keeps token order deterministic (no
+        # ORDER-BY-less window over unnest)
+        "doc_repetition": r"""
+WITH d AS (SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+       FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks) - 1)) AS i FROM d)),
+tg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+       FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks) - 2)) AS i FROM d)),
+bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+tgc AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+bstat AS (SELECT doc_id, sum(c) AS n_bi, count(*) AS n_bi_distinct,
+                 max(c) AS top_bi FROM bgc GROUP BY doc_id),
+tstat AS (SELECT doc_id, sum(c) AS n_tri, count(*) AS n_tri_distinct,
+                 max(c) AS top_tri FROM tgc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(b.n_bi, 0) AS BIGINT) AS n_bi,
+       CAST(coalesce(b.n_bi_distinct, 0) AS BIGINT) AS n_bi_distinct,
+       CAST(coalesce(b.top_bi, 0) AS BIGINT) AS top_bi,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(coalesce(t.n_tri_distinct, 0) AS BIGINT) AS n_tri_distinct,
+       CAST(coalesce(t.top_tri, 0) AS BIGINT) AS top_tri
+FROM d LEFT JOIN bstat b ON b.doc_id = d.doc_id
+       LEFT JOIN tstat t ON t.doc_id = d.doc_id
 """,
         "orders_top_per_customer": """
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price_r,

@@ -325,3 +325,58 @@ def bm25_score(ds, terms: list[str], k1: float = 1.2, b: float = 0.75,
                          "score": pa.array(sc[keep], pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document repetition signals (the Gopher/C4 quality-filter
+    family): per doc, total / distinct / top-count of word bigrams and
+    trigrams.  Duplicate-n-gram fraction = 1 - distinct/total and
+    top-n-gram fraction = top/total are then driver-side arithmetic;
+    integer counts are returned so the SQL oracle compares bit-exact.
+
+    Vectorized: one token explosion per batch (np.repeat), n-grams as
+    integer codes (batch-local vocab code * V^j folds), per-doc
+    distinct/top via np.unique + bincount/maximum.at — no per-row
+    Python beyond the explode."""
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        toks = s.str.strip().str.split(r"\s+")
+        lens = toks.map(lambda t: 0 if t == [""] else len(t)).to_numpy(np.int64)
+        n = len(s)
+        flat = (np.concatenate([t for t in toks.to_list() if t != [""]])
+                if lens.sum() else np.empty(0, object))
+        row = np.repeat(np.arange(n), lens)
+        vocab, codes = (np.unique(flat, return_inverse=True)
+                        if len(flat) else (np.empty(0, object),
+                                           np.empty(0, np.int64)))
+        V = np.int64(max(len(vocab), 1))
+        out = {id_col: batch.column(id_col)}
+        for g, name in ((2, "bi"), (3, "tri")):
+            m = len(flat) - (g - 1)
+            if m > 0:
+                valid = row[g - 1:] == row[:m]
+                grow = row[:m][valid]
+                gcode = np.zeros(int(valid.sum()), np.int64)
+                for j in range(g):
+                    gcode = gcode * V + codes[j:m + j][valid]
+                total = np.bincount(grow, minlength=n)
+                # dense-rank the n-gram code before pairing with the doc
+                # row so the combined key stays far from int64 overflow
+                # (V^g alone is safe below ~2M batch vocab; V^g * n_rows
+                # would not be)
+                _, dcode = np.unique(gcode, return_inverse=True)
+                D = np.int64(dcode.max()) + 1 if len(dcode) else np.int64(1)
+                key = grow * D + dcode
+                ukey, ucnt = np.unique(key, return_counts=True)
+                udoc = (ukey // D).astype(np.int64)
+                distinct = np.bincount(udoc, minlength=n)
+                top = np.zeros(n, np.int64)
+                np.maximum.at(top, udoc, ucnt)
+            else:
+                total = distinct = top = np.zeros(n, np.int64)
+            out[f"n_{name}"] = pa.array(total.astype(np.int64), pa.int64())
+            out[f"n_{name}_distinct"] = pa.array(distinct.astype(np.int64),
+                                                 pa.int64())
+            out[f"top_{name}"] = pa.array(top, pa.int64())
+        return pa.table(out)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

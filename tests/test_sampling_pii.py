@@ -234,3 +234,23 @@ def test_grouped_top_k_fuzz_vs_duckdb(ray_session):
             FROM t QUALIFY rank <= {k} ORDER BY g, rank""").df()
         assert out["rid"].tolist() == exp["rid"].tolist(), (seed, k)
         assert out["rank"].tolist() == exp["rank"].tolist(), (seed, k)
+
+
+def test_repetition_signals_bruteforce(ray_session):
+    from collections import Counter
+
+    from metric_search_ray.pipelines import text as textops
+
+    docs = ["a b a b a", "x y z", "q", "", "m m m m"]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(np.arange(5), pa.int64()),
+                                 "text": pa.array(docs, pa.string())}))
+    out = (textops.repetition_signals(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, d in enumerate(docs):
+        toks = d.split()
+        for g, name in ((2, "bi"), (3, "tri")):
+            grams = [tuple(toks[j:j + g]) for j in range(len(toks) - g + 1)]
+            c = Counter(grams)
+            assert out[f"n_{name}"][i] == len(grams), (i, name)
+            assert out[f"n_{name}_distinct"][i] == len(c), (i, name)
+            assert out[f"top_{name}"][i] == (max(c.values()) if c else 0), (i, name)
