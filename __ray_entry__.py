@@ -754,6 +754,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["price_r"] = out["o_totalprice"].round(2)
         return out[["o_custkey", "o_orderkey", "price_r", "rank"]]
 
+    def doc_sample_topn(sf_dir: str):
+        from metric_search_ray.pipelines import sampling
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])
+        return sampling.hash_top_n(ds, "doc_id", 25)
+
     def doc_repetition(sf_dir: str):
         from metric_search_ray.pipelines import text as textops
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -820,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": doc_bm25,
         "orders_top_per_customer": orders_top_per_customer,
         "doc_repetition": doc_repetition,
+        "doc_sample_topn": doc_sample_topn,
     }
 
 
@@ -1374,6 +1381,15 @@ FROM documents
         "doc_stratified_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(lang || '|' || CAST(doc_id AS VARCHAR)) % 100 < 20
+""",
+        # fixed-size deterministic sample: n globally smallest id
+        # hashes (md5 low-8 mod 2^63, ties by id string)
+        "doc_sample_topn": """
+SELECT doc_id FROM documents
+ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR))
+           % 9223372036854775808::UBIGINT,
+         CAST(doc_id AS VARCHAR)
+LIMIT 25
 """,
         # within-doc repetition signals (Gopher/C4 quality-filter
         # inputs): list_extract keeps token order deterministic (no

@@ -74,3 +74,40 @@ def stratified_sample(ds, id_col: str, stratum_col: str, keep_buckets: int,
             out[i] = int.from_bytes(hashlib.md5(key).digest()[8:], "little")
         return batch.filter(pa.array(out % np.uint64(n_buckets) < keep_buckets))
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_top_n(ds, id_col: str, n: int):
+    """Deterministic FIXED-SIZE sample: the ``n`` rows whose id hashes
+    are globally smallest (md5 low-8, ties impossible modulo md5
+    collisions; broken by id anyway).  Unlike ``hash_sample`` (fixed
+    RATE), the output size is exact — the "give me 10k random-but-
+    reproducible rows" shape.
+
+    Per-block top-n (argpartition) then one bounded driver merge of
+    <= n rows per block; no shuffle, no full sort."""
+    import ray
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        h = _bucket_of(ids, 2**63)
+        k = min(n, len(h))
+        if k < len(h):
+            sel = np.argpartition(h, k - 1)[:k]
+        else:
+            sel = np.arange(len(h))
+        return (batch.take(pa.array(np.sort(sel)))
+                     .append_column("_h", pa.array(h[np.sort(sel)].astype(np.int64),
+                                                   pa.int64())))
+
+    parts = ds.map_batches(block_top, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return parts.drop_columns(["_h"])
+    allt = pa.concat_tables(tbls).combine_chunks()
+    h = allt.column("_h").to_numpy()
+    ids = np.asarray(allt.column(id_col).to_pylist(), dtype=object)
+    order = np.lexsort((ids.astype(str), h))[:n]
+    import ray.data as rd
+    return rd.from_arrow(allt.take(pa.array(np.sort(order)))
+                             .drop_columns(["_h"]))

@@ -306,3 +306,27 @@ def test_build_partial_resume(ray_session, tiny_images, tmp_path):
     rebuilt = m2[~m2["resumed"]]["path"].tolist()
     assert sorted(rebuilt) == sorted(victims)
     assert m2["resumed"].sum() == len(m2) - 3
+
+
+def test_preload_staging_paths_match_default(index_dir):
+    """The opt-in object-store staging path (preload=True) must return
+    the same kNN and radius results as the parquet-decode default —
+    regression guard for the multi-node code path."""
+    import pyarrow as pa
+
+    ckpt, _ = index_dir
+    q = fixtures.knn_queries(25)
+    qds = pa.table(q)
+    base = knn.knn_geo(rd.from_arrow(qds), ckpt, concurrency=2).to_pandas()
+    pre = knn.knn_geo(rd.from_arrow(qds), ckpt, concurrency=2,
+                      preload=True).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["query_id", "image_id", "rank"]]
+                                .values.tolist()))
+    assert key(base) == key(pre)
+    rq = pa.table({k: v for k, v in q.items() if k != "k"})
+    rbase = joins.radius_join(rd.from_arrow(rq), ckpt, radius=1.0).to_pandas()
+    rpre = joins.radius_join(rd.from_arrow(rq), ckpt, radius=1.0,
+                             preload=True).to_pandas()
+    pkey = lambda df: sorted(map(tuple, df[["query_id", "image_id"]]
+                                 .values.tolist()))
+    assert pkey(rbase) == pkey(rpre)

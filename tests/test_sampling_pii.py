@@ -254,3 +254,29 @@ def test_repetition_signals_bruteforce(ray_session):
             assert out[f"n_{name}"][i] == len(grams), (i, name)
             assert out[f"n_{name}_distinct"][i] == len(c), (i, name)
             assert out[f"top_{name}"][i] == (max(c.values()) if c else 0), (i, name)
+
+
+def test_hash_top_n_exact_size_and_layout_independent(ray_session):
+    import hashlib
+
+    from metric_search_ray.pipelines import sampling
+
+    t = _docs(500)
+    a = sampling.hash_top_n(rd.from_arrow(t), "doc_id", 37).to_pandas()
+    b = sampling.hash_top_n(rd.from_arrow(t).repartition(11), "doc_id",
+                            37).to_pandas()
+    assert len(a) == len(b) == 37
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # matches the global smallest-hash contract
+    hs = {did: int.from_bytes(hashlib.md5(str(did).encode()).digest()[8:],
+                              "little") % 2**63 for did in range(500)}
+    exp = sorted(hs, key=lambda d: (hs[d], str(d)))[:37]
+    assert sorted(a["doc_id"]) == sorted(exp)
+
+
+def test_hash_top_n_larger_than_table(ray_session):
+    from metric_search_ray.pipelines import sampling
+
+    t = _docs(5)
+    out = sampling.hash_top_n(rd.from_arrow(t), "doc_id", 100).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2, 3, 4]
