@@ -738,10 +738,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import text as textops
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"])
-        out = textops.bm25_score(
-            ds, ["table", "spark", "window", "vector"]).to_pandas()
-        out["score_r"] = out["score"].round(6)
-        return out[["doc_id", "score_r"]]
+        return textops.bm25_score(
+            ds, ["table", "spark", "window", "vector"]).map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "score_r": pa.array(np.round(b.column("score").to_numpy(), 6),
+                                    pa.float64())}),
+            batch_format="pyarrow")
 
     def orders_top_per_customer(sf_dir: str):
         # group-wise top-k (the row_number window): top-3 orders by
@@ -749,10 +752,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import topk
         ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey", "o_totalprice"])
-        out = topk.grouped_top_k(ds, "o_custkey", "o_totalprice", k=3,
-                                 id_col="o_orderkey").to_pandas()
-        out["price_r"] = out["o_totalprice"].round(2)
-        return out[["o_custkey", "o_orderkey", "price_r", "rank"]]
+        return topk.grouped_top_k(ds, "o_custkey", "o_totalprice", k=3,
+                                  id_col="o_orderkey").map_batches(
+            lambda b: pa.table({
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "price_r": pa.array(
+                    np.round(b.column("o_totalprice").to_numpy(), 2),
+                    pa.float64()),
+                "rank": b.column("rank")}),
+            batch_format="pyarrow")
 
     def doc_sample_topn(sf_dir: str):
         from metric_search_ray.pipelines import sampling
