@@ -94,6 +94,14 @@ def _geo_query_points() -> list[tuple[str, int, int]]:
 GEO_KNN_K = 5
 RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
 
+# Overlapping price bands for the range-join query ("all" spans every
+# other band, exercising the general overlapping-interval path).
+PRICE_BANDS = {
+    "interval_id": ["budget", "mid", "premium", "lux", "all"],
+    "lo": [0.0, 15000.0, 30000.0, 60000.0, 0.0],
+    "hi": [20000.0, 40000.0, 70000.0, 1e9, 1e9],
+}
+
 
 def _img_query_points(n_q: int = 48) -> list[tuple[str, int, int]]:
     """Integer query points for the image-index kNN oracle (hot-spot +
@@ -455,6 +463,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import tiles
         return tiles.tile_polygon_cover(_rect_layer(), TILE_RES)
 
+    def lineitem_price_bands(sf_dir: str):
+        """Range (interval) join: lineitem x overlapping price bands,
+        aggregated per band.  The band side is broadcast (ray.put once);
+        the fact side streams — no shuffle except the 5-group rollup."""
+        from ray.data.aggregate import Count, Sum
+
+        from metric_search_ray.pipelines import joins
+        ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_extendedprice", "l_quantity"])
+        j = joins.range_join(ds, PRICE_BANDS, "l_extendedprice", concurrency=4)
+        out = (j.groupby("interval_id")
+                .aggregate(Count(alias_name="n"),
+                           Sum("l_quantity", alias_name="sum_qty"))).to_pandas()
+        out["sum_qty"] = out["sum_qty"].astype(np.int64)
+        return out
+
     # -------------------------- rows-only (non-SQL) --------------------------
 
     def img_validate(sf_dir: str):
@@ -803,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_agg": orders_customer_agg,
         "events_hourly": events_hourly,
         "lineitem_agg": lineitem_agg,
+        "lineitem_price_bands": lineitem_price_bands,
         "img_validate": img_validate,
         "img_knn": img_knn,
         "img_pip": img_pip,
@@ -940,6 +965,9 @@ def oracle_sql() -> dict[str, str]:
     qpt_values = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in _geo_query_points())
     img_qpt_values = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in _img_query_points())
     stop_list = "'the', 'a', 'of', 'and', 'to'"
+    band_values = ", ".join(
+        f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in
+        zip(PRICE_BANDS["interval_id"], PRICE_BANDS["lo"], PRICE_BANDS["hi"]))
 
     return {
         "geo_tile_counts": f"""
@@ -1096,6 +1124,14 @@ FROM events GROUP BY 1, 2
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY 1, 2
+""",
+        "lineitem_price_bands": f"""
+WITH bands(interval_id, lo, hi) AS (VALUES {band_values})
+SELECT b.interval_id, count(*) AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN bands b
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY 1
 """,
         # image-index kNN with integer rerank (same scheme as geo_knn):
         # image positions replay the id->LCG geotag over range(n_img)

@@ -169,3 +169,109 @@ def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
                                          "part_refs": part_refs},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+# ----------------------------------------------------------------- range join
+
+
+class RangeJoinActor:
+    """Broadcast interval (theta) join: rows x intervals containing the value.
+
+    The reference engine has no interval machinery; this is the generic
+    "range join" a training-data pipeline needs (price bands, length
+    buckets, time windows) expressed Ray-Data-first: the interval side
+    is SMALL (bands/buckets — KBs) and is ``ray.put`` once, read once
+    per actor; the fact side streams through ``map_batches`` and never
+    shuffles.  Two vectorized paths:
+
+    * intervals pairwise DISJOINT (the common bucketing case, detected
+      at init): one ``np.searchsorted`` per batch — O(n log m);
+    * overlapping intervals: one boolean mask per interval —
+      O(n * m) but each pass is a numpy kernel, fine for the
+      broadcast-sized interval counts this operator is for (an interval
+      TREE side belongs in a different operator).
+    """
+
+    def __init__(self, layer_ref, value_col: str, how: str = "inner",
+                 closed: str = "left"):
+        layer = ray.get(layer_ref) if not isinstance(layer_ref, dict) else layer_ref
+        iv_id = np.asarray(layer["interval_id"])
+        lo = np.asarray(layer["lo"], np.float64)
+        hi = np.asarray(layer["hi"], np.float64)
+        if closed not in ("left", "both"):
+            raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+        if how not in ("inner", "semi", "anti"):
+            raise ValueError(f"how must be inner/semi/anti, got {how!r}")
+        if np.any(hi < lo):
+            raise ValueError("interval with hi < lo")
+        order = np.argsort(lo, kind="stable")
+        self.iv_id, self.lo, self.hi = iv_id[order], lo[order], hi[order]
+        # disjoint iff, sorted by lo, each interval ends before the next
+        # begins (strictly before for closed='both')
+        nxt = self.lo[1:]
+        end = self.hi[:-1]
+        self.disjoint = bool(np.all(end < nxt) if closed == "both"
+                             else np.all(end <= nxt))
+        self.value_col, self.how, self.closed = value_col, how, closed
+
+    def _match(self, v: np.ndarray):
+        """-> (row_idx, interval_idx) sorted by (row, interval-lo-order)."""
+        if self.disjoint:
+            idx = np.searchsorted(self.lo, v, side="right") - 1
+            ok = idx >= 0
+            iv = np.where(ok, idx, 0)
+            inside = (v <= self.hi[iv]) if self.closed == "both" else (v < self.hi[iv])
+            ok &= inside
+            ri = np.flatnonzero(ok)
+            return ri, idx[ri]
+        ri_parts, ii_parts = [], []
+        for j in range(len(self.lo)):
+            m = v >= self.lo[j]
+            m &= (v <= self.hi[j]) if self.closed == "both" else (v < self.hi[j])
+            hit = np.flatnonzero(m)
+            if len(hit):
+                ri_parts.append(hit)
+                ii_parts.append(np.full(len(hit), j, np.int64))
+        if not ri_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ri = np.concatenate(ri_parts)
+        ii = np.concatenate(ii_parts)
+        order = np.lexsort((ii, ri))     # deterministic: row-major
+        return ri[order], ii[order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = batch.column(self.value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False)
+        ri, ii = self._match(v)
+        if self.how == "inner":
+            out = batch.take(pa.array(ri, pa.int64()))
+            return out.append_column("interval_id", pa.array(self.iv_id[ii]))
+        hit = np.zeros(len(v), bool)
+        hit[ri] = True
+        keep = hit if self.how == "semi" else ~hit
+        return batch.filter(pa.array(keep))
+
+
+def range_join(ds, intervals: dict, value_col: str, how: str = "inner",
+               closed: str = "left", concurrency: int = 4,
+               batch_size: int = 16384, use_actor_pool: bool = True):
+    """Join each row to every interval containing ``row[value_col]``.
+
+    ``intervals``: {"interval_id": [...], "lo": [...], "hi": [...]} —
+    must be broadcast-small (bands, buckets, windows).  ``closed``:
+    'left' = [lo, hi), 'both' = [lo, hi].  how='inner' appends an
+    ``interval_id`` column (rows matching k intervals emit k times);
+    'semi'/'anti' filter rows.  Output order within a batch is
+    row-major then interval lo-order — deterministic.
+    """
+    if not use_actor_pool:
+        return ds.map_batches(
+            RangeJoinActor(intervals, value_col, how=how, closed=closed),
+            batch_format="pyarrow", batch_size=batch_size, num_cpus=1)
+    ref = ray.put(intervals)
+    return ds.map_batches(
+        RangeJoinActor,
+        fn_constructor_kwargs={"layer_ref": ref, "value_col": value_col,
+                               "how": how, "closed": closed},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -330,3 +330,57 @@ def test_preload_staging_paths_match_default(index_dir):
     pkey = lambda df: sorted(map(tuple, df[["query_id", "image_id"]]
                                  .values.tolist()))
     assert pkey(rbase) == pkey(rpre)
+
+
+# ------------------------------------------------------------------ range join
+
+
+def _rj_brute(vals, ids, intervals, closed):
+    exp = []
+    for r, v in enumerate(vals):
+        for j in range(len(intervals["lo"])):
+            lo, hi = intervals["lo"][j], intervals["hi"][j]
+            inside = (lo <= v <= hi) if closed == "both" else (lo <= v < hi)
+            if inside:
+                exp.append((ids[r], intervals["interval_id"][j]))
+    return sorted(exp)
+
+
+@pytest.mark.parametrize("closed", ["left", "both"])
+def test_range_join_overlapping_matches_bruteforce(ray_session, closed):
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(0, 100, 500), 3)
+    ids = np.arange(500, dtype=np.int64)
+    intervals = {"interval_id": ["a", "b", "c", "d", "e"],
+                 "lo": [0.0, 10.0, 25.0, 25.0, 90.0],
+                 "hi": [30.0, 50.0, 75.0, 30.0, 100.0]}   # overlapping
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({"rid": ids, "v": vals}))
+    out = joins.range_join(ds, intervals, "v", closed=closed,
+                           concurrency=2).to_pandas()
+    got = sorted(zip(out["rid"], out["interval_id"]))
+    assert got == _rj_brute(vals, ids, intervals, closed)
+
+
+def test_range_join_disjoint_fast_path_and_semi_anti(ray_session):
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.uniform(0, 100, 400), 3)
+    ids = np.arange(400, dtype=np.int64)
+    intervals = {"interval_id": [10, 20, 30],
+                 "lo": [0.0, 40.0, 80.0],
+                 "hi": [20.0, 60.0, 100.0]}               # disjoint, gaps
+    actor = joins.RangeJoinActor(intervals, "v")
+    assert actor.disjoint
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({"rid": ids, "v": vals}))
+    out = joins.range_join(ds, intervals, "v", use_actor_pool=False).to_pandas()
+    exp = _rj_brute(vals, ids, intervals, "left")
+    assert sorted(zip(out["rid"], out["interval_id"])) == exp
+    matched = {r for r, _ in exp}
+    semi = joins.range_join(ds, intervals, "v", how="semi",
+                            use_actor_pool=False).to_pandas()
+    anti = joins.range_join(ds, intervals, "v", how="anti",
+                            use_actor_pool=False).to_pandas()
+    assert set(semi["rid"]) == matched
+    assert set(anti["rid"]) == set(ids) - matched
+    assert len(semi) + len(anti) == 400
