@@ -463,6 +463,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import tiles
         return tiles.tile_polygon_cover(_rect_layer(), TILE_RES)
 
+    def events_distinct_daily(sf_dir: str):
+        """Exact per-day COUNT(DISTINCT user): map-side pair dedupe ->
+        one (day,user) exchange -> per-day count (pipelines/stats.py)."""
+        from metric_search_ray.pipelines import stats
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["ts", "user_id"])
+
+        def day_col(batch: pa.Table) -> pa.Table:
+            day = batch.column("ts").to_numpy().astype(np.int64) // 86_400_000_000
+            return pa.table({"day": pa.array(day, pa.int64()),
+                             "user_id": batch.column("user_id")})
+
+        pairs = ds.map_batches(day_col, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        return stats.distinct_count(pairs, "day", "user_id", out="n_users")
+
+    def lineitem_quantiles(sf_dir: str):
+        """Exact grouped quantile_disc over a bounded-distinct measure
+        (l_quantity has 50 distinct values): distributed census +
+        driver cumulative walk (pipelines/stats.py)."""
+        from metric_search_ray.pipelines import stats
+        ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_returnflag", "l_quantity"])
+        return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
+                                       [0.25, 0.5, 0.75, 0.9])
+
     def lineitem_price_bands(sf_dir: str):
         """Range (interval) join: lineitem x overlapping price bands,
         aggregated per band.  The band side is broadcast (ray.put once);
@@ -828,6 +854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "lineitem_agg": lineitem_agg,
         "lineitem_price_bands": lineitem_price_bands,
+        "events_distinct_daily": events_distinct_daily,
+        "lineitem_quantiles": lineitem_quantiles,
         "img_validate": img_validate,
         "img_knn": img_knn,
         "img_pip": img_pip,
@@ -1132,6 +1160,19 @@ SELECT b.interval_id, count(*) AS n,
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1
+""",
+        "events_distinct_daily": """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+        "lineitem_quantiles": """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS p25,
+       quantile_disc(l_quantity, 0.5) AS p50,
+       quantile_disc(l_quantity, 0.75) AS p75,
+       quantile_disc(l_quantity, 0.9) AS p90
+FROM lineitem GROUP BY 1
 """,
         # image-index kNN with integer rerank (same scheme as geo_knn):
         # image positions replay the id->LCG geotag over range(n_img)

@@ -1,0 +1,105 @@
+"""Distributed statistics operators: exact distinct counts and exact
+grouped quantiles.
+
+Neither exists in the reference engine (its aggregates are the
+cover-tree accessors, SURVEY.md §2.4); these are the rollup operators
+a 100-TB training-data pipeline needs, built scale-first:
+
+* ``distinct_count`` — exact COUNT(DISTINCT value) per key without a
+  per-key set: per-block dedupe inside ``map_batches`` (shrinks the
+  exchange before it happens), ONE global sort on (key, value) with
+  per-block vectorized dedupe (fastagg), then a per-key row count.
+  The shuffle carries distinct (key, value) pairs only — skew-safe in
+  the value dimension because hot duplicated values collapse map-side.
+
+* ``grouped_quantiles`` — exact ``quantile_disc`` per key for columns
+  with BOUNDED distinct values (grades, integer quantities, enum-ish
+  measures): a distributed (key, value) census (map-side partial
+  counts, combine by sum), then a driver-side cumulative walk over the
+  census — O(#keys x #distinct) driver work, independent of row count.
+  For unbounded continuous columns use a histogram refinement or
+  sketch instead (not this operator); the census size is the documented
+  contract.
+
+DuckDB ``quantile_disc`` semantics (verified empirically): the sorted
+element at index ``ceil(q*n) - 1`` (0-based, clamped at 0).  The index
+is computed in exact rational arithmetic here (``Fraction``) so float
+rounding of q*n can never pick a neighbouring element.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .fastagg import sort_block_aggregate
+
+
+def _keylist(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def distinct_count(ds, key, value_col: str, out: str = "n_distinct"):
+    """Exact per-key COUNT(DISTINCT value_col) as a Dataset."""
+    keys = _keylist(key)
+    cols = keys + [value_col]
+
+    def block_unique(batch: pa.Table) -> pa.Table:
+        # per-block dedupe: one C++ hash group-by, no aggregates
+        return batch.select(cols).group_by(cols, use_threads=False).aggregate([])
+
+    pairs = ds.map_batches(block_unique, batch_format="pyarrow")
+    # global dedupe: after the sort all copies of a (key, value) pair are
+    # contiguous; fastagg's count collapses them (edge-healed, exact)
+    distinct = sort_block_aggregate(pairs, cols, {"_n": (None, "count")})
+    return sort_block_aggregate(distinct, keys, {out: (None, "count")})
+
+
+def quantile_disc_index(q: Fraction | float, n: int) -> int:
+    """DuckDB quantile_disc: 0-based sorted index = max(0, ceil(q*n)-1)."""
+    qf = Fraction(q).limit_denominator(10**9) if not isinstance(q, Fraction) else q
+    return max(0, -((-qf.numerator * n) // qf.denominator) - 1)
+
+
+def grouped_quantiles(ds, key, value_col: str, probs: list[float],
+                      prefix: str = "p") -> pd.DataFrame:
+    """Exact per-key quantile_disc for bounded-distinct value columns.
+
+    Returns a pandas DataFrame: key columns + one ``{prefix}{q*100}``
+    column per prob.  Driver memory is O(#keys x #distinct values) —
+    the caller asserts that bound, not this function.
+    """
+    import ray
+
+    keys = _keylist(key)
+    cols = keys + [value_col]
+
+    def block_census(batch: pa.Table) -> pa.Table:
+        gb = (batch.select(cols).group_by(cols, use_threads=False)
+              .aggregate([([], "count_all")]))
+        return gb.rename_columns(cols + ["cnt"])
+
+    partial = ds.map_batches(block_census, batch_format="pyarrow")
+    census_ds = sort_block_aggregate(partial, cols, {"n": ("cnt", "sum")})
+    census = pa.concat_tables(
+        [t for t in ray.get(census_ds.to_arrow_refs()) if t.num_rows]
+    ).to_pandas()
+
+    qfracs = [Fraction(p).limit_denominator(10**9) for p in probs]
+    names = [f"{prefix}{int(p * 100) if (p * 100) == int(p * 100) else p}"
+             for p in probs]
+    rows = []
+    for kv, g in census.groupby(keys, sort=True):
+        g = g.sort_values(value_col)
+        vals = g[value_col].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
+        for q, name in zip(qfracs, names):
+            idx = quantile_disc_index(q, n)
+            row[name] = vals[np.searchsorted(cum, idx + 1)]
+        rows.append(row)
+    return pd.DataFrame(rows, columns=keys + names)

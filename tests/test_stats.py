@@ -1,0 +1,68 @@
+"""Distributed stats operators vs DuckDB ground truth."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from metric_search_ray.pipelines import stats
+
+
+@pytest.fixture(scope="module")
+def kv_table():
+    rng = np.random.default_rng(3)
+    n = 5000
+    return pa.table({
+        "k": pa.array(rng.integers(0, 7, n), pa.int64()),
+        "u": pa.array(rng.integers(0, 400, n), pa.int64()),
+        "q": pa.array(rng.integers(1, 51, n).astype(np.float64)),
+    })
+
+
+def test_distinct_count_matches_duckdb(ray_session, kv_table):
+    ds = rd.from_arrow(kv_table).repartition(8)
+    got = (stats.distinct_count(ds, "k", "u", out="n_u").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    exp = duckdb.connect().execute(
+        "SELECT k, COUNT(DISTINCT u) AS n_u FROM kv GROUP BY 1 ORDER BY 1"
+    ).df() if False else None
+    con = duckdb.connect()
+    con.register("kv", kv_table)
+    exp = con.execute(
+        "SELECT k, COUNT(DISTINCT u) AS n_u FROM kv GROUP BY 1 ORDER BY 1").df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["n_u"].tolist() == exp["n_u"].tolist()
+
+
+def test_grouped_quantiles_match_duckdb(ray_session, kv_table):
+    probs = [0.25, 0.5, 0.75, 0.9]
+    ds = rd.from_arrow(kv_table).repartition(8)
+    got = stats.grouped_quantiles(ds, "k", "q", probs).sort_values(
+        "k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("kv", kv_table)
+    exp = con.execute("""
+        SELECT k, quantile_disc(q, 0.25) AS p25, quantile_disc(q, 0.5) AS p50,
+               quantile_disc(q, 0.75) AS p75, quantile_disc(q, 0.9) AS p90
+        FROM kv GROUP BY 1 ORDER BY 1""").df()
+    for c in ["p25", "p50", "p75", "p90"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+@pytest.mark.parametrize("n,q", [(1, 0.5), (2, 0.5), (4, 0.9), (10, 0.9),
+                                 (7, 0.25), (100, 0.999)])
+def test_quantile_disc_index_matches_duckdb(n, q):
+    vals = list(range(1, n + 1))
+    exp = duckdb.connect().execute(
+        f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest({vals}) AS x)"
+    ).fetchone()[0]
+    assert vals[stats.quantile_disc_index(q, n)] == exp
+
+
+def test_distinct_count_single_block_and_empty_groups(ray_session):
+    t = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                  "u": pa.array([5, 5, 5], pa.int64())})
+    out = stats.distinct_count(rd.from_arrow(t), "k", "u").to_pandas()
+    assert out["n_distinct"].tolist() == [1]
