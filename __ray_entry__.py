@@ -94,6 +94,59 @@ def _geo_query_points() -> list[tuple[str, int, int]]:
 GEO_KNN_K = 5
 RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
 
+HLL_P = 12  # HyperLogLog precision for events_hll_registers (4096 registers)
+PACK_BUDGET = 256  # token budget per training sequence for doc_pack
+
+
+def _hll_oracle_sql(p: int = HLL_P) -> str:
+    """DuckDB replay of pipelines/sketch.py's splitmix64 + register map.
+
+    64-bit values are carried as two 32-bit BIGINT halves (hi, lo):
+    xor-shifts operate per half; multiplies mod 2^64 use the standard
+    split-multiply in HUGEINT.  Output is integer-only (register, rho),
+    so the driver's value-hash compare is exact."""
+    C1 = 0x9E3779B97F4A7C15
+    c2h, c2l = 0xBF58476D1CE4E5B9 >> 32, 0xBF58476D1CE4E5B9 & 0xFFFFFFFF
+    c3h, c3l = 0x94D049BB133111EB >> 32, 0x94D049BB133111EB & 0xFFFFFFFF
+
+    def mulstep(ch: int, cl: int) -> str:
+        return (
+            f"SELECT CAST((((CAST(lo AS HUGEINT) * {cl}) + "
+            f"((CAST(lo AS HUGEINT) * {ch} + CAST(hi AS HUGEINT) * {cl}) "
+            f"% 4294967296) * 4294967296) % 18446744073709551616) "
+            f"// 4294967296 AS BIGINT) AS hi, "
+            f"CAST(((CAST(lo AS HUGEINT) * {cl}) % 4294967296) AS BIGINT) AS lo")
+
+    return f"""
+WITH u AS (SELECT DISTINCT user_id AS x FROM events),
+s0 AS (
+  SELECT CAST(((CAST(x AS HUGEINT) + {C1}) % 18446744073709551616) // 4294967296 AS BIGINT) AS hi,
+         CAST((CAST(x AS HUGEINT) + {C1}) % 4294967296 AS BIGINT) AS lo
+  FROM u),
+s1 AS (
+  SELECT xor(hi, hi // 1073741824) AS hi,
+         xor(lo, ((hi % 1073741824) * 4) + (lo // 1073741824)) AS lo
+  FROM s0),
+s2 AS ({mulstep(c2h, c2l)} FROM s1),
+s3 AS (
+  SELECT xor(hi, hi // 134217728) AS hi,
+         xor(lo, ((hi % 134217728) * 32) + (lo // 134217728)) AS lo
+  FROM s2),
+s4 AS ({mulstep(c3h, c3l)} FROM s3),
+s5 AS (
+  SELECT xor(hi, hi // 2147483648) AS hi,
+         xor(lo, ((hi % 2147483648) * 2) + (lo // 2147483648)) AS lo
+  FROM s4),
+reg AS (
+  SELECT hi // {1 << (32 - p)} AS register,
+         (hi % {1 << (32 - p)}) * 4294967296 + lo AS w
+  FROM s5)
+SELECT register,
+       MAX({64 - p} - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) + 1) AS rho
+FROM reg GROUP BY 1
+"""
+
+
 # Overlapping price bands for the range-join query ("all" spans every
 # other band, exercising the general overlapping-interval path).
 PRICE_BANDS = {
@@ -462,6 +515,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def geo_tile_polygon_cover(sf_dir: str):
         from metric_search_ray.pipelines import tiles
         return tiles.tile_polygon_cover(_rect_layer(), TILE_RES)
+
+    def doc_pack(sf_dir: str):
+        """Greedy sequence packing per source (pipelines/pack.py):
+        docs -> fixed token-budget training sequences."""
+        from metric_search_ray.pipelines import pack
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["source", "doc_id", "text"])
+        return pack.pack_sequences(ds, "source", "doc_id", "text",
+                                   budget=PACK_BUDGET)
+
+    def events_hll_registers(sf_dir: str):
+        """HyperLogLog sketch of distinct users, exposed as its nonzero
+        (register, rho) rows — integer-exact, so the sketch itself is
+        SQL-oracle-checkable (splitmix64 replayed in DuckDB via 32-bit
+        half arithmetic).  The distinct-count estimate is a
+        deterministic function of these rows (pipelines/sketch.py)."""
+        import ray as _ray
+
+        from metric_search_ray.pipelines import sketch
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id"])
+        parts = [np.frombuffer(t.column("registers")[i].as_py(), np.uint8)
+                 for t in _ray.get(sketch.hll_partials(ds, "user_id", p=HLL_P)
+                                   .to_arrow_refs())
+                 for i in range(t.num_rows)]
+        reg = np.maximum.reduce(parts)
+        nz = np.flatnonzero(reg)
+        return pd.DataFrame({"register": nz.astype(np.int64),
+                             "rho": reg[nz].astype(np.int64)})
 
     def events_distinct_daily(sf_dir: str):
         """Exact per-day COUNT(DISTINCT user): map-side pair dedupe ->
@@ -855,6 +937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": lineitem_agg,
         "lineitem_price_bands": lineitem_price_bands,
         "events_distinct_daily": events_distinct_daily,
+        "events_hll_registers": events_hll_registers,
+        "doc_pack": doc_pack,
         "lineitem_quantiles": lineitem_quantiles,
         "img_validate": img_validate,
         "img_knn": img_knn,
@@ -1165,6 +1249,28 @@ GROUP BY 1
 SELECT epoch_us(ts) // 86400000000 AS day,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
+""",
+        "events_hll_registers": _hll_oracle_sql(),
+        # greedy packing is a sequential reset-scan: replayed exactly by
+        # a linear recursive CTE per source (rn+1 self-join)
+        "doc_pack": f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+walk(source, rn, doc_id, n_tokens, acc, pack_id) AS (
+  SELECT source, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT)
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN w.acc + d.n_tokens > {PACK_BUDGET}
+              THEN d.n_tokens ELSE w.acc + d.n_tokens END,
+         CASE WHEN w.acc + d.n_tokens > {PACK_BUDGET}
+              THEN w.pack_id + 1 ELSE w.pack_id END
+  FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1)
+SELECT source, doc_id, n_tokens, pack_id FROM walk
 """,
         "lineitem_quantiles": """
 SELECT l_returnflag,

@@ -1,0 +1,61 @@
+"""Sequence packing: kernel fuzz vs reset-scan, dataset path vs kernel."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from metric_search_ray.pipelines import pack
+
+
+def _brute(nt, budget):
+    pid, acc, out = 0, 0, []
+    for i, n in enumerate(nt):
+        if i == 0:
+            acc = n
+        elif acc + n > budget:
+            pid += 1
+            acc = n
+        else:
+            acc += n
+        out.append(pid)
+    return out
+
+
+def test_greedy_pack_fuzz():
+    rng = np.random.default_rng(1)
+    for _ in range(300):
+        n = int(rng.integers(0, 50))
+        nt = rng.integers(0, 150, n).astype(np.int64)   # zeros + oversized
+        budget = int(rng.integers(1, 120))
+        assert pack.greedy_pack_ids(nt, budget).tolist() == _brute(nt, budget)
+
+
+def test_greedy_pack_edges():
+    assert pack.greedy_pack_ids(np.array([], np.int64), 10).tolist() == []
+    # oversized docs each get their own pack
+    assert pack.greedy_pack_ids(np.array([50, 50, 50]), 10).tolist() == [0, 1, 2]
+    # exact fit stays in pack
+    assert pack.greedy_pack_ids(np.array([5, 5, 1]), 10).tolist() == [0, 0, 1]
+
+
+def test_pack_sequences_dataset(ray_session):
+    rng = np.random.default_rng(2)
+    n = 400
+    srcs = np.array(["s0", "s1", "s2"])[rng.integers(0, 3, n)]
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(0, 40, n)]
+    t = pa.table({"source": pa.array(srcs), "doc_id": pa.array(np.arange(n)),
+                  "text": pa.array(texts)})
+    out = (pack.pack_sequences(rd.from_arrow(t).repartition(4), "source",
+                               "doc_id", "text", budget=64)
+           .to_pandas().sort_values(["source", "doc_id"]))
+    for s, g in out.groupby("source"):
+        nt = g["n_tokens"].to_numpy()
+        assert g["pack_id"].tolist() == _brute(nt, 64)
+        # no pack over budget unless it is a single oversized doc
+        sums = pd.DataFrame({"p": g["pack_id"], "n": nt}).groupby("p").agg(
+            tot=("n", "sum"), cnt=("n", "size"))
+        over = sums[sums.tot > 64]
+        assert (over.cnt == 1).all()
