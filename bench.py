@@ -114,10 +114,15 @@ def run_bench() -> dict:
         "lon": pa.array(rng.uniform(-180, 180, nq), pa.float64()),
         "k": pa.array(np.full(nq, 10), pa.int32()),
     })
+    # preload under the heavy scaling workload: staging the partition
+    # arrays once in the object store beats per-worker parquet decodes
+    # when the query stream is large (interleaved A/B, 300k queries:
+    # ~27% faster at 4 cpus, ~12% at 16); at the headline's 10k queries
+    # the staging wave doesn't amortize, so it stays off there
     counts["knn_rows"] = timed(
         "knn_geo",
         lambda: knn.knn_geo(rd.from_arrow(qtbl), ckpt, batch_size=512,
-                            use_actor_pool=False).count())
+                            use_actor_pool=False, preload=heavy).count())
 
     # ---- 2b. radius join: 10k queries against the same index (grouped
     # vectorized range scan in RnnActor)

@@ -26,7 +26,12 @@ Scale notes (100 TB / 10^12 rows):
 - the count pre-pass output is tiny (#cells rows) and is broadcast;
 - target_partition_rows bounds per-actor heap: a 200k-row partition's
   tree is ~tens of MB;
-- checkpoints are one file per partition => resumable and listable.
+- checkpoints are one file per partition => resumable and listable;
+  the partition-count floor is the occupied-cell count (4^res), so at
+  SMALL scale cold cells yield many tiny files (sf0.1: ~1k files of
+  ~600 rows) — a test-scale artifact, not a design property: at the
+  target 100-TB scale every cell carries orders of magnitude more than
+  target_partition_rows and every checkpoint file is full-sized.
 """
 
 from __future__ import annotations
