@@ -27,7 +27,10 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+import ray
 
 TMP_ROOT = "/tmp/msr_entry"
 
@@ -481,6 +484,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["revenue"] = out["revenue"].round(4)
         return out
 
+    def tpch_q5ish(sf_dir: str):
+        """TPC-H Q5-shaped multiway join (local-supplier volume for one
+        region): region/nation/supplier broadcast as lookups (never
+        shuffled), two distributed hash joins for the big tables
+        (orders x customer, lineitem x that), integer-cents revenue so
+        the distributed sum is order-independent and oracle-exact."""
+        import pyarrow.parquet as _pq
+
+        region = _pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        nation = _pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        rkey = region.to_pandas().set_index("r_name").loc["ASIA", "r_regionkey"]
+        nat = nation.to_pandas()
+        nat = nat[nat["n_regionkey"] == rkey]
+        nkeys = set(nat["n_nationkey"].tolist())
+        nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+        sup = _pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        sup = sup[sup["s_nationkey"].isin(nkeys)]
+        sup_ref = ray.put((np.sort(sup["s_suppkey"].to_numpy()),
+                           sup.set_index("s_suppkey")["s_nationkey"]
+                           .sort_index().to_numpy()))
+
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+        cust = cust.map_batches(
+            lambda b, ks=tuple(sorted(nkeys)): b.filter(
+                pc.is_in(b.column("c_nationkey"),
+                         value_set=pa.array(list(ks), pa.int64()))),
+            batch_format="pyarrow")
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey", "o_custkey"])
+        oc = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            price_c = np.rint(b.column("l_extendedprice").to_numpy() * 100
+                              ).astype(np.int64)
+            disc_c = np.rint(b.column("l_discount").to_numpy() * 100
+                             ).astype(np.int64)
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "revenue_u": pa.array(price_c * (100 - disc_c), pa.int64()),
+            })
+
+        li = li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        j = li.join(oc.select_columns(["o_orderkey", "c_nationkey"]),
+                    join_type="inner", num_partitions=8,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def local_supplier(b: pa.Table) -> pa.Table:
+            skeys, snat = ray.get(sup_ref)
+            sk = b.column("l_suppkey").to_numpy()
+            if len(skeys) == 0:
+                hit = np.zeros(len(sk), bool)
+                pos_c = np.zeros(len(sk), np.int64)
+            else:
+                pos_c = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+                hit = skeys[pos_c] == sk
+            same_nat = np.zeros(len(sk), bool)
+            same_nat[hit] = (snat[pos_c[hit]]
+                             == b.column("c_nationkey").to_numpy()[hit])
+            return pa.table({
+                "n_nationkey": pa.array(
+                    b.column("c_nationkey").to_numpy()[same_nat], pa.int64()),
+                "revenue_u": pa.array(
+                    b.column("revenue_u").to_numpy()[same_nat], pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+        out = (j.map_batches(local_supplier, batch_format="pyarrow")
+                .groupby("n_nationkey")
+                .aggregate(Sum("revenue_u", alias_name="revenue_u"))).to_pandas()
+        out["n_name"] = out["n_nationkey"].map(nname)
+        out["revenue_u"] = out["revenue_u"].astype(np.int64)
+        return out[["n_name", "revenue_u"]]
+
     def events_hourly(sf_dir: str):
         ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                              columns=["event_type", "ts", "value"])
@@ -933,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_cosine": embed_knn_cosine,
         "embed_knn_l2": embed_knn_l2,
         "orders_customer_agg": orders_customer_agg,
+        "tpch_q5ish": tpch_q5ish,
         "events_hourly": events_hourly,
         "lineitem_agg": lineitem_agg,
         "lineitem_price_bands": lineitem_price_bands,
@@ -1183,6 +1268,18 @@ QUALIFY rank <= 5
 SELECT c.c_nationkey, count(*) AS n_orders,
        round(sum(o.o_totalprice), 4) AS revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+        "tpch_q5ish": """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       AS revenue_u
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
 GROUP BY 1
 """,
         "events_tumbling_window": """
