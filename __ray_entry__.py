@@ -655,6 +655,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def lineitem_percent_rank(sf_dir: str):
+        """Exact window-function percent_rank per row WITHOUT a global
+        sort (census broadcast + map-side lookup, pipelines/stats.py)."""
+        from metric_search_ray.pipelines import stats
+        ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_linenumber",
+                                      "l_returnflag", "l_quantity"])
+        return stats.grouped_percent_rank(ds, "l_returnflag", "l_quantity")
+
+    def customers_without_urgent_orders(sf_dir: str):
+        """Distributed LEFT ANTI hash join: customers with no URGENT
+        order.  The filtered right side is repartitioned first so no
+        empty first-submitted block can skip the hash-shuffle schema
+        broadcast (Ray 2.49 quirk, see SURVEY round-2 notes)."""
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_custkey", "o_orderpriority"])
+        urgent = (orders.map_batches(
+            lambda b: b.filter(pc.equal(b.column("o_orderpriority"),
+                                        "1-URGENT")).select(["o_custkey"]),
+            batch_format="pyarrow").repartition(4))
+        return cust.join(urgent, join_type="left_anti", num_partitions=8,
+                         on=("c_custkey",), right_on=("o_custkey",))
+
     def lineitem_price_bands(sf_dir: str):
         """Range (interval) join: lineitem x overlapping price bands,
         aggregated per band.  The band side is broadcast (ray.put once);
@@ -1021,6 +1046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "lineitem_agg": lineitem_agg,
         "lineitem_price_bands": lineitem_price_bands,
+        "lineitem_percent_rank": lineitem_percent_rank,
+        "customers_without_orders": customers_without_urgent_orders,
         "events_distinct_daily": events_distinct_daily,
         "events_hll_registers": events_hll_registers,
         "doc_pack": doc_pack,
@@ -1341,6 +1368,17 @@ SELECT b.interval_id, count(*) AS n,
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1
+""",
+        "lineitem_percent_rank": """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       percent_rank() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity) AS pr
+FROM lineitem
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
 """,
         "events_distinct_daily": """
 SELECT epoch_us(ts) // 86400000000 AS day,

@@ -58,6 +58,67 @@ def distinct_count(ds, key, value_col: str, out: str = "n_distinct"):
     return sort_block_aggregate(distinct, keys, {out: (None, "count")})
 
 
+def grouped_percent_rank(ds, key, value_col: str, out: str = "pr"):
+    """Exact per-row percent_rank() OVER (PARTITION BY key ORDER BY
+    value) for bounded-distinct value columns, WITHOUT a global sort:
+    a distributed (key, value) census (one small exchange), a
+    driver-built lookup of per-(key, value) smaller-counts (bounded by
+    #keys x #distinct — same contract as grouped_quantiles), broadcast
+    once via ray.put, then a map-side vectorized lookup per row.
+    Matches SQL: pr = (#rows with smaller value in the key) / (n_key-1),
+    0.0 for single-row keys."""
+    import ray
+
+    keys = _keylist(key)
+    if len(keys) != 1:
+        raise ValueError("grouped_percent_rank supports a single key column")
+    kc = keys[0]
+    cols = keys + [value_col]
+
+    def block_census(batch: pa.Table) -> pa.Table:
+        gb = (batch.select(cols).group_by(cols, use_threads=False)
+              .aggregate([([], "count_all")]))
+        return gb.rename_columns(cols + ["cnt"])
+
+    partial = ds.map_batches(block_census, batch_format="pyarrow")
+    census_ds = sort_block_aggregate(partial, cols, {"n": ("cnt", "sum")})
+    census = pa.concat_tables(
+        [t for t in ray.get(census_ds.to_arrow_refs()) if t.num_rows]
+    ).to_pandas().sort_values(cols)
+    grp = census.groupby(kc, sort=True)
+    census["smaller"] = (grp["n"].cumsum() - census["n"]).astype(np.int64)
+    census["n_key"] = grp["n"].transform("sum").astype(np.int64)
+    lut_ref = ray.put({
+        kc: census[kc].to_numpy(),
+        "v": census[value_col].to_numpy(),
+        "smaller": census["smaller"].to_numpy(),
+        "n_key": census["n_key"].to_numpy(),
+    })
+
+    def add_pr(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        # (key, value) -> row in the sorted census via lexsearch
+        import numpy as _np
+        order = _np.lexsort((lut["v"], lut[kc]))
+        ck, cv = lut[kc][order], lut["v"][order]
+        sm, nk = lut["smaller"][order], lut["n_key"][order]
+        bk = batch.column(kc).to_numpy(zero_copy_only=False)
+        bv = batch.column(value_col).to_numpy(zero_copy_only=False)
+        # rows of one key are contiguous in the census; offset within
+        # the key by value
+        out_pr = _np.empty(len(bk), _np.float64)
+        for kval in _np.unique(bk):          # #distinct keys per batch, small
+            m = bk == kval
+            lo = int(_np.searchsorted(ck, kval, side="left"))
+            hi = int(_np.searchsorted(ck, kval, side="right"))
+            idx = lo + _np.searchsorted(cv[lo:hi], bv[m])
+            n1 = nk[idx] - 1
+            out_pr[m] = _np.where(n1 > 0, sm[idx] / _np.maximum(n1, 1), 0.0)
+        return batch.append_column(out, pa.array(out_pr, pa.float64()))
+
+    return ds.map_batches(add_pr, batch_format="pyarrow")
+
+
 def quantile_disc_index(q: Fraction | float, n: int) -> int:
     """DuckDB quantile_disc: 0-based sorted index = max(0, ceil(q*n)-1)."""
     qf = Fraction(q).limit_denominator(10**9) if not isinstance(q, Fraction) else q

@@ -66,3 +66,22 @@ def test_distinct_count_single_block_and_empty_groups(ray_session):
                   "u": pa.array([5, 5, 5], pa.int64())})
     out = stats.distinct_count(rd.from_arrow(t), "k", "u").to_pandas()
     assert out["n_distinct"].tolist() == [1]
+
+
+def test_grouped_percent_rank_matches_duckdb(ray_session, kv_table):
+    ds = rd.from_arrow(kv_table).repartition(8)
+    got = (stats.grouped_percent_rank(ds, "k", "q").to_pandas()
+           .sort_values(["k", "q", "u"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("kv", kv_table)
+    exp = con.execute("""
+        SELECT k, u, q, percent_rank() OVER (PARTITION BY k ORDER BY q) AS pr
+        FROM kv ORDER BY k, q, u""").df().reset_index(drop=True)
+    assert np.array_equal(got["pr"].to_numpy(), exp["pr"].to_numpy())
+
+
+def test_grouped_percent_rank_single_row_key(ray_session):
+    t = pa.table({"k": pa.array([9], pa.int64()),
+                  "q": pa.array([5.0])})
+    out = stats.grouped_percent_rank(rd.from_arrow(t), "k", "q").to_pandas()
+    assert out["pr"].tolist() == [0.0]
