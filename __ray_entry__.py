@@ -655,6 +655,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def lineitem_rollup(sf_dir: str):
+        """GROUP BY ROLLUP in one data pass: the fine (flag, status)
+        aggregate runs distributed; the coarser rollup levels are
+        derived from the FINE RESULT (bounded by fine-group count),
+        never from a second scan."""
+        from ray.data.aggregate import Count, Sum
+        ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_returnflag", "l_linestatus",
+                                      "l_quantity"])
+        fine = (ds.groupby(["l_returnflag", "l_linestatus"])
+                  .aggregate(Count(alias_name="n"),
+                             Sum("l_quantity", alias_name="sum_qty"))).to_pandas()
+        fine["sum_qty"] = fine["sum_qty"].astype(np.int64)
+        lvl1 = (fine.groupby("l_returnflag", as_index=False)[["n", "sum_qty"]]
+                .sum().assign(l_linestatus="ALL"))
+        lvl0 = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                             "n": [fine["n"].sum()],
+                             "sum_qty": [fine["sum_qty"].sum()]})
+        out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_qty"] = out["sum_qty"].astype(np.int64)
+        return out[["l_returnflag", "l_linestatus", "n", "sum_qty"]]
+
+    def embed_dim_stats(sf_dir: str):
+        """Explode (unnest) the embedding list column to per-dimension
+        stats — map-side partial aggregation in fixed 2^20-scaled
+        integers (float32 * 2^20 is exact in double, so the distributed
+        sum is order-independent and bit-equal to SQL)."""
+        from metric_search_ray.pipelines import fastagg
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["embedding"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            emb = batch.column("embedding")
+            arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            n_dim = len(flat) // max(batch.num_rows, 1) if batch.num_rows else 0
+            if n_dim == 0:
+                return pa.table({"dim": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "sum_u": pa.array([], pa.int64())})
+            u = np.floor(flat * 1048576.0).astype(np.int64).reshape(-1, n_dim)
+            return pa.table({
+                "dim": pa.array(np.arange(n_dim), pa.int64()),
+                "cnt": pa.array(np.full(n_dim, u.shape[0]), pa.int64()),
+                "sum_u": pa.array(u.sum(axis=0), pa.int64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        return fastagg.sort_block_aggregate(
+            parts, "dim", {"n": ("cnt", "sum"), "sum_u": ("sum_u", "sum")})
+
     def lineitem_percent_rank(sf_dir: str):
         """Exact window-function percent_rank per row WITHOUT a global
         sort (census broadcast + map-side lookup, pipelines/stats.py)."""
@@ -1046,6 +1099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "lineitem_agg": lineitem_agg,
         "lineitem_price_bands": lineitem_price_bands,
+        "embed_dim_stats": embed_dim_stats,
+        "lineitem_rollup": lineitem_rollup,
         "lineitem_percent_rank": lineitem_percent_rank,
         "customers_without_orders": customers_without_urgent_orders,
         "events_distinct_daily": events_distinct_daily,
@@ -1367,6 +1422,22 @@ SELECT b.interval_id, count(*) AS n,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY 1
+""",
+        "lineitem_rollup": """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+        # float32 * 2^20 is exact in double -> integer sums are
+        # order-independent (no float-sum parity risk)
+        "embed_dim_stats": """
+SELECT d.dim, count(*) AS n,
+       CAST(sum(CAST(floor(CAST(embedding[d.dim + 1] AS DOUBLE) * 1048576)
+                AS BIGINT)) AS BIGINT) AS sum_u
+FROM embeddings e,
+     LATERAL (SELECT unnest(generate_series(0, len(e.embedding) - 1)) AS dim) d
 GROUP BY 1
 """,
         "lineitem_percent_rank": """
