@@ -655,6 +655,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def lineitem_price_quantiles(sf_dir: str):
+        """Exact quantile_disc over the UNBOUNDED continuous
+        l_extendedprice column via histogram refinement
+        (stats.exact_quantile_histogram) — no sort, no census."""
+        from metric_search_ray.pipelines import stats
+        ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_extendedprice"])
+        q = stats.exact_quantile_histogram(ds, "l_extendedprice",
+                                           [0.25, 0.5, 0.9, 0.99],
+                                           bins=4096, refine_limit=65536)
+        return pd.DataFrame({"p25": [q[0.25]], "p50": [q[0.5]],
+                             "p90": [q[0.9]], "p99": [q[0.99]]})
+
     def lineitem_rollup(sf_dir: str):
         """GROUP BY ROLLUP in one data pass: the fine (flag, status)
         aggregate runs distributed; the coarser rollup levels are
@@ -1101,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_bands": lineitem_price_bands,
         "embed_dim_stats": embed_dim_stats,
         "lineitem_rollup": lineitem_rollup,
+        "lineitem_price_quantiles": lineitem_price_quantiles,
         "lineitem_percent_rank": lineitem_percent_rank,
         "customers_without_orders": customers_without_urgent_orders,
         "events_distinct_daily": events_distinct_daily,
@@ -1423,6 +1437,13 @@ SELECT b.interval_id, count(*) AS n,
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1
+""",
+        "lineitem_price_quantiles": """
+SELECT quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.9) AS p90,
+       quantile_disc(l_extendedprice, 0.99) AS p99
+FROM lineitem
 """,
         "lineitem_rollup": """
 SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

@@ -125,6 +125,106 @@ def quantile_disc_index(q: Fraction | float, n: int) -> int:
     return max(0, -((-qf.numerator * n) // qf.denominator) - 1)
 
 
+def exact_quantile_histogram(ds, value_col: str, probs: list[float],
+                             bins: int = 65536,
+                             refine_limit: int = 262144) -> dict[float, float]:
+    """Exact global quantile_disc for UNBOUNDED continuous columns —
+    the scale path where a census would explode and a global sort is
+    an all-to-all shuffle:
+
+    1. one distributed min/max pass;
+    2. one fixed-width histogram pass (per-block ``np.bincount``
+       partials, nonzero (bin, count) pairs to the driver — bounded by
+       ``bins`` x #blocks, independent of row count);
+    3. for each requested rank, histogram-RECURSE into the one bin
+       holding it (a ``filter`` pass over a shrinking value range)
+       until the bin population <= ``refine_limit``, then fetch just
+       that bin's values and take the exact order statistic.
+
+    Every pass streams; no shuffle at all.  Convergence: each level
+    divides the candidate range by ``bins``, so 2 levels cover 2^32
+    distinct doubles per initial bin — degenerate only if >refine_limit
+    rows share ONE float value, in which case that value IS the answer
+    (handled: zero-width range short-circuits).
+    """
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(value_col), Max(value_col))
+    vmin, vmax = float(agg[f"min({value_col})"]), float(agg[f"max({value_col})"])
+    n_total = ds.count()
+    if n_total == 0:
+        return {}
+
+    def hist_counts(source, lo, hi, inclusive_top):
+        # ranges are half-open [lo, hi) except when hi is the global
+        # max (else refined counts would double-include the top edge,
+        # which belongs to the parent's NEXT bin)
+        width = (hi - lo) / bins
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch.column(value_col).to_numpy(zero_copy_only=False)
+            v = v[(v >= lo) & ((v <= hi) if inclusive_top else (v < hi))]
+            if width <= 0 or len(v) == 0:
+                return pa.table({"bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            idx = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
+            c = np.bincount(idx, minlength=bins)
+            nz = np.flatnonzero(c)
+            return pa.table({"bin": pa.array(nz, pa.int64()),
+                             "cnt": pa.array(c[nz], pa.int64())})
+
+        parts = source.map_batches(partial, batch_format="pyarrow")
+        total = np.zeros(bins, np.int64)
+        for t in ray.get(parts.to_arrow_refs()):
+            if t.num_rows:
+                np.add.at(total, t.column("bin").to_numpy(),
+                          t.column("cnt").to_numpy())
+        return total
+
+    out: dict[float, float] = {}
+    base_hist = hist_counts(ds, vmin, vmax, True)
+    for p in probs:
+        kth = quantile_disc_index(p, n_total) + 1      # 1-based rank
+        lo, hi, hist, skip = vmin, vmax, base_hist, 0
+        top_edge_is_max = True
+        while True:
+            cum = np.cumsum(hist)
+            b = int(np.searchsorted(cum, kth - skip))
+            blo = lo + (hi - lo) / bins * b
+            bhi = lo + (hi - lo) / bins * (b + 1) if b < bins - 1 else hi
+            pop = int(hist[b])
+            rank_in_bin = kth - skip - int(cum[b - 1] if b else 0)
+            bin_inclusive = top_edge_is_max and b == bins - 1
+            # relative-epsilon convergence: the range no longer separates
+            # distinct doubles -> everything left is one value (fetch it
+            # inclusively, whatever its count)
+            converged = (bhi - blo) <= max(abs(blo), abs(bhi), 1e-300) * 2**-50
+            if converged:
+                bin_inclusive = True
+            if pop <= refine_limit or converged:
+                break
+            skip += int(cum[b - 1] if b else 0)
+            lo, hi, top_edge_is_max = blo, bhi, bin_inclusive
+            hist = hist_counts(ds, lo, hi, bin_inclusive)
+        # fetch exactly the winning bin's values (bounded) and take the
+        # order statistic; inclusive top edge only at the global max bin
+        top_ok = bin_inclusive
+        vals_refs = ds.map_batches(
+            lambda t, a=blo, z=bhi, inc=top_ok: pa.table({
+                "v": pa.array(
+                    (lambda v: v[(v >= a) & ((v <= z) if inc else (v < z))])(
+                        t.column(value_col).to_numpy(zero_copy_only=False)),
+                    pa.float64())}),
+            batch_format="pyarrow").to_arrow_refs()
+        vals = np.concatenate(
+            [t.column("v").to_numpy() for t in ray.get(vals_refs)] or
+            [np.empty(0)])
+        vals.sort()
+        out[p] = float(vals[rank_in_bin - 1])
+    return out
+
+
 def grouped_quantiles(ds, key, value_col: str, probs: list[float],
                       prefix: str = "p") -> pd.DataFrame:
     """Exact per-key quantile_disc for bounded-distinct value columns.

@@ -85,3 +85,28 @@ def test_grouped_percent_rank_single_row_key(ray_session):
                   "q": pa.array([5.0])})
     out = stats.grouped_percent_rank(rd.from_arrow(t), "k", "q").to_pandas()
     assert out["pr"].tolist() == [0.0]
+
+
+def test_exact_quantile_histogram_matches_duckdb(ray_session):
+    rng = np.random.default_rng(17)
+    # lognormal continuous values: high distinct count, heavy tail
+    vals = np.round(rng.lognormal(4, 1, 30_000), 6)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(8)
+    probs = [0.01, 0.25, 0.5, 0.9, 0.999]
+    got = stats.exact_quantile_histogram(ds, "x", probs, bins=256,
+                                         refine_limit=512)
+    con = duckdb.connect()
+    import pandas as pd
+    con.register("t", pd.DataFrame({"x": vals}))
+    for p in probs:
+        exp = con.execute(f"SELECT quantile_disc(x, {p}) FROM t").fetchone()[0]
+        assert got[p] == exp, (p, got[p], exp)
+
+
+def test_exact_quantile_histogram_degenerate_hot_value(ray_session):
+    # >refine_limit rows share one value -> zero-width short circuit
+    vals = np.concatenate([np.full(5000, 7.5), np.array([1.0, 99.0])])
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    got = stats.exact_quantile_histogram(ds, "x", [0.5], bins=16,
+                                         refine_limit=100)
+    assert got[0.5] == 7.5
