@@ -655,6 +655,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def lineitem_bloom_semi(sf_dir: str):
+        """Bloom-prefiltered exact semi join (pipelines/bloom.py):
+        lineitem rows whose part is large (p_size > 40), aggregated.
+        The Bloom filter drops ~80% of probe rows map-side before the
+        hash-join shuffle; the composed result is exactly the semi
+        join (no false negatives + exact join on survivors)."""
+        from ray.data.aggregate import Count, Sum
+
+        from metric_search_ray.pipelines import bloom
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_partkey", "l_quantity"])
+        parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                                columns=["p_partkey", "p_size"])
+        big = (parts.map_batches(
+            lambda b: b.filter(pc.greater(b.column("p_size"), 40))
+                       .select(["p_partkey"]),
+            batch_format="pyarrow").repartition(2))
+        j = bloom.bloom_semi_join(li, big, "l_partkey", "p_partkey")
+        out = (j.groupby("l_partkey")
+                .aggregate(Count(alias_name="n"),
+                           Sum("l_quantity", alias_name="sum_qty"))).to_pandas()
+        out["sum_qty"] = out["sum_qty"].astype(np.int64)
+        return out
+
     def lineitem_price_quantiles(sf_dir: str):
         """Exact quantile_disc over the UNBOUNDED continuous
         l_extendedprice column via histogram refinement
@@ -1115,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": embed_dim_stats,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "lineitem_bloom_semi": lineitem_bloom_semi,
         "lineitem_percent_rank": lineitem_percent_rank,
         "customers_without_orders": customers_without_urgent_orders,
         "events_distinct_daily": events_distinct_daily,
@@ -1436,6 +1461,12 @@ SELECT b.interval_id, count(*) AS n,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY 1
+""",
+        "lineitem_bloom_semi": """
+SELECT l_partkey, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
 GROUP BY 1
 """,
         "lineitem_price_quantiles": """
