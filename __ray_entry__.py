@@ -655,6 +655,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def lineitem_zscore(sf_dir: str):
+        """Per-row z-score of l_quantity within its returnflag group:
+        exact-integer moments broadcast + map-side transform
+        (stats.grouped_zscore) — bit-equal to the SQL closed form."""
+        from metric_search_ray.pipelines import stats
+        ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_linenumber",
+                                      "l_returnflag", "l_quantity"])
+
+        def as_int(b: pa.Table) -> pa.Table:
+            q = b.column("l_quantity").to_numpy().astype(np.int64)
+            return b.drop_columns(["l_quantity"]).append_column(
+                "qty", pa.array(q, pa.int64()))
+
+        ds = ds.map_batches(as_int, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return stats.grouped_zscore(ds, "l_returnflag", "qty")
+
     def lineitem_bloom_semi(sf_dir: str):
         """Bloom-prefiltered exact semi join (pipelines/bloom.py):
         lineitem rows whose part is large (p_size > 40), aggregated.
@@ -1139,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": embed_dim_stats,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "lineitem_zscore": lineitem_zscore,
         "lineitem_bloom_semi": lineitem_bloom_semi,
         "lineitem_percent_rank": lineitem_percent_rank,
         "customers_without_orders": customers_without_urgent_orders,
@@ -1462,6 +1481,22 @@ SELECT b.interval_id, count(*) AS n,
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1
+""",
+        "lineitem_zscore": """
+WITH m AS (SELECT l_returnflag, count(*) AS n,
+                  sum(CAST(l_quantity AS BIGINT)) AS s,
+                  sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS ss
+           FROM lineitem GROUP BY 1)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       CAST(l.l_quantity AS BIGINT) AS qty,
+       CASE WHEN m.n = 1 OR (CAST(m.ss AS DOUBLE)
+                 - CAST(m.s AS DOUBLE)*CAST(m.s AS DOUBLE)/m.n)/(m.n-1) = 0
+            THEN 0.0
+            ELSE (CAST(l.l_quantity AS DOUBLE) - CAST(m.s AS DOUBLE)/m.n)
+                 / sqrt((CAST(m.ss AS DOUBLE)
+                        - CAST(m.s AS DOUBLE)*CAST(m.s AS DOUBLE)/m.n)/(m.n-1))
+       END AS z
+FROM lineitem l JOIN m USING (l_returnflag)
 """,
         "lineitem_bloom_semi": """
 SELECT l_partkey, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty

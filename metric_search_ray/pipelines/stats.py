@@ -119,6 +119,64 @@ def grouped_percent_rank(ds, key, value_col: str, out: str = "pr"):
     return ds.map_batches(add_pr, batch_format="pyarrow")
 
 
+def grouped_zscore(ds, key, value_col: str, out: str = "z"):
+    """Per-row z-score within the key group for INTEGER-VALUED measure
+    columns, in two streaming passes: a small grouped (n, sum, sumsq)
+    aggregate in exact int64 (map-side partials via fastagg), broadcast
+    once, then a map-side transform.  Because the moments are exact
+    integers and the float expression is evaluated in one fixed order —
+    mean = sum/n; var = (ss - sum*sum/n)/(n-1); z = (v-mean)/sqrt(var)
+    — the result is bit-equal to the same SQL expression (n==1 or
+    var==0 groups map to z=0)."""
+    import ray
+
+    keys = _keylist(key)
+    cols = keys + [value_col]
+
+    def block_moments(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (t.drop_columns([value_col])
+             .append_column("_v", pa.array(v, pa.int64()))
+             .append_column("_v2", pa.array(v * v, pa.int64())))
+        gb = (t.group_by(keys, use_threads=False)
+              .aggregate([([], "count_all"), ("_v", "sum"), ("_v2", "sum")]))
+        return gb.rename_columns(keys + ["cnt", "s", "ss"])
+
+    partial = ds.map_batches(block_moments, batch_format="pyarrow")
+    moments_ds = sort_block_aggregate(
+        partial, keys, {"n": ("cnt", "sum"), "s": ("s", "sum"),
+                        "ss": ("ss", "sum")})
+    moments = pa.concat_tables(
+        [t for t in ray.get(moments_ds.to_arrow_refs()) if t.num_rows]
+    ).to_pandas().sort_values(keys)
+    lut_ref = ray.put({k: moments[k].to_numpy() for k in keys} |
+                      {c: moments[c].to_numpy() for c in ("n", "s", "ss")})
+    kc = keys[0]
+    if len(keys) != 1:
+        raise ValueError("grouped_zscore supports a single key column")
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        order = np.argsort(lut[kc], kind="stable")
+        ck = lut[kc][order]
+        n = lut["n"][order].astype(np.float64)
+        s = lut["s"][order].astype(np.float64)
+        ss = lut["ss"][order].astype(np.float64)
+        bk = batch.column(kc).to_numpy(zero_copy_only=False)
+        bv = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        idx = np.searchsorted(ck, bk)
+        mean = s[idx] / n[idx]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (ss[idx] - s[idx] * s[idx] / n[idx]) / (n[idx] - 1.0)
+            z = (bv - mean) / np.sqrt(var)
+        z = np.where((n[idx] == 1.0) | (var == 0.0), 0.0, z)
+        return batch.append_column(out, pa.array(z, pa.float64()))
+
+    return ds.map_batches(add_z, batch_format="pyarrow")
+
+
 def quantile_disc_index(q: Fraction | float, n: int) -> int:
     """DuckDB quantile_disc: 0-based sorted index = max(0, ceil(q*n)-1)."""
     qf = Fraction(q).limit_denominator(10**9) if not isinstance(q, Fraction) else q

@@ -110,3 +110,32 @@ def test_exact_quantile_histogram_degenerate_hot_value(ray_session):
     got = stats.exact_quantile_histogram(ds, "x", [0.5], bins=16,
                                          refine_limit=100)
     assert got[0.5] == 7.5
+
+
+def test_grouped_zscore_bit_equal_to_sql_closed_form(ray_session, kv_table):
+    import pandas as pd
+    ds = rd.from_arrow(kv_table).repartition(8)
+    got = (stats.grouped_zscore(ds, "k", "u").to_pandas()
+           .sort_values(["k", "u", "q"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("kv", kv_table)
+    exp = con.execute("""
+      WITH m AS (SELECT k, count(*) AS n, sum(u) AS s, sum(u*u) AS ss
+                 FROM kv GROUP BY 1)
+      SELECT kv.k, kv.u, kv.q,
+        CASE WHEN m.n = 1 OR (CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE)*CAST(m.s AS DOUBLE)/m.n)/(m.n-1) = 0
+             THEN 0.0
+             ELSE (CAST(kv.u AS DOUBLE) - CAST(m.s AS DOUBLE)/m.n)
+                  / sqrt((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE)*CAST(m.s AS DOUBLE)/m.n)/(m.n-1)) END AS z
+      FROM kv JOIN m USING (k) ORDER BY k, u, q""").df().reset_index(drop=True)
+    assert np.array_equal(got["z"].to_numpy(), exp["z"].to_numpy())
+
+
+def test_grouped_zscore_degenerate_groups(ray_session):
+    t = pa.table({"k": pa.array([1, 2, 2, 3, 3], pa.int64()),
+                  "u": pa.array([5, 7, 7, 1, 9], pa.int64())})
+    out = (stats.grouped_zscore(rd.from_arrow(t), "k", "u").to_pandas()
+           .sort_values(["k", "u"]).reset_index(drop=True))
+    assert out["z"].tolist()[0] == 0.0          # n=1
+    assert out["z"].tolist()[1:3] == [0.0, 0.0]  # var=0
+    assert out["z"].tolist()[3] < 0 < out["z"].tolist()[4]
