@@ -655,6 +655,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def doc_weighted_sample(sf_dir: str):
+        """Deterministic weighted fixed-size sample (Efraimidis-
+        Spirakis, sampling.weighted_top_n): 25 docs, inclusion odds
+        proportional to n_chars, no RNG state, SQL-replayable."""
+        from metric_search_ray.pipelines import sampling
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "n_chars"])
+        return sampling.weighted_top_n(ds, "doc_id", "n_chars", n=25)
+
     def lineitem_zscore(sf_dir: str):
         """Per-row z-score of l_quantity within its returnflag group:
         exact-integer moments broadcast + map-side transform
@@ -1157,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": embed_dim_stats,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "doc_weighted_sample": doc_weighted_sample,
         "lineitem_zscore": lineitem_zscore,
         "lineitem_bloom_semi": lineitem_bloom_semi,
         "lineitem_percent_rank": lineitem_percent_rank,
@@ -1481,6 +1491,14 @@ SELECT b.interval_id, count(*) AS n,
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1
+""",
+        "doc_weighted_sample": """
+SELECT doc_id, n_chars FROM documents
+ORDER BY pow((CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) + 0.5)
+             / 18446744073709551616.0,
+             1.0 / (n_chars + 1)) DESC,
+         CAST(doc_id AS VARCHAR)
+LIMIT 25
 """,
         "lineitem_zscore": """
 WITH m AS (SELECT l_returnflag, count(*) AS n,

@@ -111,3 +111,57 @@ def hash_top_n(ds, id_col: str, n: int):
     import ray.data as rd
     return rd.from_arrow(allt.take(pa.array(np.sort(order)))
                              .drop_columns(["_h"]))
+
+
+def weighted_top_n(ds, id_col: str, weight_col: str, n: int):
+    """Deterministic WEIGHTED fixed-size sample (Efraimidis–Spirakis
+    A-Res): rank rows by key = u^(1/w) with u a fixed md5-derived
+    uniform in (0,1) and w = weight+1; keep the n largest keys.
+    Inclusion probability is proportional to weight, yet the draw is
+    fully reproducible (no RNG state) and SQL-replayable:
+    ``pow((CAST(md5_number_lower(id) AS DOUBLE)+0.5)/2^64, 1.0/(w+1))``
+    with identical IEEE op order.
+
+    Same scale shape as ``hash_top_n``: per-block top-n, one bounded
+    driver merge of <= n rows per block, no shuffle."""
+    import ray
+
+    DENOM = np.float64(18446744073709551616.0)
+
+    def keys_of(batch: pa.Table) -> np.ndarray:
+        ids = batch.column(id_col).to_pylist()
+        h = np.empty(len(ids), np.uint64)
+        for i, v in enumerate(ids):
+            h[i] = int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
+                                  "little")
+        u = (h.astype(np.float64) + 0.5) / DENOM
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return np.power(u, 1.0 / (w + 1.0))
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        k = keys_of(batch)
+        m = min(n, len(k))
+        if m < len(k):
+            kth = -np.partition(-k, m - 1)[m - 1]
+            sel = np.flatnonzero(k >= kth)   # keep boundary ties; the
+            # driver merge re-cuts on (key, id) deterministically
+        else:
+            sel = np.arange(len(k))
+        sel = np.sort(sel)
+        return batch.take(pa.array(sel)).append_column(
+            "_wkey", pa.array(k[sel], pa.float64()))
+
+    parts = ds.map_batches(block_top, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return parts.drop_columns(["_wkey"])
+    allt = pa.concat_tables(tbls).combine_chunks()
+    k = allt.column("_wkey").to_numpy()
+    ids = np.asarray([str(v) for v in allt.column(id_col).to_pylist()],
+                     dtype=object)
+    order = np.lexsort((ids, -k))[:n]
+    import ray.data as rd
+    return rd.from_arrow(allt.take(pa.array(np.sort(order)))
+                             .drop_columns(["_wkey"]))

@@ -280,3 +280,39 @@ def test_hash_top_n_larger_than_table(ray_session):
     t = _docs(5)
     out = sampling.hash_top_n(rd.from_arrow(t), "doc_id", 100).to_pandas()
     assert sorted(out["doc_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_weighted_top_n_matches_duckdb_replay(ray_session):
+    import duckdb
+    import pandas as pd
+    rng = np.random.default_rng(8)
+    n = 4000
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "w": pa.array(rng.integers(0, 500, n), pa.int64())})
+    got = (sampling.weighted_top_n(rd.from_arrow(t).repartition(6),
+                                   "doc_id", "w", n=50).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("d", t)
+    exp = con.execute("""
+      SELECT doc_id, w FROM d
+      ORDER BY pow((CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) + 0.5)
+                   / 18446744073709551616.0, 1.0 / (w + 1)) DESC,
+               CAST(doc_id AS VARCHAR)
+      LIMIT 50""").df().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+
+
+def test_weighted_top_n_prefers_heavy_rows(ray_session):
+    # weights 1 vs 1000: heavy rows should dominate the sample
+    n = 2000
+    w = np.where(np.arange(n) < 100, 1000, 1)
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "w": pa.array(w, pa.int64())})
+    out = sampling.weighted_top_n(rd.from_arrow(t), "doc_id", "w", n=40).to_pandas()
+    frac_heavy = (out["doc_id"] < 100).mean()
+    assert frac_heavy > 0.5          # 5% of rows carry ~98% of weight
+    # layout independence: different partitioning, same selection
+    out2 = sampling.weighted_top_n(rd.from_arrow(t).repartition(7),
+                                   "doc_id", "w", n=40).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
