@@ -655,6 +655,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def doc_prep_pipeline(sf_dir: str):
+        """The composed LLM data-prep chain in ONE streaming pipeline:
+        tokenize -> quality gate (>=5 tokens) -> exact dedup (min-id
+        keeper) -> deterministic train/test split -> greedy sequence
+        packing of the train split per source (budget PACK_BUDGET;
+        test rows carry pack_id -1).  Every stage is one of the
+        engine's oracled operators; the SQL oracle replays the whole
+        chain as a CTE stack."""
+        import pandas as _pd
+
+        from metric_search_ray.pipelines import dedup, pack, sampling
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "source", "text"])
+
+        def tokenize(b: pa.Table) -> pa.Table:
+            s = pd.Series(b.column("text").to_pylist())
+            n = s.fillna("").str.strip().str.split(r"\s+").map(
+                lambda t: 0 if t == [""] else len(t))
+            return b.append_column("n_tokens",
+                                   pa.array(n.to_numpy(np.int64), pa.int64()))
+
+        toked = ds.map_batches(tokenize, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        gated = toked.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("n_tokens"), 5)),
+            batch_format="pyarrow")
+        ded = dedup.exact_dedup(gated.repartition(4), "text", "doc_id")
+        spl = sampling.hash_split(ded.select_columns(
+            ["doc_id", "source", "n_tokens"]), "doc_id")
+
+        def per_source(g: _pd.DataFrame) -> _pd.DataFrame:
+            g = g.sort_values("doc_id")
+            pid = pack.greedy_pack_ids(g["n_tokens"].to_numpy(), PACK_BUDGET)
+            return _pd.DataFrame({
+                "source": g["source"].to_numpy(), "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+                "split": "train", "pack_id": pid})
+
+        train = (spl.filter(lambda r: r["split"] == "train")
+                 .groupby("source").map_groups(per_source,
+                                               batch_format="pandas"))
+        test = spl.filter(lambda r: r["split"] == "test").map_batches(
+            lambda b: b.select(["source", "doc_id", "n_tokens", "split"])
+                       .append_column("pack_id",
+                                      pa.array(np.full(b.num_rows, -1,
+                                                       np.int64))),
+            batch_format="pyarrow")
+        return train.union(test)
+
     def doc_weighted_sample(sf_dir: str):
         """Deterministic weighted fixed-size sample (Efraimidis-
         Spirakis, sampling.weighted_top_n): 25 docs, inclusion odds
@@ -1166,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": embed_dim_stats,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "doc_prep_pipeline": doc_prep_pipeline,
         "doc_weighted_sample": doc_weighted_sample,
         "lineitem_zscore": lineitem_zscore,
         "lineitem_bloom_semi": lineitem_bloom_semi,
@@ -1491,6 +1541,36 @@ SELECT b.interval_id, count(*) AS n,
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1
+""",
+        "doc_prep_pipeline": f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents),
+q AS (SELECT * FROM tok WHERE n_tokens >= 5),
+ded AS (SELECT * FROM q
+        WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+spl AS (SELECT doc_id, source, n_tokens,
+               CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+                    THEN 'test' ELSE 'train' END AS split
+        FROM ded),
+tr AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       FROM spl WHERE split = 'train'),
+walk(source, rn, doc_id, n_tokens, acc, pack_id) AS (
+  SELECT source, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT)
+  FROM tr WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.acc + t.n_tokens > {PACK_BUDGET}
+              THEN t.n_tokens ELSE w.acc + t.n_tokens END,
+         CASE WHEN w.acc + t.n_tokens > {PACK_BUDGET}
+              THEN w.pack_id + 1 ELSE w.pack_id END
+  FROM walk w JOIN tr t ON t.source = w.source AND t.rn = w.rn + 1)
+SELECT source, doc_id, n_tokens, 'train' AS split, pack_id FROM walk
+UNION ALL
+SELECT source, doc_id, n_tokens, split, CAST(-1 AS BIGINT) AS pack_id
+FROM spl WHERE split = 'test'
 """,
         "doc_weighted_sample": """
 SELECT doc_id, n_chars FROM documents
