@@ -99,6 +99,42 @@ RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
 
 HLL_P = 12  # HyperLogLog precision for events_hll_registers (4096 registers)
 PACK_BUDGET = 256  # token budget per training sequence for doc_pack
+PR_ITERS = 5  # integer PageRank rounds for graph_pagerank
+
+
+def _pagerank_oracle_sql(iters: int = PR_ITERS, n: int = 576,
+                         scale: int = 10**12) -> str:
+    """Unrolled-CTE replay of graph.pagerank_int on margulis(n):
+    the edge generator (graph.cpp:645-665 arithmetic) and every
+    integer-division round are reproduced exactly — possible only
+    because the recurrence is integer fixed-point (float PageRank can
+    never hash-match across reduction orders)."""
+    s = int(np.sqrt(n))
+    base = (15 * scale) // (100 * n)
+    parts = [f"""
+WITH nodes AS (SELECT range AS v FROM range({n})),
+ij AS (SELECT range // {s} AS i, range % {s} AS j, range AS u FROM range({n})),
+raw AS (
+  SELECT u, ((i + 2*j) % {s}) * {s} + j AS dst FROM ij
+  UNION ALL SELECT u, i*{s} + (2*i + j) % {s} FROM ij
+  UNION ALL SELECT u, i*{s} + (2*i + j + 1) % {s} FROM ij
+  UNION ALL SELECT u, ((i + 2*j + 1) % {s}) * {s} + j FROM ij),
+-- Graph() drops self-loops, symmetrizes, and dedups (graph.py)
+edges AS (
+  SELECT u, dst FROM raw WHERE u != dst
+  UNION
+  SELECT dst AS u, u AS dst FROM raw WHERE u != dst),
+deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+r0 AS (SELECT v, CAST({scale // n} AS BIGINT) AS r FROM nodes)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+r{t} AS (SELECT nodes.v, {base} + (85 * COALESCE(s.s, 0)) // 100 AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS v, sum(r{t-1}.r // deg.d) AS s
+    FROM edges e JOIN deg ON e.u = deg.u JOIN r{t-1} ON r{t-1}.v = e.u
+    GROUP BY 1) s ON nodes.v = s.v)""")
+    parts.append(f"\nSELECT v AS node, CAST(r AS BIGINT) AS rank_u FROM r{iters}")
+    return "".join(parts)
 
 
 def _hll_oracle_sql(p: int = HLL_P) -> str:
@@ -1110,6 +1146,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      "dst": pa.array(e[:, 1], pa.int64())}))
         return graph.connected_components_ray(ds, num_partitions=4)
 
+    def graph_pagerank(sf_dir: str):
+        """Integer fixed-point PageRank on margulis(576), 5 iterations
+        (graph.pagerank_int) — exact, so the iterative algorithm is
+        SQL-oracled by unrolled CTE rounds."""
+        from metric_search_ray import graph
+        g = graph.margulis(576)
+        e = np.asarray(g.edges)
+        ds = rd.from_arrow(pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                                     "dst": pa.array(e[:, 1], pa.int64())}))
+        return graph.pagerank_int(ds, 576, iters=PR_ITERS)
+
     def doc_pii_scrub(sf_dir: str):
         # the synthetic corpus carries no PII, so the query derives a
         # deterministic PII-bearing text from the table's own columns
@@ -1243,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_ivf": embed_knn_ivf,
         "embed_dedup": embed_dedup,
         "graph_components": graph_components,
+        "graph_pagerank": graph_pagerank,
         "graph_neighbours": graph_neighbours,
         "geo_pairwise": geo_pairwise,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -1839,6 +1887,7 @@ QUALIFY rank <= 10
         # margulis(576) is a connected expander, so every node's
         # component is the min node id (0); the graph itself is a fixed
         # deterministic construction, not data-dependent
+        "graph_pagerank": _pagerank_oracle_sql(),
         "graph_components": """
 SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS component
 FROM range(576)

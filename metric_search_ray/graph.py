@@ -448,3 +448,68 @@ def _connected_components_ray(edges_ds, num_partitions: int, max_iters: int):
     raise RuntimeError(
         f"connected_components_ray did not converge in {max_iters} rounds; "
         "raise max_iters (labels would be wrong if returned)")
+
+
+def pagerank_int(edges_ds, n_nodes: int, iters: int = 5,
+                 scale: int = 10**12, num_partitions: int = 4):
+    """Deterministic integer fixed-point PageRank (damping 0.85):
+
+        r_0(v)    = scale // N
+        r_{t+1}(v) = (15*scale)//(100*N) + (85 * S_t(v)) // 100
+        S_t(v)    = sum over edges (u -> v) of  r_t(u) // outdeg(u)
+
+    All arithmetic is int64 floor division, so the result is exact,
+    order-independent, and replayable in SQL — the usual float
+    PageRank can never hash-match an oracle because per-node float
+    sums depend on reduction order.  Iterative shape follows the CC
+    learnings: per-round hash joins against a materialized edge table,
+    labels materialized + repartitioned each round to bound block
+    growth.  Shuffle cost per round: one join on src + one grouped sum
+    on dst (both hash exchanges on the edge set).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .pipelines.fastagg import sort_block_aggregate
+
+    outdeg = sort_block_aggregate(edges_ds, "src", {"deg": (None, "count")})
+    edeg = (edges_ds.join(outdeg, join_type="inner",
+                          num_partitions=num_partitions, on=("src",))
+            .materialize())
+    base = (15 * scale) // (100 * n_nodes)
+    nodes = rd.from_arrow(pa.table({
+        "node": pa.array(np.arange(n_nodes), pa.int64())})).repartition(2)
+    ranks = rd.from_arrow(pa.table({
+        "node": pa.array(np.arange(n_nodes), pa.int64()),
+        "rank_u": pa.array(np.full(n_nodes, scale // n_nodes), pa.int64()),
+    })).repartition(num_partitions)
+
+    for _ in range(iters):
+        contrib = (edeg.join(ranks, join_type="inner",
+                             num_partitions=num_partitions,
+                             on=("src",), right_on=("node",))
+                   .map_batches(
+                       lambda b: pa.table({
+                           "dst": b.column("dst"),
+                           "c": pa.array(
+                               b.column("rank_u").to_numpy()
+                               // b.column("deg").to_numpy(), pa.int64())}),
+                       batch_format="pyarrow"))
+        sums = sort_block_aggregate(contrib, "dst", {"s": ("c", "sum")})
+        joined = nodes.join(sums.repartition(num_partitions),
+                            join_type="left_outer",
+                            num_partitions=num_partitions,
+                            on=("node",), right_on=("dst",))
+
+        def apply(b: pa.Table) -> pa.Table:
+            s = b.column("s").to_numpy(zero_copy_only=False)
+            s = np.where(np.isnan(s.astype(np.float64)), 0,
+                         s).astype(np.int64) if s.dtype != np.int64 else s
+            return pa.table({
+                "node": b.column("node"),
+                "rank_u": pa.array(base + (85 * s) // 100, pa.int64()),
+            })
+
+        ranks = (joined.map_batches(apply, batch_format="pyarrow")
+                 .materialize().repartition(num_partitions))
+    return ranks

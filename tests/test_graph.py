@@ -135,3 +135,42 @@ def test_random_uniform_weighted():
     # determinism
     g2 = graph.RandomUniformWeighted(40, 0.5, 2.0, n_connections=3, seed=7)
     assert np.array_equal(g.edges, g2.edges) and np.array_equal(g.weights, g2.weights)
+
+
+def test_pagerank_int_matches_numpy_recurrence(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metric_search_ray import graph as G
+    g = G.margulis(144)
+    e = np.asarray(g.edges)
+    ds = rd.from_arrow(pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                                 "dst": pa.array(e[:, 1], pa.int64())}))
+    out = (G.pagerank_int(ds, 144, iters=3, num_partitions=2).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    scale, N = 10**12, 144
+    base = (15 * scale) // (100 * N)
+    deg = np.zeros(N, np.int64)
+    np.add.at(deg, e[:, 0], 1)
+    r = np.full(N, scale // N, np.int64)
+    for _ in range(3):
+        s = np.zeros(N, np.int64)
+        np.add.at(s, e[:, 1], r[e[:, 0]] // deg[e[:, 0]])
+        r = base + (85 * s) // 100
+    assert out["rank_u"].tolist() == r.tolist()
+    assert out["node"].tolist() == list(range(N))
+
+
+def test_pagerank_int_sink_node(ray_session):
+    # a node with no in-edges keeps exactly the base mass
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metric_search_ray import graph as G
+    edges = pa.table({"src": pa.array([0, 1], pa.int64()),
+                      "dst": pa.array([1, 0], pa.int64())})
+    out = (G.pagerank_int(rd.from_arrow(edges), 3, iters=2, num_partitions=2)
+           .to_pandas().sort_values("node"))
+    scale, N = 10**12, 3
+    base = (15 * scale) // (100 * N)
+    assert out[out.node == 2]["rank_u"].iloc[0] == base
