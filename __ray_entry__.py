@@ -1146,6 +1146,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      "dst": pa.array(e[:, 1], pa.int64())}))
         return graph.connected_components_ray(ds, num_partitions=4)
 
+    def events_pivot_daily(sf_dir: str):
+        """Pivot event_type into columns per day: ONE distributed
+        grouped aggregate on (day, type) — the narrow exchange — then a
+        driver-side reshape bounded by #days x #types, never by rows."""
+        from metric_search_ray.pipelines import fastagg
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["ts", "event_type"])
+
+        def day_col(batch: pa.Table) -> pa.Table:
+            day = batch.column("ts").to_numpy().astype(np.int64) // 86_400_000_000
+            return pa.table({"day": pa.array(day, pa.int64()),
+                             "event_type": batch.column("event_type")})
+
+        pairs = ds.map_batches(day_col, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        agg = fastagg.sort_block_aggregate(
+            pairs, ["day", "event_type"], {"n": (None, "count")}).to_pandas()
+        types = ["click", "error", "purchase", "signup", "view"]
+        wide = (agg.pivot_table(index="day", columns="event_type", values="n",
+                                fill_value=0, aggfunc="sum")
+                .reindex(columns=types, fill_value=0).reset_index())
+        wide.columns.name = None
+        for t in types:
+            wide[f"n_{t}"] = wide[t].astype(np.int64)
+        return wide[["day"] + [f"n_{t}" for t in types]]
+
     def graph_pagerank(sf_dir: str):
         """Integer fixed-point PageRank on margulis(576), 5 iterations
         (graph.pagerank_int) — exact, so the iterative algorithm is
@@ -1291,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": embed_dedup,
         "graph_components": graph_components,
         "graph_pagerank": graph_pagerank,
+        "events_pivot_daily": events_pivot_daily,
         "graph_neighbours": graph_neighbours,
         "geo_pairwise": geo_pairwise,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -1888,6 +1915,15 @@ QUALIFY rank <= 10
         # component is the min node id (0); the graph itself is a fixed
         # deterministic construction, not data-dependent
         "graph_pagerank": _pagerank_oracle_sql(),
+        "events_pivot_daily": """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY 1
+""",
         "graph_components": """
 SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS component
 FROM range(576)
