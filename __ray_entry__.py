@@ -691,6 +691,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def doc_lm_score(sf_dir: str):
+        """Corpus-trained bigram LM log-likelihood per doc (CCNet-style
+        perplexity filter, text.bigram_lm_score): integer-floored log
+        terms make the distributed per-doc sum exact."""
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return textops.bigram_lm_score(ds)
+
     def doc_prep_pipeline(sf_dir: str):
         """The composed LLM data-prep chain in ONE streaming pipeline:
         tokenize -> quality gate (>=5 tokens) -> exact dedup (min-id
@@ -1288,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": embed_dim_stats,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "doc_lm_score": doc_lm_score,
         "doc_prep_pipeline": doc_prep_pipeline,
         "doc_weighted_sample": doc_weighted_sample,
         "lineitem_zscore": lineitem_zscore,
@@ -1616,6 +1626,27 @@ SELECT b.interval_id, count(*) AS n,
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1
+""",
+        "doc_lm_score": r"""
+WITH d AS (SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents),
+bi AS (SELECT doc_id, toks[g.i + 1] AS w1, toks[g.i + 2] AS w2
+       FROM d, LATERAL (SELECT unnest(generate_series(0, len(toks) - 2)) AS i) g
+       WHERE len(toks) >= 2),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c) AS c FROM c2 GROUP BY 1),
+vocab AS (SELECT count(DISTINCT u.x) AS v
+          FROM d, LATERAL (SELECT unnest(toks) AS x) u),
+terms AS (SELECT b.doc_id,
+                 floor(1e6 * ln((c2.c + 1.0) / (c1.c + vocab.v))) AS t
+          FROM bi b
+          JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+          JOIN c1 ON b.w1 = c1.w1
+          CROSS JOIN vocab)
+SELECT doc_id, count(*) AS n_bigrams, CAST(sum(t) AS BIGINT) AS score_u
+FROM terms GROUP BY 1
 """,
         "doc_prep_pipeline": f"""
 WITH RECURSIVE tok AS (

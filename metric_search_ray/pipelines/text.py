@@ -380,3 +380,109 @@ def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
             out[f"top_{name}"] = pa.array(top, pa.int64())
         return pa.table(out)
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style language-model quality score: add-one-smoothed
+    bigram log-likelihood of each doc under the corpus's own bigram
+    counts (the perplexity-filter stage of a training-data pipeline).
+
+    Two passes:
+    1. bigram census — one distributed grouped count (fastagg) over
+       (w1, w2) pairs; unigram first-position counts and the vocab size
+       derive from it.  CONTRACT: the census must fit the object store
+       (bounded vocab); for open-vocab web corpora train the counts on
+       a sample or cap to top-M bigrams first.
+    2. scoring — census broadcast once (ray.put, sorted-array binary
+       search), then a vectorized map over docs.
+
+    Each bigram contributes floor(1e6 * ln((c2+1)/(c1+V))) as int64, so
+    the per-doc SUM is order-independent and replayable in SQL exactly
+    (float sums would hash-mismatch across reduction orders).  Docs
+    with fewer than 2 tokens emit no row.  Returns
+    (doc_id, n_bigrams, score_u)."""
+    import ray
+
+    from .fastagg import sort_block_aggregate
+
+    SEP = " "       # tokens are whitespace-split, so space is unambiguous
+
+    def _toks(batch: pa.Table) -> list[list[str]]:
+        s = pd.Series(batch.column(text_col).to_pylist())
+        return [t if t != [""] else []
+                for t in s.fillna("").str.strip().str.split(r"\s+")]
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        big: list[str] = []
+        for toks in _toks(batch):
+            big.extend(toks[i] + SEP + toks[i + 1]
+                       for i in range(len(toks) - 1))
+        if not big:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        vals, cnt = np.unique(np.asarray(big, object), return_counts=True)
+        return pa.table({"bg": pa.array(vals, pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    parts = ds.map_batches(census_partial, batch_format="pyarrow")
+    census_ds = sort_block_aggregate(parts, "bg", {"c": ("cnt", "sum")})
+    census = pa.concat_tables(
+        [t for t in ray.get(census_ds.to_arrow_refs()) if t.num_rows])
+    bg = np.asarray(census.column("bg").to_pylist(), object)
+    c2 = census.column("c").to_numpy()
+    w1 = np.asarray([b.split(SEP, 1)[0] for b in bg], object)
+    # unigram first-position counts: sum of bigram counts per w1
+    u_vals, u_inv = np.unique(w1, return_inverse=True)
+    c1 = np.zeros(len(u_vals), np.int64)
+    np.add.at(c1, u_inv, c2)
+    # vocab: distinct tokens anywhere (firsts + last tokens); compute
+    # distributed to keep the contract honest
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        toks = [w for ts in _toks(batch) for w in ts]
+        vals = np.unique(np.asarray(toks, object)) if toks else np.empty(0, object)
+        return pa.table({"w": pa.array(vals, pa.string()),
+                         "one": pa.array(np.ones(len(vals), np.int64))})
+    vocab_ds = sort_block_aggregate(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        "w", {"n": ("one", "sum")})
+    V = sum(t.num_rows for t in ray.get(vocab_ds.to_arrow_refs()))
+
+    order = np.argsort(bg, kind="stable")
+    lut_ref = ray.put({"bg": bg[order], "c2": c2[order],
+                       "u": u_vals, "c1": c1, "V": V})
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        ids = batch.column(id_col)
+        out_id, out_n, out_s = [], [], []
+        toks_list = _toks(batch)
+        doc_big, doc_first, lens = [], [], []
+        for toks in toks_list:
+            n = max(len(toks) - 1, 0)
+            lens.append(n)
+            doc_big.extend(toks[i] + SEP + toks[i + 1] for i in range(n))
+            doc_first.extend(toks[:n])
+        if sum(lens) == 0:
+            return pa.table({id_col: ids.slice(0, 0),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "score_u": pa.array([], pa.int64())})
+        ab = np.asarray(doc_big, object)
+        af = np.asarray(doc_first, object)
+        i2 = np.searchsorted(lut["bg"], ab)
+        i1 = np.searchsorted(lut["u"], af)
+        cc2 = lut["c2"][i2].astype(np.float64)
+        cc1 = lut["c1"][i1].astype(np.int64)
+        term = np.floor(
+            np.float64(1e6) * np.log((cc2 + 1.0) / (cc1 + lut["V"]).astype(
+                np.float64))).astype(np.int64)
+        bounds = np.cumsum([0] + lens)
+        sums = np.add.reduceat(term, bounds[:-1][np.asarray(lens) > 0]) \
+            if len(term) else np.empty(0, np.int64)
+        keep = np.flatnonzero(np.asarray(lens) > 0)
+        return pa.table({
+            id_col: ids.take(pa.array(keep)),
+            "n_bigrams": pa.array(np.asarray(lens, np.int64)[keep], pa.int64()),
+            "score_u": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
