@@ -960,6 +960,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(_image_table_path(sf_dir))
         return multimodal.decode_features(ds, concurrency=4)
 
+    def img_patch_knn(sf_dir: str):
+        """Patch-level visual search: flat-map images into 4x4 patch
+        descriptors (multimodal.ImagePatches), then exact cosine top-5
+        for 4 query patches of image 0 — the patch-embedding retrieval
+        pipeline end-to-end (rows-only: pixel content is not
+        SQL-replayable)."""
+        from metric_search_ray.pipelines import multimodal, similarity
+        ds = rd.read_parquet(_image_table_path(sf_dir))
+        patches = multimodal.image_patches(ds, grid=4, concurrency=4)
+        qdf = (patches.filter(lambda r: r["image_id"] == "img-00000000")
+               .to_pandas().sort_values("patch_id"))
+        qdf = qdf[qdf["patch_id"].isin([0, 5, 10, 15])]
+        qvecs = np.stack(qdf["descriptor"].to_numpy()).astype(np.float64)
+        out = similarity.knn_cosine(patches, qdf["patch_key"].tolist(), qvecs,
+                                    k=5, vec_col="descriptor",
+                                    id_col="patch_key")
+        return out.map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("similarity"), "similarity",
+                pa.array(np.round(b.column("similarity").to_numpy(), 6),
+                         pa.float64())),
+            batch_format="pyarrow")
+
     def img_cluster(sf_dir: str):
         from metric_search_ray.pipelines import cluster
         ckpt = _image_index_dir(sf_dir)
@@ -1314,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_phash_pairs": img_phash_pairs,
         "img_features": img_features,
         "img_cluster": img_cluster,
+        "img_patch_knn": img_patch_knn,
         "events_tumbling_window": events_tumbling_window,
         "events_sessions": events_sessions,
         "events_sessions_scalable": events_sessions_scalable,

@@ -230,3 +230,63 @@ def sample_frames(ds, every_n: int = 10, concurrency: int = 2, batch_size: int =
     return ds.map_batches(FrameSampler, fn_constructor_kwargs={"every_n": every_n},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
+
+
+class ImagePatches:
+    """Flat-map: one image row -> grid x grid patch-descriptor rows
+    (the patch-embedding stage of a visual-search pipeline).  Each
+    patch emits (image_id, patch_id, descriptor fixed_size_list<f32,8>:
+    mean, std, gx, gy, 4-bin histogram).  Output multiplies row count
+    by grid^2 — downstream batch sizes should divide by that."""
+
+    DIM = 8
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        bufs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        ids = batch.column("image_id").to_pylist()
+        out_id, out_pid = [], []
+        feats = np.empty((len(bufs) * g * g, self.DIM), np.float32)
+        r = 0
+        for img_id, buf, fmt in zip(ids, bufs, fmts):
+            pix = _decode_or_raise(buf, fmt).astype(np.float64)
+            if pix.ndim == 3:
+                pix = pix.mean(axis=2)
+            h, w = pix.shape
+            ys = np.linspace(0, h, g + 1).astype(int)
+            xs = np.linspace(0, w, g + 1).astype(int)
+            for py in range(g):
+                for px in range(g):
+                    p = pix[ys[py]:ys[py + 1], xs[px]:xs[px + 1]]
+                    hist, _ = np.histogram(p, bins=4, range=(0, 256))
+                    feats[r, 0] = p.mean()
+                    feats[r, 1] = p.std()
+                    feats[r, 2] = (np.abs(np.diff(p, axis=1)).mean()
+                                   if p.shape[1] > 1 else 0.0)
+                    feats[r, 3] = (np.abs(np.diff(p, axis=0)).mean()
+                                   if p.shape[0] > 1 else 0.0)
+                    feats[r, 4:8] = hist / p.size
+                    out_id.append(img_id)
+                    out_pid.append(py * g + px)
+                    r += 1
+        return pa.table({
+            "image_id": pa.array(out_id, pa.string()),
+            "patch_id": pa.array(np.asarray(out_pid, np.int64), pa.int64()),
+            "patch_key": pa.array([f"{i}#{p}" for i, p in zip(out_id, out_pid)],
+                                  pa.string()),
+            "descriptor": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats[:r].ravel(), pa.float32()), self.DIM),
+        })
+
+
+def image_patches(ds, grid: int = 4, concurrency: int = 4,
+                  batch_size: int = 64):
+    """Actor-pool patch extraction (decode state per actor; small
+    batches because output rows = input rows x grid^2)."""
+    return ds.map_batches(ImagePatches, fn_constructor_kwargs={"grid": grid},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)

@@ -38,8 +38,11 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def _poly_hash_strings(arr: pa.Array) -> np.ndarray:
-    """One uint64 per string: FNV-style polynomial over utf-8 bytes,
-    computed in a single vectorized pass via offsets + reduceat."""
+    """One uint64 per string: FNV-style polynomial via one vectorized
+    gather per CHARACTER POSITION — O(max_len) numpy passes, right for
+    the short keys distinct-counting hashes (ids, users, terms).  For
+    LONG documents use text.fingerprint (per-doc vectorized) as the
+    hash input instead."""
     joined = "".join(s if s is not None else "" for s in arr.to_pylist())
     data = np.frombuffer(joined.encode("utf-32-le"), np.uint32).astype(_U)
     lens = np.asarray([len(s) if s is not None else 0 for s in arr.to_pylist()],

@@ -39,3 +39,27 @@ def test_dispatch():
     for fmt in ("ppm", "qdct"):
         out = codecs.decode(codecs.encode(pix, fmt), fmt)
         assert out.shape == pix.shape
+
+
+def test_image_patches_grid_and_self_knn(ray_session, tiny_images):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from metric_search_ray.pipelines import multimodal, similarity
+
+    ds = rd.read_parquet(tiny_images)
+    sub = ds.map_batches(
+        lambda b: b.slice(0, min(50, b.num_rows)), batch_format="pyarrow")
+    patches = multimodal.image_patches(sub, grid=4, concurrency=2)
+    pdf = patches.to_pandas()
+    n_imgs = pdf["image_id"].nunique()
+    assert len(pdf) == n_imgs * 16
+    assert sorted(pdf[pdf.image_id == pdf.image_id.iloc[0]]["patch_id"]) == list(range(16))
+    # self-similarity: a query patch's top hit is itself (cosine 1)
+    q = pdf.iloc[0]
+    qvec = np.asarray(q["descriptor"], np.float64)
+    out = similarity.knn_cosine(patches, [q["patch_key"]], qvec[None, :], k=3,
+                                vec_col="descriptor", id_col="patch_key"
+                                ).to_pandas().sort_values("rank")
+    assert out.iloc[0]["patch_key"] == q["patch_key"]
+    assert out.iloc[0]["similarity"] > 0.999999
