@@ -248,3 +248,205 @@ def cells_in_manifest(manifest: pa.Table) -> dict[int, list[tuple[int, str]]]:
                        manifest.column("path").to_pylist()):
         out.setdefault(int(c), []).append((int(s), p))
     return out
+
+
+# ----------------------------------------------------- incremental updates
+
+
+def salt_plan_from_manifest(manifest: pa.Table) -> dict[int, int]:
+    """cell -> #salts, reconstructed so new rows route with the same
+    pure salt function the original build used."""
+    cells = manifest.column("cell").to_numpy()
+    vals, cnt = np.unique(cells, return_counts=True)
+    return {int(c): int(k) for c, k in zip(vals, cnt) if k > 1}
+
+
+def _route(ds: "rd.Dataset", res: int, salt_plan: dict[int, int],
+           id_column: str) -> "rd.Dataset":
+    return (ds.map_batches(lambda b: assign.geotag(b, id_column),
+                           batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(lambda b: assign.assign_cell(b, res),
+                         batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(lambda b: assign.assign_salt(b, salt_plan,
+                                                      id_column),
+                         batch_format="pyarrow", zero_copy_batch=True))
+
+
+def _manifest_row(cell_id: int, salt: int, path: str, tbl_len: int,
+                  levels: np.ndarray, ids_by_node: np.ndarray,
+                  ms: float) -> pa.Table:
+    srt = np.sort(ids_by_node.astype(str)) if tbl_len else np.asarray([""])
+    return pa.table({
+        "cell": [cell_id], "salt": [salt], "n_rows": [tbl_len],
+        "tree_height": [int(levels.max() - levels.min()) if tbl_len else 0],
+        "build_ms": [ms], "path": [path],
+        "min_image_id": [str(srt[0])], "max_image_id": [str(srt[-1])],
+        "resumed": [False],
+    }, schema=MANIFEST_SCHEMA)
+
+
+def _rewrite_partition(tree: "CoverTree", meta_by_id: dict, path: str,
+                       cell_id: int, salt: int, t0: float) -> pa.Table:
+    arrays = tree.to_arrays()
+    node_ids = arrays["ID"]
+    if len(node_ids) == 0:
+        if os.path.exists(path):
+            os.remove(path)          # partition fully erased
+        return _manifest_row(cell_id, salt, path, 0,
+                             np.zeros(0, np.int64), np.asarray([], object),
+                             (time.perf_counter() - t0) * 1000)
+    lvl_by_id = {int(i): int(l) for i, l in zip(node_ids, arrays["level"])}
+    has_parent = arrays["parent_ID"] >= 0
+    cov = np.asarray([2.0 ** lvl_by_id[int(p)]
+                      for p in arrays["parent_ID"][has_parent]])
+    if not np.all(arrays["parent_dist"][has_parent] <= cov):
+        raise AssertionError(f"covering invariant violated after update "
+                             f"{cell_id}/{salt}")
+    img = np.asarray([meta_by_id[int(i)][0] for i in node_ids], object)
+    ph = np.asarray([meta_by_id[int(i)][1] for i in node_ids], np.int64)
+    data = np.asarray(arrays["data"], np.float64)
+    node_tbl = pa.table({
+        "row_id": pa.array(node_ids, pa.int64()),
+        "level": pa.array(arrays["level"], pa.int64()),
+        "parent_row_id": pa.array(arrays["parent_ID"], pa.int64()),
+        "parent_dist": pa.array(arrays["parent_dist"], pa.float64()),
+        "maxdist": pa.array(arrays["maxdist"], pa.float64()),
+        "image_id": pa.array(img, pa.string()),
+        "lat": pa.array(data[:, 0], pa.float64()),
+        "lon": pa.array(data[:, 1], pa.float64()),
+        "phash": pa.array(ph, pa.int64()),
+    }, schema=CKPT_SCHEMA)
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(node_tbl, tmp)
+    os.replace(tmp, path)
+    return _manifest_row(cell_id, salt, path, len(node_ids),
+                         arrays["level"], img,
+                         (time.perf_counter() - t0) * 1000)
+
+
+def _merge_manifest(ckpt_dir: str, updated: pa.Table) -> pa.Table:
+    """Replace/add the updated partitions' rows; drop emptied ones."""
+    import pyarrow.compute  # noqa: F401  (pa.compute below)
+
+    old = load_manifest(ckpt_dir)
+    upd_keys = set(zip(updated.column("cell").to_pylist(),
+                       updated.column("salt").to_pylist()))
+    keep = [i for i in range(old.num_rows)
+            if (old.column("cell")[i].as_py(),
+                old.column("salt")[i].as_py()) not in upd_keys]
+    merged = pa.concat_tables([
+        old.take(pa.array(keep, pa.int64())),
+        updated.filter(pa.compute.greater(updated.column("n_rows"), 0)),
+    ]).combine_chunks()
+    tmp = os.path.join(ckpt_dir, f"manifest.tmp.{os.getpid()}")
+    pq.write_table(merged, tmp)
+    os.replace(tmp, os.path.join(ckpt_dir, "manifest.parquet"))
+    return merged
+
+
+def update_index(new_ds: "rd.Dataset", ckpt_dir: str,
+                 id_column: str = "image_id") -> pa.Table:
+    """Distributed incremental INSERT into an existing partitioned
+    index — the reference's ``insert`` (tree.cpp:304-356) at engine
+    scale: new rows route to their (cell, salt) partition with the
+    same pure assignment the build used, each affected partition's
+    tree absorbs its rows via sequential ``CoverTree.insert`` (sorted
+    by id — deterministic append order), and checkpoints + manifest
+    rewrite atomically.  Untouched partitions are not read.  Returns
+    the merged manifest."""
+    manifest = load_manifest(ckpt_dir)
+    from .. import cell as cellmod
+    res = int(cellmod.cell_res(manifest.column("cell").to_numpy()[:1])[0])
+    routed = _route(new_ds.select_columns([id_column, "phash"]), res,
+                    salt_plan_from_manifest(manifest), id_column)
+
+    def upd(tbl: pa.Table) -> pa.Table:
+        cell_id = int(tbl.column("cell")[0].as_py())
+        salt = int(tbl.column("salt")[0].as_py())
+        path = part_path(ckpt_dir, cell_id, salt)
+        t0 = time.perf_counter()
+        ids = tbl.column(id_column).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids.astype(str), kind="stable")
+        if not os.path.exists(path):
+            return _build_partition(tbl, ckpt_dir, resume=False)
+        tree, node_tbl = load_partition_tree(path)
+        tree.N = int(node_tbl.column("row_id").to_numpy().max()) + 1
+        meta_by_id = {int(r): (i, int(p)) for r, i, p in zip(
+            node_tbl.column("row_id").to_pylist(),
+            node_tbl.column("image_id").to_pylist(),
+            node_tbl.column("phash").to_pylist())}
+        lat = tbl.column("lat").to_numpy()[order]
+        lon = tbl.column("lon").to_numpy()[order]
+        ph = tbl.column("phash").to_numpy()[order]
+        for j in range(len(order)):
+            nid = tree.N
+            tree.insert(np.asarray([lat[j], lon[j]], np.float64))
+            meta_by_id[nid] = (str(ids[order[j]]), int(ph[j]))
+        return _rewrite_partition(tree, meta_by_id, path, cell_id, salt, t0)
+
+    updated_ds = routed.groupby(["cell", "salt"]).map_groups(
+        upd, batch_format="pyarrow")
+    updated = pa.Table.from_pandas(updated_ds.to_pandas(),
+                                   schema=MANIFEST_SCHEMA,
+                                   preserve_index=False)
+    return _merge_manifest(ckpt_dir, updated)
+
+
+def erase_from_index(ids, ckpt_dir: str) -> pa.Table:
+    """Distributed ERASE by id — the reference's ``erase``
+    (tree.cpp:526-582) with the engine's documented orphan-record
+    reinsertion fix.  Ids route purely (their geotag/salt derive from
+    the id), so only partitions that actually hold them are touched."""
+    import ray.data as _rd
+
+    manifest = load_manifest(ckpt_dir)
+    from .. import cell as cellmod
+    res = int(cellmod.cell_res(manifest.column("cell").to_numpy()[:1])[0])
+    ids = [str(i) for i in ids]
+    ds = _rd.from_arrow(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "phash": pa.array(np.zeros(len(ids), np.int64)),
+    }))
+    routed = _route(ds, res, salt_plan_from_manifest(manifest), "image_id")
+
+    def er(tbl: pa.Table) -> pa.Table:
+        cell_id = int(tbl.column("cell")[0].as_py())
+        salt = int(tbl.column("salt")[0].as_py())
+        path = part_path(ckpt_dir, cell_id, salt)
+        t0 = time.perf_counter()
+        if not os.path.exists(path):
+            return pa.table({c: [] for c in MANIFEST_SCHEMA.names},
+                            schema=MANIFEST_SCHEMA)
+        tree, node_tbl = load_partition_tree(path)
+        tree.N = int(node_tbl.column("row_id").to_numpy().max()) + 1
+        meta_by_id = {int(r): (i, int(p)) for r, i, p in zip(
+            node_tbl.column("row_id").to_pylist(),
+            node_tbl.column("image_id").to_pylist(),
+            node_tbl.column("phash").to_pylist())}
+        by_img = {i: int(r) for r, (i, _) in meta_by_id.items()}
+        lat_by_id = dict(zip(node_tbl.column("row_id").to_pylist(),
+                             zip(node_tbl.column("lat").to_pylist(),
+                                 node_tbl.column("lon").to_pylist())))
+        for img in sorted(tbl.column("image_id").to_pylist()):
+            rid = by_img.get(img)
+            if rid is None:
+                continue
+            la, lo = lat_by_id[rid]
+            if tree.erase(np.asarray([la, lo], np.float64)):
+                # erase is by POINT (reference semantics): with exact
+                # coordinate twins the removed node may carry a twin's
+                # id — drop whichever id actually left the tree
+                if rid not in tree._by_id:
+                    meta_by_id.pop(rid, None)
+                else:
+                    gone = next(i for i in meta_by_id
+                                if i not in tree._by_id)
+                    meta_by_id.pop(gone, None)
+        return _rewrite_partition(tree, meta_by_id, path, cell_id, salt, t0)
+
+    updated_ds = routed.groupby(["cell", "salt"]).map_groups(
+        er, batch_format="pyarrow")
+    updated = pa.Table.from_pandas(updated_ds.to_pandas(),
+                                   schema=MANIFEST_SCHEMA,
+                                   preserve_index=False)
+    return _merge_manifest(ckpt_dir, updated)

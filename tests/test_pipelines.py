@@ -384,3 +384,63 @@ def test_range_join_disjoint_fast_path_and_semi_anti(ray_session):
     assert set(semi["rid"]) == matched
     assert set(anti["rid"]) == set(ids) - matched
     assert len(semi) + len(anti) == 400
+
+
+# ------------------------------------------------- incremental index updates
+
+
+def test_update_and_erase_index_keep_knn_exact(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from metric_search_ray import geocode
+    from metric_search_ray.metrics import planar_dist
+    from metric_search_ray.pipelines import build as B, knn as K
+
+    def img_tbl(lo, hi):
+        ids = np.array([f"img-{i:08d}" for i in range(lo, hi)], object)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "phash": pa.array(np.arange(lo, hi) * 7, pa.int64()),
+        })
+
+    ckpt = str(tmp_path / "idx")
+    B.build_index(rd.from_arrow(img_tbl(0, 800)), ckpt, res=4,
+                  target_rows=100)
+    m0 = B.load_manifest(ckpt)
+
+    # ---- insert 200 new ids (some land in existing partitions)
+    m1 = B.update_index(rd.from_arrow(img_tbl(800, 1000)), ckpt)
+    assert int(m1.column("n_rows").to_numpy().sum()) == 1000
+
+    def brute(ids, qlat, qlon, k):
+        lat_u, lon_u = geocode.geocode_image_ids(ids)
+        d = planar_dist(lat_u / 1e6 - qlat, lon_u / 1e6 - qlon)
+        return list(ids[np.lexsort((ids.astype(str), d))[:k]])
+
+    all_ids = np.array([f"img-{i:08d}" for i in range(1000)], object)
+    qt = pa.table({"query_id": pa.array(["u-0", "u-1"], pa.string()),
+                   "lat": pa.array([10.0, -45.0]),
+                   "lon": pa.array([20.0, 100.0]),
+                   "k": pa.array([7, 7], pa.int32())})
+    out = K.knn_geo(rd.from_arrow(qt), ckpt, concurrency=2).to_pandas()
+    for qid, qla, qlo in [("u-0", 10.0, 20.0), ("u-1", -45.0, 100.0)]:
+        got = out[out.query_id == qid].sort_values("rank")["image_id"].tolist()
+        assert got == brute(all_ids, qla, qlo, 7), qid
+
+    # ---- erase 150 ids (mix of old and new)
+    gone = [f"img-{i:08d}" for i in range(700, 850)]
+    m2 = B.erase_from_index(gone, ckpt)
+    assert int(m2.column("n_rows").to_numpy().sum()) == 850
+    left = np.array([f"img-{i:08d}" for i in
+                     list(range(700)) + list(range(850, 1000))], object)
+    out2 = K.knn_geo(rd.from_arrow(qt), ckpt, concurrency=2).to_pandas()
+    for qid, qla, qlo in [("u-0", 10.0, 20.0), ("u-1", -45.0, 100.0)]:
+        got = out2[out2.query_id == qid].sort_values("rank")["image_id"].tolist()
+        assert got == brute(left, qla, qlo, 7), qid
+    # erased ids are really gone from every checkpoint
+    import pyarrow.parquet as pq
+    held = set()
+    for p in m2.column("path").to_pylist():
+        held |= set(pq.read_table(p, columns=["image_id"])
+                    .column("image_id").to_pylist())
+    assert held == set(left.tolist())
