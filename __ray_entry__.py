@@ -691,6 +691,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def doc_contamination(sf_dir: str):
+        """Benchmark decontamination (text.contamination_check): the
+        deterministic test split acts as the benchmark set; every train
+        doc reports its trigram overlap with it.  Benchmark n-gram set
+        broadcast once; the train corpus streams, no shuffle."""
+        from metric_search_ray.pipelines import sampling
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        spl = sampling.hash_split(ds, "doc_id")
+        bench = spl.filter(lambda r: r["split"] == "test")
+        train = spl.filter(lambda r: r["split"] == "train")
+        return textops.contamination_check(train, bench, n=3)
+
     def doc_lm_score(sf_dir: str):
         """Corpus-trained bigram LM log-likelihood per doc (CCNet-style
         perplexity filter, text.bigram_lm_score): integer-floored log
@@ -1320,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": embed_dim_stats,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "doc_contamination": doc_contamination,
         "doc_lm_score": doc_lm_score,
         "doc_prep_pipeline": doc_prep_pipeline,
         "doc_weighted_sample": doc_weighted_sample,
@@ -1650,6 +1665,28 @@ SELECT b.interval_id, count(*) AS n,
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1
+""",
+        "doc_contamination": r"""
+WITH d AS (SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+    CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+         THEN 'test' ELSE 'train' END AS split
+  FROM documents),
+bench AS (SELECT DISTINCT array_to_string(toks[g.i+1:g.i+3], ' ') AS g
+          FROM d, LATERAL (SELECT unnest(generate_series(0, len(toks)-3)) AS i) g
+          WHERE split = 'test' AND len(toks) >= 3),
+tg AS (SELECT doc_id, array_to_string(toks[g.i+1:g.i+3], ' ') AS gr
+       FROM d, LATERAL (SELECT unnest(generate_series(0, len(toks)-3)) AS i) g
+       WHERE split = 'train' AND len(toks) >= 3),
+hits AS (SELECT doc_id, count(*) AS n_ngrams,
+                sum(CASE WHEN gr IN (SELECT g FROM bench)
+                    THEN 1 ELSE 0 END) AS n_contaminated
+         FROM tg GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_ngrams, 0) AS n_ngrams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated
+FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.split = 'train'
 """,
         "doc_lm_score": r"""
 WITH d AS (SELECT doc_id,

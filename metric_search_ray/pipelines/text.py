@@ -486,3 +486,63 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def contamination_check(train_ds, bench_ds, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Benchmark decontamination: for every training doc, count its
+    token n-grams that appear in ANY benchmark doc (docs with hits
+    get dropped or flagged before pretraining).
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets)
+    — its n-gram set builds in one pass and broadcasts via ``ray.put``
+    (as a sorted numpy array: binary-search membership, zero-copy from
+    plasma); the training corpus streams through ``map_batches`` and
+    never shuffles.  Returns (doc_id, n_ngrams, n_contaminated) for
+    every training doc.  Token semantics match token_count."""
+    import ray
+
+    def _toks(batch: pa.Table) -> list[list[str]]:
+        s = pd.Series(batch.column(text_col).to_pylist())
+        return [t if t != [""] else []
+                for t in s.fillna("").str.strip().str.split(r"\s+")]
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for toks in _toks(batch):
+            grams.extend(" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1))
+        vals = (np.unique(np.asarray(grams, object)) if grams
+                else np.empty(0, object))
+        return pa.table({"g": pa.array(vals, pa.string())})
+
+    parts = [t.column("g").to_numpy(zero_copy_only=False)
+             for t in ray.get(bench_ds.map_batches(
+                 bench_grams, batch_format="pyarrow").to_arrow_refs())
+             if t.num_rows]
+    gram_set = (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, object))
+    set_ref = ray.put(gram_set)
+
+    def score(batch: pa.Table) -> pa.Table:
+        gs = ray.get(set_ref)
+        ids = batch.column(id_col)
+        n_g, n_hit = [], []
+        for toks in _toks(batch):
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            n_g.append(len(grams))
+            if grams and len(gs):
+                a = np.asarray(grams, object)
+                pos = np.searchsorted(gs, a)
+                pos = np.minimum(pos, len(gs) - 1)
+                n_hit.append(int((gs[pos] == a).sum()))
+            else:
+                n_hit.append(0)
+        return pa.table({
+            id_col: ids,
+            "n_ngrams": pa.array(np.asarray(n_g, np.int64), pa.int64()),
+            "n_contaminated": pa.array(np.asarray(n_hit, np.int64), pa.int64()),
+        })
+
+    return train_ds.map_batches(score, batch_format="pyarrow")

@@ -360,3 +360,24 @@ def test_audio_features(ray_session):
                     "fmt": pa.array(["wav"])})
     with pytest.raises(Exception, match="audio library|NotImplemented"):
         multimodal.audio_features(rd.from_arrow(bad), concurrency=2).materialize()
+
+
+def test_contamination_check_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metric_search_ray.pipelines import text as textops
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps over the lazy dog"])}))
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "totally clean document with no overlap at all here",
+            "contains the quick brown fox jumps segment verbatim",
+            "xy"])}))                        # < n tokens -> 0 grams
+    out = (textops.contamination_check(train, bench, n=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_contaminated"].tolist()[0] == 0
+    assert out["n_contaminated"].tolist()[1] == 2   # two 4-grams overlap
+    assert out["n_ngrams"].tolist()[2] == 0
