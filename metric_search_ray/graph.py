@@ -502,9 +502,11 @@ def pagerank_int(edges_ds, n_nodes: int, iters: int = 5,
                             on=("node",), right_on=("dst",))
 
         def apply(b: pa.Table) -> pa.Table:
-            s = b.column("s").to_numpy(zero_copy_only=False)
-            s = np.where(np.isnan(s.astype(np.float64)), 0,
-                         s).astype(np.int64) if s.dtype != np.int64 else s
+            import pyarrow.compute as pc
+            # fill nulls (left-outer misses) in ARROW, never via a
+            # float64 round-trip — sums above 2^53 must stay exact
+            s = pc.fill_null(b.column("s"), 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
             return pa.table({
                 "node": b.column("node"),
                 "rank_u": pa.array(base + (85 * s) // 100, pa.int64()),

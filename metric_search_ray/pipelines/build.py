@@ -195,6 +195,13 @@ def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
     if materialize_tagged:
         tagged = tagged.materialize()
     salt_plan = plan_salts(tagged, target_rows)
+    # persist the plan: incremental update/erase must route with the
+    # SAME modulus even after partitions empty out of the manifest
+    import json as _json
+    _tmp = os.path.join(ckpt_dir, f"salts.tmp.{os.getpid()}")
+    with open(_tmp, "w") as f:
+        _json.dump({str(c): k for c, k in salt_plan.items()}, f)
+    os.replace(_tmp, os.path.join(ckpt_dir, "salts.json"))
     salted = tagged.map_batches(
         lambda b: assign.assign_salt(b, salt_plan), batch_format="pyarrow",
         zero_copy_batch=True)
@@ -253,12 +260,27 @@ def cells_in_manifest(manifest: pa.Table) -> dict[int, list[tuple[int, str]]]:
 # ----------------------------------------------------- incremental updates
 
 
-def salt_plan_from_manifest(manifest: pa.Table) -> dict[int, int]:
-    """cell -> #salts, reconstructed so new rows route with the same
-    pure salt function the original build used."""
+def salt_plan_from_manifest(manifest: pa.Table,
+                            ckpt_dir: str | None = None) -> dict[int, int]:
+    """cell -> #salts for incremental routing.  Prefers the persisted
+    ``salts.json`` sidecar (authoritative: survives partitions
+    emptying out of the manifest); falls back to max(salt)+1 per cell
+    — NOT the row count, which under-counts once any middle salt's
+    partition is dropped."""
+    if ckpt_dir is not None:
+        p = os.path.join(ckpt_dir, "salts.json")
+        if os.path.exists(p):
+            import json as _json
+            with open(p) as f:
+                return {int(c): int(k) for c, k in _json.load(f).items()}
     cells = manifest.column("cell").to_numpy()
-    vals, cnt = np.unique(cells, return_counts=True)
-    return {int(c): int(k) for c, k in zip(vals, cnt) if k > 1}
+    salts = manifest.column("salt").to_numpy()
+    plan: dict[int, int] = {}
+    for c, s in zip(cells, salts):
+        k = int(s) + 1
+        if k > plan.get(int(c), 1):
+            plan[int(c)] = k
+    return {c: k for c, k in plan.items() if k > 1}
 
 
 def _route(ds: "rd.Dataset", res: int, salt_plan: dict[int, int],
@@ -357,8 +379,16 @@ def update_index(new_ds: "rd.Dataset", ckpt_dir: str,
     manifest = load_manifest(ckpt_dir)
     from .. import cell as cellmod
     res = int(cellmod.cell_res(manifest.column("cell").to_numpy()[:1])[0])
-    routed = _route(new_ds.select_columns([id_column, "phash"]), res,
-                    salt_plan_from_manifest(manifest), id_column)
+    narrow = new_ds.select_columns([id_column, "phash"])
+    if id_column != "image_id":
+        # checkpoint schema stores ids under image_id (CKPT_SCHEMA);
+        # rename up front so the new-partition path works too
+        narrow = narrow.map_batches(
+            lambda b: b.rename_columns(["image_id", "phash"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        id_column = "image_id"
+    routed = _route(narrow, res,
+                    salt_plan_from_manifest(manifest, ckpt_dir), id_column)
 
     def upd(tbl: pa.Table) -> pa.Table:
         cell_id = int(tbl.column("cell")[0].as_py())
@@ -407,7 +437,8 @@ def erase_from_index(ids, ckpt_dir: str) -> pa.Table:
         "image_id": pa.array(ids, pa.string()),
         "phash": pa.array(np.zeros(len(ids), np.int64)),
     }))
-    routed = _route(ds, res, salt_plan_from_manifest(manifest), "image_id")
+    routed = _route(ds, res, salt_plan_from_manifest(manifest, ckpt_dir),
+                    "image_id")
 
     def er(tbl: pa.Table) -> pa.Table:
         cell_id = int(tbl.column("cell")[0].as_py())

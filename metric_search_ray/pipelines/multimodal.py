@@ -262,6 +262,15 @@ class ImagePatches:
             for py in range(g):
                 for px in range(g):
                     p = pix[ys[py]:ys[py + 1], xs[px]:xs[px + 1]]
+                    if p.size == 0:
+                        # image smaller than the grid: empty slice ->
+                        # zero descriptor, never NaN (NaN would poison
+                        # downstream cosine kNN silently)
+                        feats[r] = 0.0
+                        out_id.append(img_id)
+                        out_pid.append(py * g + px)
+                        r += 1
+                        continue
                     hist, _ = np.histogram(p, bins=4, range=(0, 256))
                     feats[r, 0] = p.mean()
                     feats[r, 1] = p.std()

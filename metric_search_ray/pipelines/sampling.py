@@ -116,9 +116,11 @@ def hash_top_n(ds, id_col: str, n: int):
 def weighted_top_n(ds, id_col: str, weight_col: str, n: int):
     """Deterministic WEIGHTED fixed-size sample (Efraimidis–Spirakis
     A-Res): rank rows by key = u^(1/w) with u a fixed md5-derived
-    uniform in (0,1) and w = weight+1; keep the n largest keys.
-    Inclusion probability is proportional to weight, yet the draw is
-    fully reproducible (no RNG state) and SQL-replayable:
+    uniform in (0,1) and the EFFECTIVE weight w = weight+1 (the +1
+    keeps zero-weight rows sampleable and the key finite; inclusion
+    odds are therefore proportional to weight+1, converging to
+    weight-proportional as weights grow).  Weights must be >= 0.
+    The draw is fully reproducible (no RNG state) and SQL-replayable:
     ``pow((CAST(md5_number_lower(id) AS DOUBLE)+0.5)/2^64, 1.0/(w+1))``
     with identical IEEE op order.
 
@@ -137,6 +139,8 @@ def weighted_top_n(ds, id_col: str, weight_col: str, n: int):
         u = (h.astype(np.float64) + 0.5) / DENOM
         w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
             np.float64)
+        if np.any(w < 0):
+            raise ValueError("weighted_top_n weights must be >= 0")
         return np.power(u, 1.0 / (w + 1.0))
 
     def block_top(batch: pa.Table) -> pa.Table:

@@ -48,8 +48,10 @@ def distinct_count(ds, key, value_col: str, out: str = "n_distinct"):
     cols = keys + [value_col]
 
     def block_unique(batch: pa.Table) -> pa.Table:
-        # per-block dedupe: one C++ hash group-by, no aggregates
-        return batch.select(cols).group_by(cols, use_threads=False).aggregate([])
+        # per-block dedupe: one C++ hash group-by, no aggregates.
+        # NULL values drop first — COUNT(DISTINCT) ignores them.
+        t = batch.select(cols).drop_null()
+        return t.group_by(cols, use_threads=False).aggregate([])
 
     pairs = ds.map_batches(block_unique, batch_format="pyarrow")
     # global dedupe: after the sort all copies of a (key, value) pair are
@@ -88,6 +90,8 @@ def grouped_percent_rank(ds, key, value_col: str, out: str = "pr"):
     grp = census.groupby(kc, sort=True)
     census["smaller"] = (grp["n"].cumsum() - census["n"]).astype(np.int64)
     census["n_key"] = grp["n"].transform("sum").astype(np.int64)
+    # census is already sorted by (key, value) — put it sorted so the
+    # hot map path does a pure binary search, no per-batch re-sort
     lut_ref = ray.put({
         kc: census[kc].to_numpy(),
         "v": census[value_col].to_numpy(),
@@ -97,11 +101,9 @@ def grouped_percent_rank(ds, key, value_col: str, out: str = "pr"):
 
     def add_pr(batch: pa.Table) -> pa.Table:
         lut = ray.get(lut_ref)
-        # (key, value) -> row in the sorted census via lexsearch
         import numpy as _np
-        order = _np.lexsort((lut["v"], lut[kc]))
-        ck, cv = lut[kc][order], lut["v"][order]
-        sm, nk = lut["smaller"][order], lut["n_key"][order]
+        ck, cv = lut[kc], lut["v"]
+        sm, nk = lut["smaller"], lut["n_key"]
         bk = batch.column(kc).to_numpy(zero_copy_only=False)
         bv = batch.column(value_col).to_numpy(zero_copy_only=False)
         # rows of one key are contiguous in the census; offset within
@@ -131,6 +133,9 @@ def grouped_zscore(ds, key, value_col: str, out: str = "z"):
     import ray
 
     keys = _keylist(key)
+    if len(keys) != 1:
+        raise ValueError("grouped_zscore supports a single key column")
+    kc = keys[0]
     cols = keys + [value_col]
 
     def block_moments(batch: pa.Table) -> pa.Table:
@@ -150,19 +155,16 @@ def grouped_zscore(ds, key, value_col: str, out: str = "z"):
     moments = pa.concat_tables(
         [t for t in ray.get(moments_ds.to_arrow_refs()) if t.num_rows]
     ).to_pandas().sort_values(keys)
+    # broadcast pre-sorted by key: the map path binary-searches only
     lut_ref = ray.put({k: moments[k].to_numpy() for k in keys} |
                       {c: moments[c].to_numpy() for c in ("n", "s", "ss")})
-    kc = keys[0]
-    if len(keys) != 1:
-        raise ValueError("grouped_zscore supports a single key column")
 
     def add_z(batch: pa.Table) -> pa.Table:
         lut = ray.get(lut_ref)
-        order = np.argsort(lut[kc], kind="stable")
-        ck = lut[kc][order]
-        n = lut["n"][order].astype(np.float64)
-        s = lut["s"][order].astype(np.float64)
-        ss = lut["ss"][order].astype(np.float64)
+        ck = lut[kc]
+        n = lut["n"].astype(np.float64)
+        s = lut["s"].astype(np.float64)
+        ss = lut["ss"].astype(np.float64)
         bk = batch.column(kc).to_numpy(zero_copy_only=False)
         bv = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
             np.float64)
@@ -195,35 +197,44 @@ def exact_quantile_histogram(ds, value_col: str, probs: list[float],
        partials, nonzero (bin, count) pairs to the driver — bounded by
        ``bins`` x #blocks, independent of row count);
     3. for each requested rank, histogram-RECURSE into the one bin
-       holding it (a ``filter`` pass over a shrinking value range)
-       until the bin population <= ``refine_limit``, then fetch just
-       that bin's values and take the exact order statistic.
+       holding it until the bin population <= ``refine_limit``, then
+       fetch just that bin's values and take the exact order statistic.
 
-    Every pass streams; no shuffle at all.  Convergence: each level
-    divides the candidate range by ``bins``, so 2 levels cover 2^32
-    distinct doubles per initial bin — degenerate only if >refine_limit
-    rows share ONE float value, in which case that value IS the answer
-    (handled: zero-width range short-circuits).
+    Bin membership at every level is the SAME floor((v-lo)/width)
+    expression for counting, refining and fetching (a selector chain
+    of bin-index equalities), so counted and fetched populations agree
+    bit-for-bit — no range-compare/floor mismatch at bin edges.  NULL
+    and NaN rows are excluded (SQL quantile semantics); ranks are
+    computed over the non-null count.  Every pass streams; no shuffle.
+    Degenerate convergence (>refine_limit rows sharing one float
+    value) short-circuits via a relative-epsilon width check.
     """
     import ray
     from ray.data.aggregate import Max, Min
 
     agg = ds.aggregate(Min(value_col), Max(value_col))
     vmin, vmax = float(agg[f"min({value_col})"]), float(agg[f"max({value_col})"])
-    n_total = ds.count()
-    if n_total == 0:
-        return {}
+    if not np.isfinite(vmin) or not np.isfinite(vmax):
+        raise ValueError("exact_quantile_histogram needs finite min/max")
+    if vmin == vmax:
+        return {p: vmin for p in probs}
 
-    def hist_counts(source, lo, hi, inclusive_top):
-        # ranges are half-open [lo, hi) except when hi is the global
-        # max (else refined counts would double-include the top edge,
-        # which belongs to the parent's NEXT bin)
+    def chain_mask(v: np.ndarray, levels) -> np.ndarray:
+        m = (v >= vmin) & (v <= vmax)        # also drops NaN/null
+        for lo, hi, b in levels:
+            w = (hi - lo) / bins
+            idx = np.minimum(((v - lo) / w).astype(np.int64), bins - 1)
+            m &= idx == b
+        return m
+
+    def hist_counts(levels, lo, hi):
         width = (hi - lo) / bins
 
         def partial(batch: pa.Table) -> pa.Table:
-            v = batch.column(value_col).to_numpy(zero_copy_only=False)
-            v = v[(v >= lo) & ((v <= hi) if inclusive_top else (v < hi))]
-            if width <= 0 or len(v) == 0:
+            v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False)
+            v = v[chain_mask(v, levels)]
+            if len(v) == 0:
                 return pa.table({"bin": pa.array([], pa.int64()),
                                  "cnt": pa.array([], pa.int64())})
             idx = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
@@ -232,7 +243,7 @@ def exact_quantile_histogram(ds, value_col: str, probs: list[float],
             return pa.table({"bin": pa.array(nz, pa.int64()),
                              "cnt": pa.array(c[nz], pa.int64())})
 
-        parts = source.map_batches(partial, batch_format="pyarrow")
+        parts = ds.map_batches(partial, batch_format="pyarrow")
         total = np.zeros(bins, np.int64)
         for t in ray.get(parts.to_arrow_refs()):
             if t.num_rows:
@@ -240,12 +251,16 @@ def exact_quantile_histogram(ds, value_col: str, probs: list[float],
                           t.column("cnt").to_numpy())
         return total
 
+    base_hist = hist_counts([], vmin, vmax)
+    n_total = int(base_hist.sum())          # non-null, in-range rows
+    if n_total == 0:
+        return {}
+
     out: dict[float, float] = {}
-    base_hist = hist_counts(ds, vmin, vmax, True)
     for p in probs:
         kth = quantile_disc_index(p, n_total) + 1      # 1-based rank
+        levels: list[tuple[float, float, int]] = []
         lo, hi, hist, skip = vmin, vmax, base_hist, 0
-        top_edge_is_max = True
         while True:
             cum = np.cumsum(hist)
             b = int(np.searchsorted(cum, kth - skip))
@@ -253,26 +268,21 @@ def exact_quantile_histogram(ds, value_col: str, probs: list[float],
             bhi = lo + (hi - lo) / bins * (b + 1) if b < bins - 1 else hi
             pop = int(hist[b])
             rank_in_bin = kth - skip - int(cum[b - 1] if b else 0)
-            bin_inclusive = top_edge_is_max and b == bins - 1
-            # relative-epsilon convergence: the range no longer separates
-            # distinct doubles -> everything left is one value (fetch it
-            # inclusively, whatever its count)
             converged = (bhi - blo) <= max(abs(blo), abs(bhi), 1e-300) * 2**-50
-            if converged:
-                bin_inclusive = True
             if pop <= refine_limit or converged:
                 break
             skip += int(cum[b - 1] if b else 0)
-            lo, hi, top_edge_is_max = blo, bhi, bin_inclusive
-            hist = hist_counts(ds, lo, hi, bin_inclusive)
-        # fetch exactly the winning bin's values (bounded) and take the
-        # order statistic; inclusive top edge only at the global max bin
-        top_ok = bin_inclusive
+            levels.append((lo, hi, b))
+            lo, hi = blo, bhi
+            hist = hist_counts(levels, lo, hi)
+        # fetch exactly the winning bin's values — same selector chain
+        sel = levels + [(lo, hi, b)]
         vals_refs = ds.map_batches(
-            lambda t, a=blo, z=bhi, inc=top_ok: pa.table({
+            lambda t, sel=sel: pa.table({
                 "v": pa.array(
-                    (lambda v: v[(v >= a) & ((v <= z) if inc else (v < z))])(
-                        t.column(value_col).to_numpy(zero_copy_only=False)),
+                    (lambda v: v[chain_mask(v, sel)])(
+                        t.column(value_col).to_numpy(zero_copy_only=False)
+                        .astype(np.float64, copy=False)),
                     pa.float64())}),
             batch_format="pyarrow").to_arrow_refs()
         vals = np.concatenate(

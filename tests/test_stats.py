@@ -139,3 +139,23 @@ def test_grouped_zscore_degenerate_groups(ray_session):
     assert out["z"].tolist()[0] == 0.0          # n=1
     assert out["z"].tolist()[1:3] == [0.0, 0.0]  # var=0
     assert out["z"].tolist()[3] < 0 < out["z"].tolist()[4]
+
+
+def test_exact_quantile_histogram_constant_and_null(ray_session):
+    # constant column: early return, no histogram pass needed
+    vals = np.full(1000, 42.5)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)}))
+    assert stats.exact_quantile_histogram(ds, "x", [0.1, 0.9]) == {
+        0.1: 42.5, 0.9: 42.5}
+    # null rows are excluded from ranks (SQL quantile semantics)
+    t = pa.table({"x": pa.array([1.0, 2.0, 3.0, None, None])})
+    got = stats.exact_quantile_histogram(rd.from_arrow(t), "x", [0.5],
+                                         bins=16, refine_limit=2)
+    assert got[0.5] == 2.0
+
+
+def test_distinct_count_ignores_nulls(ray_session):
+    t = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                  "u": pa.array([5, None, 7], pa.int64())})
+    out = stats.distinct_count(rd.from_arrow(t), "k", "u").to_pandas()
+    assert out["n_distinct"].tolist() == [2]
