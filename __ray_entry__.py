@@ -691,6 +691,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def events_funnel(sf_dir: str):
+        """Ordered funnel view -> click -> purchase per user
+        (windows.funnel): earliest strictly-increasing chain."""
+        from metric_search_ray.pipelines import windows
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "event_type"])
+        return windows.funnel(ds, "user_id", "ts", "event_type",
+                              ["view", "click", "purchase"])
+
     def doc_contamination(sf_dir: str):
         """Benchmark decontamination (text.contamination_check): the
         deterministic test split acts as the benchmark set; every train
@@ -1334,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": embed_dim_stats,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "events_funnel": events_funnel,
         "doc_contamination": doc_contamination,
         "doc_lm_score": doc_lm_score,
         "doc_prep_pipeline": doc_prep_pipeline,
@@ -1665,6 +1675,20 @@ SELECT b.interval_id, count(*) AS n,
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1
+""",
+        "events_funnel": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ep FROM events),
+s1 AS (SELECT user_id, min(ep) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ep) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ep > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ep) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ep > t2 GROUP BY 1)
+SELECT s1.user_id,
+       CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS steps_completed,
+       t1 AS ts_1, COALESCE(t2, -1) AS ts_2, COALESCE(t3, -1) AS ts_3
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """,
         "doc_contamination": r"""
 WITH d AS (SELECT doc_id,

@@ -240,3 +240,58 @@ def sessions_scalable(ds, key_col: str, ts_col: str, gap_s: int, value_col: str,
         })
 
     return partial.groupby(key_col).map_groups(merge_key, batch_format="pandas")
+
+
+def funnel(ds, key_col: str, ts_col: str, type_col: str, steps: list[str]):
+    """Ordered-funnel analysis: per key, the earliest chain
+    step1 -> step2 -> ... with strictly increasing timestamps
+    (min ts of step1; then min ts of step2 AFTER that; ...).  Returns
+    one row per key that completed step 1: (key, steps_completed,
+    ts_1..ts_k epoch-us, -1 for unreached steps).
+
+    Shuffle shape: projects to (key, ep, step-index) — payloads never
+    move — then one ``groupby(key)``; the per-key kernel is a
+    searchsorted chain over that key's sorted step timestamps, one
+    call per funnel STEP (not per event).  Same partitioning
+    assumption as sessions/asof: one key's projected rows fit a task.
+    """
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def project(batch: pa.Table) -> pa.Table:
+        et = batch.column(type_col).to_pylist()
+        si = np.asarray([step_idx.get(t, -1) for t in et], np.int64)
+        keep = si >= 0
+        # MICROSECOND epochs: second-resolution truncation could merge
+        # distinct events and flip the strictly-after comparisons
+        ep = batch.column(ts_col).to_numpy().astype("datetime64[us]"
+                                                    ).astype(np.int64)
+        return pa.table({
+            key_col: batch.column(key_col).filter(pa.array(keep)),
+            "ep": pa.array(ep[keep], pa.int64()),
+            "si": pa.array(si[keep], pa.int64()),
+        })
+
+    k = len(steps)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        out_ts = np.full(k, -1, np.int64)
+        cur = -1  # strictly-after threshold
+        done = 0
+        for i in range(k):
+            eps = np.sort(g.loc[g["si"] == i, "ep"].to_numpy())
+            pos = np.searchsorted(eps, cur, side="right")
+            if pos >= len(eps):
+                break
+            cur = int(eps[pos])
+            out_ts[i] = cur
+            done += 1
+        if done == 0:
+            return pd.DataFrame({key_col: [], "steps_completed": [],
+                                 **{f"ts_{i+1}": [] for i in range(k)}})
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "steps_completed": [done],
+                             **{f"ts_{i+1}": [out_ts[i]] for i in range(k)}})
+
+    return (ds.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(key_col).map_groups(per_key, batch_format="pandas"))

@@ -118,3 +118,28 @@ def test_asof_join_ids(ray_session):
         rd.from_pandas(right.rename(columns={"k": "user_id"})),
         "user_id", "ts", "lid", "rid", strict=False).to_pandas().set_index("lid")
     assert out2.loc[1, "asof_rid"] == 102         # non-strict includes 10s
+
+
+def test_funnel_strict_order_and_partial(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metric_search_ray.pipelines import windows
+    us = 1_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),
+        "ts": pa.array(np.array([10, 20, 30, 40, 50, 5, 7]) * us,
+                       pa.timestamp("us")),
+        "event_type": pa.array(["view", "click", "purchase",
+                                "click", "view",   # click BEFORE view: unmatched
+                                "purchase",        # never viewed
+                                "view"]),
+    })
+    out = (windows.funnel(rd.from_arrow(t), "user_id", "ts", "event_type",
+                          ["view", "click", "purchase"]).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2, 4]      # user 3 never starts
+    assert out["steps_completed"].tolist() == [3, 1, 1]
+    assert out.loc[0, ["ts_1", "ts_2", "ts_3"]].tolist() == [
+        10 * us, 20 * us, 30 * us]
+    assert out.loc[1, ["ts_1", "ts_2"]].tolist() == [50 * us, -1]
