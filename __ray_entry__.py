@@ -691,6 +691,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def events_retention(sf_dir: str):
+        """Weekly retention cohorts: distinct (user, week) activity ->
+        per-user first week (cohort) -> count per (cohort, offset).
+        All three steps are narrow grouped exchanges (fastagg); the
+        user->cohort side joins back distributed, never broadcast."""
+        from metric_search_ray.pipelines import fastagg
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+
+        def week_col(batch: pa.Table) -> pa.Table:
+            wk = (batch.column("ts").to_numpy().astype(np.int64)
+                  // (86_400_000_000 * 7))
+            return pa.table({"user_id": batch.column("user_id"),
+                             "week": pa.array(wk, pa.int64())})
+
+        pairs = fastagg.sort_block_aggregate(
+            ds.map_batches(week_col, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id", "week"], {"_n": (None, "count")})
+        first = fastagg.sort_block_aggregate(
+            pairs, "user_id", {"cohort": ("week", "min")})
+        j = pairs.join(first.repartition(4), join_type="inner",
+                       num_partitions=4, on=("user_id",))
+
+        def offset(batch: pa.Table) -> pa.Table:
+            co = batch.column("cohort").to_numpy()
+            return pa.table({
+                "cohort": pa.array(co, pa.int64()),
+                "week_offset": pa.array(
+                    batch.column("week").to_numpy() - co, pa.int64()),
+            })
+
+        return fastagg.sort_block_aggregate(
+            j.map_batches(offset, batch_format="pyarrow"),
+            ["cohort", "week_offset"], {"n_users": (None, "count")})
+
     def events_funnel(sf_dir: str):
         """Ordered funnel view -> click -> purchase per user
         (windows.funnel): earliest strictly-increasing chain."""
@@ -1343,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": embed_dim_stats,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "events_retention": events_retention,
         "events_funnel": events_funnel,
         "doc_contamination": doc_contamination,
         "doc_lm_score": doc_lm_score,
@@ -1675,6 +1712,13 @@ SELECT b.interval_id, count(*) AS n,
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1
+""",
+        "events_retention": """
+WITH uw AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // (86400000000 * 7) AS week FROM events),
+first AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1)
+SELECT cohort, week - cohort AS week_offset, count(*) AS n_users
+FROM uw JOIN first USING (user_id) GROUP BY 1, 2
 """,
         "events_funnel": """
 WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ep FROM events),
