@@ -736,6 +736,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return windows.funnel(ds, "user_id", "ts", "event_type",
                               ["view", "click", "purchase"])
 
+    def doc_normalize(sf_dir: str):
+        """Canonical text normalization (text.normalize_text)."""
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return textops.normalize_text(ds)
+
     def doc_contamination(sf_dir: str):
         """Benchmark decontamination (text.contamination_check): the
         deterministic test split acts as the benchmark set; every train
@@ -1381,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "events_retention": events_retention,
         "events_funnel": events_funnel,
+        "doc_normalize": doc_normalize,
         "doc_contamination": doc_contamination,
         "doc_lm_score": doc_lm_score,
         "doc_prep_pipeline": doc_prep_pipeline,
@@ -1733,6 +1741,11 @@ SELECT s1.user_id,
             WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS steps_completed,
        t1 AS ts_1, COALESCE(t2, -1) AS ts_2, COALESCE(t3, -1) AS ts_3
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+        "doc_normalize": r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+FROM documents
 """,
         "doc_contamination": r"""
 WITH d AS (SELECT doc_id,
