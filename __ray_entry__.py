@@ -1026,6 +1026,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(_image_table_path(sf_dir))
         return multimodal.decode_features(ds, concurrency=4)
 
+    def img_caption_search(sf_dir: str):
+        """Cross-modal retrieval: BM25 over the image table's caption
+        column -> top-10 images for a fixed term query, joined back to
+        their phash (text index finds, image column verifies).
+        Rows-only: captions derive from seeded RNG, not SQL-replayable.
+        """
+        from metric_search_ray.pipelines import text as textops
+        from metric_search_ray.pipelines import topk
+        ds = rd.read_parquet(_image_table_path(sf_dir),
+                             columns=["image_id", "caption", "phash"])
+        scored = textops.bm25_score(
+            ds, ["harbor", "glacier", "temple"],
+            text_col="caption", id_col="image_id")
+        scored = scored.map_batches(
+            lambda b: b.append_column("q", pa.array(["q0"] * b.num_rows))
+                       .set_column(b.schema.get_field_index("score"), "score",
+                                   pa.array(np.round(
+                                       b.column("score").to_numpy(), 6))),
+            batch_format="pyarrow")
+        # grouped top-k cut (single group): deterministic (score desc, id)
+        top = topk.grouped_top_k(scored, "q", "score", 10,
+                                 id_col="image_id", descending=True)
+        j = top.join(ds.select_columns(["image_id", "phash"]).repartition(2),
+                     join_type="inner", num_partitions=2, on=("image_id",))
+        return j.select_columns(["image_id", "score", "rank", "phash"])
+
     def img_patch_knn(sf_dir: str):
         """Patch-level visual search: flat-map images into 4x4 patch
         descriptors (multimodal.ImagePatches), then exact cosine top-5
@@ -1407,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_phash_pairs": img_phash_pairs,
         "img_features": img_features,
         "img_cluster": img_cluster,
+        "img_caption_search": img_caption_search,
         "img_patch_knn": img_patch_knn,
         "events_tumbling_window": events_tumbling_window,
         "events_sessions": events_sessions,
