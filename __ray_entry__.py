@@ -1026,6 +1026,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(_image_table_path(sf_dir))
         return multimodal.decode_features(ds, concurrency=4)
 
+    def embed_knn_pq(sf_dir: str):
+        """Product-quantization ANN (similarity.train_pq_codebooks /
+        pq_encode / knn_pq): 8-byte codes per 64-dim vector (32x), ADC
+        table scan, exact rerank of the candidate pool.  Approximate
+        by design (k-means codebooks) -> rows-only; recall vs brute
+        force is pinned in tests/test_pq.py."""
+        from metric_search_ray.pipelines import similarity
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        books = similarity.train_pq_codebooks(ds, m=8, nbits=6,
+                                              sample_rows=2048)
+        codes = similarity.pq_encode(ds, books).materialize()
+        qdf = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            filters=[("vec_id", "in", [0, 1, 2])]).to_pandas()
+        qv = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        out = similarity.knn_pq(codes, books, qv,
+                                [f"pq-{i}" for i in qdf["vec_id"]],
+                                k=5, rerank_ds=ds, rerank_factor=8)
+        out["dist"] = out["dist"].round(6)
+        return out
+
     def img_caption_search(sf_dir: str):
         """Cross-modal retrieval: BM25 over the image table's caption
         column -> top-10 images for a fixed term query, joined back to
@@ -1433,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_phash_pairs": img_phash_pairs,
         "img_features": img_features,
         "img_cluster": img_cluster,
+        "embed_knn_pq": embed_knn_pq,
         "img_caption_search": img_caption_search,
         "img_patch_knn": img_patch_knn,
         "events_tumbling_window": events_tumbling_window,

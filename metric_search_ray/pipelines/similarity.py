@@ -178,3 +178,176 @@ def knn_ivf(ds, query_ids, query_vecs, centroids: np.ndarray, k: int = 10,
                                             value_set=pa.array(probed_lists))),
         batch_format="pyarrow")
     return knn_cosine(listed, query_ids, q, k, vec_col=vec_col, id_col=id_col)
+
+
+# ---------------------------------------------------------- product quantization
+
+
+def train_pq_codebooks(ds, vec_col: str = "embedding", m: int = 8,
+                       nbits: int = 8, sample_rows: int = 4096,
+                       iters: int = 10, seed: int = 42) -> np.ndarray:
+    """PQ codebooks (m, 2^nbits, d/m): per-subspace seeded Lloyd
+    k-means on a driver-side sample (the only non-streaming step).
+    The sample is an md5-hash spread over row ids — layout-independent
+    and unbiased across the corpus (``limit(n)`` would take the first
+    blocks only and train codebooks blind to later clusters).  Vectors
+    are NOT normalized — PQ approximates L2 geometry."""
+    import ray
+
+    from .sampling import _bucket_of
+
+    id_col_s = "vec_id" if "vec_id" in ds.schema().names else None
+    n_total = ds.count()
+    if n_total > sample_rows and id_col_s is not None:
+        stride = int(np.ceil(n_total / sample_rows))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            b = _bucket_of(batch.column(id_col_s).to_pylist(), stride,
+                           salt="pqtrain")
+            return batch.filter(pa.array(b == 0)).select([vec_col])
+
+        sample = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    else:
+        sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    k = 1 << nbits
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub), np.float64)
+    for j in range(m):
+        xj = x[:, j * sub:(j + 1) * sub]
+        cent = xj[rng.choice(len(xj), size=min(k, len(xj)), replace=False)]
+        if len(cent) < k:                      # tiny sample: pad by repeat
+            cent = cent[np.arange(k) % len(cent)]
+        for _ in range(iters):
+            d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            asg = np.argmin(d2, axis=1)
+            for c in range(k):
+                sel = asg == c
+                if sel.any():
+                    cent[c] = xj[sel].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """One streaming pass: vector -> m uint8 codes (32x compression at
+    m=8/nbits=8 over 64-dim float32).  Codebooks broadcast once."""
+    import ray
+    ref = ray.put(np.asarray(codebooks, np.float64))
+
+    class Encode:
+        def __init__(self):
+            self.books = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = np.stack(batch.column(vec_col).to_numpy(
+                zero_copy_only=False)).astype(np.float64)
+            m, k, sub = self.books.shape
+            codes = np.empty((len(x), m), np.uint8)
+            for j in range(m):
+                xj = x[:, j * sub:(j + 1) * sub]
+                d2 = ((xj[:, None, :] - self.books[j][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "pq_code": pa.array([c.tobytes() for c in codes],
+                                    pa.binary()),
+            })
+
+    return ds.map_batches(Encode, batch_format="pyarrow", concurrency=2)
+
+
+def knn_pq(codes_ds, codebooks: np.ndarray, query_vecs: np.ndarray,
+           query_ids: list, k: int = 10, rerank_ds=None,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           rerank_factor: int = 4):
+    """Approximate L2 top-k over PQ codes via ADC (asymmetric distance
+    computation): per query, one (m, 2^nbits) subspace distance table;
+    each row's approximate distance is m table lookups summed — no
+    float vector ever touches the scan.  With ``rerank_ds`` (the raw
+    vectors), the top k*rerank_factor ADC candidates are re-scored
+    exactly (ids-only join back; the classic IVF-PQ rerank step).
+
+    Scale shape: codes are m bytes/row (the 100-TB path: a 10^9-vector
+    corpus at m=8 is 8 GB of codes vs 256 GB of float32); queries and
+    tables broadcast; per-partition top-k then a bounded merge."""
+    import ray
+
+    books = np.asarray(codebooks, np.float64)
+    m, kk, sub = books.shape
+    q = np.asarray(query_vecs, np.float64)
+    # distance tables: (n_q, m, 2^nbits)
+    tabs = np.empty((len(q), m, kk), np.float64)
+    for j in range(m):
+        qj = q[:, j * sub:(j + 1) * sub]
+        tabs[:, j, :] = ((qj[:, None, :] - books[j][None, :, :]) ** 2
+                         ).sum(axis=2)
+    ref = ray.put((list(query_ids), tabs))
+    nc = k * rerank_factor
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qids, t = ray.get(ref)
+        raw = batch.column("pq_code").to_pylist()
+        codes = np.frombuffer(b"".join(raw), np.uint8).reshape(len(raw), m)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_q, out_i, out_d = [], [], []
+        # one gather per subspace per query set: adc[q, row] = sum_j t[q, j, code[row, j]]
+        adc = np.zeros((len(qids), len(raw)), np.float64)
+        for j in range(m):
+            adc += t[:, j, :][:, codes[:, j]]
+        for qi in range(len(qids)):
+            d = adc[qi]
+            kc = min(nc, len(d))
+            sel = np.argpartition(d, kc - 1)[:kc] if kc < len(d) else np.arange(len(d))
+            out_q.extend([qids[qi]] * len(sel))
+            out_i.extend(ids[sel])
+            out_d.extend(d[sel])
+        return pa.table({"query_id": pa.array(out_q),
+                         id_col: pa.array(out_i),
+                         "adc": pa.array(out_d, pa.float64())})
+
+    local = codes_ds.map_batches(scan, batch_format="pyarrow",
+                                 batch_size=8192)
+
+    def merge(g: pa.Table) -> pa.Table:
+        d = g.column("adc").to_numpy()
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[:nc]
+        return pa.table({
+            "query_id": pa.array([g.column("query_id")[0].as_py()] * len(order)),
+            id_col: pa.array(ids[order]),
+            "adc": pa.array(d[order], pa.float64()),
+        })
+
+    cands = local.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    if rerank_ds is None:
+        return cands
+    # exact rerank: fetch candidate vectors only (ids join), rescore
+    cand_tbl = pa.concat_tables(
+        [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows])
+    cand_ids = pa.compute.unique(cand_tbl.column(id_col))
+    import pyarrow.compute as pc
+    vecs = (rerank_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(id_col), value_set=cand_ids)),
+        batch_format="pyarrow").to_pandas())
+    vec_by_id = dict(zip(vecs[id_col], vecs[vec_col]))
+    rows = {"query_id": [], id_col: [], "dist": [], "rank": []}
+    cdf = cand_tbl.to_pandas()
+    for qi, qid in enumerate(query_ids):
+        g = cdf[cdf["query_id"] == qid]
+        ids = g[id_col].to_numpy()
+        x = np.stack([np.asarray(vec_by_id[i], np.float64) for i in ids])
+        d = ((x - q[qi][None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))[:k]
+        rows["query_id"].extend([qid] * len(order))
+        rows[id_col].extend(ids[order])
+        rows["dist"].extend(np.sqrt(d[order]))
+        rows["rank"].extend(range(1, len(order) + 1))
+    import pandas as pd
+    return pd.DataFrame(rows)
