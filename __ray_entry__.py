@@ -1070,6 +1070,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped top-k cut (single group): deterministic (score desc, id)
         top = topk.grouped_top_k(scored, "q", "score", 10,
                                  id_col="image_id", descending=True)
+        # with one constant group, most per-block outputs are empty —
+        # coalesce before the join (Ray 2.49 empty-first-block flake)
+        top = top.repartition(1)
         j = top.join(ds.select_columns(["image_id", "phash"]).repartition(2),
                      join_type="inner", num_partitions=2, on=("image_id",))
         return j.select_columns(["image_id", "score", "rank", "phash"])

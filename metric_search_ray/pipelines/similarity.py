@@ -38,7 +38,10 @@ def train_ivf_centroids(ds, vec_col: str = "embedding", n_lists: int = 16,
                         sample_rows: int = 4096, iters: int = 10,
                         seed: int = 42) -> np.ndarray:
     """Seeded Lloyd k-means on a sample (driver-side; the sample is
-    small by construction — this is the only non-streaming step)."""
+    small by construction — this is the only non-streaming step).
+    NOTE: train_pq_codebooks carries a sibling Lloyd loop under L2
+    (un-normalized, pad-by-repeat init) — the two differ in metric and
+    update rule, kept separate deliberately; fix bugs in both."""
     sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
     x = np.stack(sample[vec_col].to_numpy())
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -204,15 +207,23 @@ def train_pq_codebooks(ds, vec_col: str = "embedding", m: int = 8,
         def keep(batch: pa.Table) -> pa.Table:
             b = _bucket_of(batch.column(id_col_s).to_pylist(), stride,
                            salt="pqtrain")
-            return batch.filter(pa.array(b == 0)).select([vec_col])
+            return batch.filter(pa.array(b == 0)).select([id_col_s, vec_col])
 
         sample = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+        sample = sample.sort_values(id_col_s)     # layout-independent order
+    elif id_col_s is not None:
+        # whole corpus fits the sample: take it all, sorted by id — the
+        # limit() path would be a non-deterministic row subset/order
+        sample = ds.select_columns([id_col_s, vec_col]).to_pandas()
+        sample = sample.sort_values(id_col_s)
     else:
         sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
     x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    if nbits > 8:
+        raise ValueError("nbits > 8 would overflow the uint8 code layout")
     k = 1 << nbits
     sub = d // m
     rng = np.random.default_rng(seed)
@@ -304,7 +315,12 @@ def knn_pq(codes_ds, codebooks: np.ndarray, query_vecs: np.ndarray,
         for qi in range(len(qids)):
             d = adc[qi]
             kc = min(nc, len(d))
-            sel = np.argpartition(d, kc - 1)[:kc] if kc < len(d) else np.arange(len(d))
+            if kc < len(d):
+                kth = np.partition(d, kc - 1)[kc - 1]
+                sel = np.flatnonzero(d <= kth)  # keep boundary ties; the
+                # merge re-cuts on (adc, id) deterministically
+            else:
+                sel = np.arange(len(d))
             out_q.extend([qids[qi]] * len(sel))
             out_i.extend(ids[sel])
             out_d.extend(d[sel])
@@ -327,7 +343,15 @@ def knn_pq(codes_ds, codebooks: np.ndarray, query_vecs: np.ndarray,
 
     cands = local.groupby("query_id").map_groups(merge, batch_format="pyarrow")
     if rerank_ds is None:
-        return cands
+        # honor the top-k contract without rerank: cut each group to k
+        # ADC-nearest (ties already resolved by (adc, id) in merge)
+        def cut_k(g: pa.Table) -> pa.Table:
+            n = min(k, g.num_rows)
+            return (g.slice(0, n)
+                    .append_column("rank",
+                                   pa.array(np.arange(1, n + 1), pa.int64())))
+        return cands.groupby("query_id").map_groups(cut_k,
+                                                    batch_format="pyarrow")
     # exact rerank: fetch candidate vectors only (ids join), rescore
     cand_tbl = pa.concat_tables(
         [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows])

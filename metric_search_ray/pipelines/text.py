@@ -550,16 +550,20 @@ def contamination_check(train_ds, bench_ds, n: int = 8,
 
 def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id",
                    out: str = "norm"):
-    """Canonical text cleanup before dedup/tokenize: lowercase, strip,
-    collapse internal whitespace runs to one space.  Pure map stage
-    (vectorized pandas .str kernels), no shuffle; SQL-equivalent to
+    """Canonical text cleanup before dedup/tokenize: lowercase, trim,
+    collapse whitespace runs to one space.  Pure map stage (vectorized
+    pandas .str kernels), no shuffle; SQL-equivalent to
     ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))`` for ASCII
-    corpora (non-ASCII case folding can differ between Python and ICU
-    — pin inputs or extend the contract before relying on it)."""
+    corpora.  Parity details: the whitespace class is RE2's \\s
+    ([\\t\\n\\f\\r ] — Python's \\s additionally matches \\x0b, so the
+    class is written out explicitly), NULL stays NULL (SQL semantics),
+    and trailing/leading trim removes spaces only (= SQL trim; runs
+    were already collapsed to single spaces).  Non-ASCII case folding
+    can differ between Python and ICU — pin inputs first."""
     def fn(batch: pa.Table) -> pa.Table:
         s = pd.Series(batch.column(text_col).to_pylist())
-        n = (s.fillna("").str.replace(r"\s+", " ", regex=True)
-             .str.strip().str.lower())
+        n = (s.str.replace("[\t\n\f\r ]+", " ", regex=True)
+             .str.strip(" ").str.lower())
         return pa.table({id_col: batch.column(id_col),
                          out: pa.array(n.to_numpy(object), pa.string())})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -286,8 +286,13 @@ def funnel(ds, key_col: str, ts_col: str, type_col: str, steps: list[str]):
             out_ts[i] = cur
             done += 1
         if done == 0:
-            return pd.DataFrame({key_col: [], "steps_completed": [],
-                                 **{f"ts_{i+1}": [] for i in range(k)}})
+            # typed empty frame: object-dtype empties arrow-convert to
+            # null columns and break cross-block schema unification
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=g[key_col].dtype),
+                "steps_completed": pd.Series([], dtype=np.int64),
+                **{f"ts_{i+1}": pd.Series([], dtype=np.int64)
+                   for i in range(k)}})
         return pd.DataFrame({key_col: [g[key_col].iloc[0]],
                              "steps_completed": [done],
                              **{f"ts_{i+1}": [out_ts[i]] for i in range(k)}})
