@@ -1295,6 +1295,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      "dst": pa.array(e[:, 1], pa.int64())}))
         return graph.connected_components_ray(ds, num_partitions=4)
 
+    def graph_triangles(sf_dir: str):
+        """Wedge-join triangle counting (graph.triangle_count) on the
+        margulis(576) expander and the grid8(576) lattice."""
+        from metric_search_ray import graph
+        rows = []
+        for name, gen in [("margulis", graph.margulis),
+                          ("grid8", graph.grid8)]:
+            e = np.asarray(gen(576).edges)
+            ds = rd.from_arrow(pa.table({
+                "src": pa.array(e[:, 0], pa.int64()),
+                "dst": pa.array(e[:, 1], pa.int64())}))
+            rows.append({"graph": name,
+                         "n_triangles": graph.triangle_count(ds)})
+        return pd.DataFrame(rows)
+
     def events_pivot_daily(sf_dir: str):
         """Pivot event_type into columns per day: ONE distributed
         grouped aggregate on (day, type) — the narrow exchange — then a
@@ -1474,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": embed_dedup,
         "graph_components": graph_components,
         "graph_pagerank": graph_pagerank,
+        "graph_triangles": graph_triangles,
         "events_pivot_daily": events_pivot_daily,
         "graph_neighbours": graph_neighbours,
         "geo_pairwise": geo_pairwise,
@@ -2141,6 +2157,31 @@ QUALIFY rank <= 10
         # component is the min node id (0); the graph itself is a fixed
         # deterministic construction, not data-dependent
         "graph_pagerank": _pagerank_oracle_sql(),
+        "graph_triangles": """
+WITH ij AS (SELECT range // 24 AS i, range % 24 AS j, range AS u FROM range(576)),
+m_raw AS (
+  SELECT u, ((i + 2*j) % 24) * 24 + j AS dst FROM ij
+  UNION ALL SELECT u, i*24 + (2*i + j) % 24 FROM ij
+  UNION ALL SELECT u, i*24 + (2*i + j + 1) % 24 FROM ij
+  UNION ALL SELECT u, ((i + 2*j + 1) % 24) * 24 + j FROM ij),
+m_e AS (SELECT DISTINCT least(u, dst) AS lo, greatest(u, dst) AS hi
+        FROM m_raw WHERE u != dst),
+g_raw AS (
+  SELECT u, (i + o.di) * 24 + (j + o.dj) AS dst
+  FROM ij, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) o(di, dj)
+  WHERE i + o.di BETWEEN 0 AND 23 AND j + o.dj BETWEEN 0 AND 23),
+g_e AS (SELECT DISTINCT least(u, dst) AS lo, greatest(u, dst) AS hi
+        FROM g_raw WHERE u != dst),
+tm AS (SELECT count(*) AS n FROM m_e e1
+       JOIN m_e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+       JOIN m_e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+tg AS (SELECT count(*) AS n FROM g_e e1
+       JOIN g_e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+       JOIN g_e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+SELECT 'margulis' AS graph, n AS n_triangles FROM tm
+UNION ALL SELECT 'grid8', n FROM tg
+""",
+
         "events_pivot_daily": """
 SELECT epoch_us(ts) // 86400000000 AS day,
        count(*) FILTER (event_type = 'click') AS n_click,

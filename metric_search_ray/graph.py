@@ -515,3 +515,53 @@ def pagerank_int(edges_ds, n_nodes: int, iters: int = 5,
         ranks = (joined.map_batches(apply, batch_format="pyarrow")
                  .materialize().repartition(num_partitions))
     return ranks
+
+
+def triangle_count(edges_ds, num_partitions: int = 4):
+    """Distributed triangle count via the wedge-join algorithm:
+
+    1. canonicalize: every undirected edge once as (lo, hi), lo < hi
+       (dedupe through one fastagg exchange);
+    2. wedges: group edges by their low endpoint; each group emits its
+       neighbor PAIRS (v < w) — a vectorized triu expansion;
+    3. join wedges against the canonical edge set on (v, w): a wedge
+       closed by an edge is exactly one triangle (each triangle is
+       counted once: at its smallest vertex).
+
+    Scale notes: wedge count is sum(deg_lo^2) — the classic skew knob;
+    for power-law graphs orient by DEGREE (not id) before step 2 to
+    bound per-node wedges at O(sqrt(m)); id orientation is kept here
+    because the engine's graphs are near-regular and id order is what
+    the SQL oracle can replay exactly.  Returns the scalar count.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .pipelines.fastagg import sort_block_aggregate
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        keep = s != d
+        lo = np.minimum(s[keep], d[keep])
+        hi = np.maximum(s[keep], d[keep])
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64())})
+
+    und = sort_block_aggregate(
+        edges_ds.map_batches(canon, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["lo", "hi"], {"_n": (None, "count")})
+
+    def wedges(g: pa.Table) -> pa.Table:
+        nb = np.sort(g.column("hi").to_numpy())
+        i, j = np.triu_indices(len(nb), k=1)
+        return pa.table({"a": pa.array(nb[i], pa.int64()),
+                         "b": pa.array(nb[j], pa.int64())})
+
+    w = (und.groupby("lo").map_groups(wedges, batch_format="pyarrow")
+         .repartition(num_partitions))
+    closed = w.join(und.repartition(num_partitions), join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("a", "b"), right_on=("lo", "hi"))
+    return closed.count()

@@ -174,3 +174,21 @@ def test_pagerank_int_sink_node(ray_session):
     scale, N = 10**12, 3
     base = (15 * scale) // (100 * N)
     assert out[out.node == 2]["rank_u"].iloc[0] == base
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metric_search_ray import graph as G
+    for gen, n in [(G.margulis, 144), (G.grid8, 25)]:
+        g = gen(n)
+        e = np.asarray(g.edges)
+        ds = rd.from_arrow(pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                                     "dst": pa.array(e[:, 1], pa.int64())}))
+        got = G.triangle_count(ds, num_partitions=2)
+        # brute force: adjacency-set triangle enumeration a<b<c
+        adj = {i: set(g.adj[i].tolist()) for i in range(g.n)}
+        exp = sum(1 for a in range(g.n) for b in adj[a] if b > a
+                  for c in adj[a] if c > b and c in adj[b])
+        assert got == exp, (gen.__name__, got, exp)
