@@ -300,3 +300,82 @@ def funnel(ds, key_col: str, ts_col: str, type_col: str, steps: list[str]):
     return (ds.map_batches(project, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby(key_col).map_groups(per_key, batch_format="pandas"))
+
+
+def tumbling_checkpointed(ds, ckpt_dir: str, key_col: str, ts_col: str,
+                          size_s: int, value_col: str,
+                          partition_days: int = 1):
+    """Tumbling aggregate persisted through the resumable sink: one
+    atomic parquet file per ``partition_days`` of window starts."""
+    from . import sink
+
+    day = 86400 * partition_days
+
+    def part_col(b: pa.Table) -> pa.Table:
+        p = (b.column("window_start").to_numpy() // day) * day
+        return b.append_column("part", pa.array(p, pa.int64()))
+
+    agg = tumbling(ds, key_col, ts_col, size_s, value_col).map_batches(
+        part_col, batch_format="pyarrow")
+    return sink.write_partitioned(agg, ckpt_dir, "part")
+
+
+def tumbling_merge_update(new_ds, ckpt_dir: str, key_col: str, ts_col: str,
+                          size_s: int, value_col: str,
+                          partition_days: int = 1):
+    """Incremental ingest into a checkpointed tumbling aggregate — the
+    aggregate-side analogue of build.update_index: aggregate ONLY the
+    new events, read back ONLY the sink partitions their windows touch,
+    sum-merge (count and sum are semilattice-mergeable partials), and
+    atomically rewrite just those partitions.  Untouched partitions are
+    never read.  Returns the updated manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from . import sink
+    from .fastagg import sort_block_aggregate
+
+    day = 86400 * partition_days
+    delta = tumbling(new_ds, key_col, ts_col, size_s, value_col)
+
+    def part_col(b: pa.Table) -> pa.Table:
+        p = (b.column("window_start").to_numpy() // day) * day
+        return b.append_column("part", pa.array(p, pa.int64()))
+
+    delta = delta.map_batches(part_col, batch_format="pyarrow").materialize()
+    touched = set()
+    for t in ray.get(delta.select_columns(["part"]).to_arrow_refs()):
+        touched |= set(np.unique(t.column("part").to_numpy()).tolist())
+    old_manifest = pq.read_table(os.path.join(ckpt_dir, "manifest.parquet"))
+    have = {p: path for p, path in
+            zip(old_manifest.column("partition").to_pylist(),
+                old_manifest.column("path").to_pylist())}
+    exist = [p for p in touched if str(p) in have and
+             os.path.exists(have[str(p)])]
+    merged = delta
+    if exist:
+        merged = sink.read_partitioned(ckpt_dir, partitions=exist).union(delta)
+    merged = sort_block_aggregate(
+        merged, [key_col, "window_start", "part"],
+        {"n": ("n", "sum"), "sum_value": ("sum_value", "sum")})
+    # rewrite only touched partitions: drop their files, resume skips rest
+    for p in exist:
+        os.remove(have[str(p)])
+    new_manifest = sink.write_partitioned(merged, ckpt_dir, "part",
+                                          resume=True)
+    # write_partitioned's manifest covers only the partitions in
+    # ``merged`` — merge back the untouched partitions' rows so the
+    # manifest stays complete
+    touched_strs = {str(p) for p in touched}
+    keep_rows = [i for i in range(old_manifest.num_rows)
+                 if old_manifest.column("partition")[i].as_py()
+                 not in touched_strs]
+    full = pa.concat_tables([
+        old_manifest.take(pa.array(keep_rows, pa.int64())),
+        new_manifest]).combine_chunks()
+    tmp = os.path.join(ckpt_dir, f"manifest.tmp.{os.getpid()}")
+    pq.write_table(full, tmp)
+    os.replace(tmp, os.path.join(ckpt_dir, "manifest.parquet"))
+    return full

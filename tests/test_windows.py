@@ -143,3 +143,47 @@ def test_funnel_strict_order_and_partial(ray_session):
     assert out.loc[0, ["ts_1", "ts_2", "ts_3"]].tolist() == [
         10 * us, 20 * us, 30 * us]
     assert out.loc[1, ["ts_1", "ts_2"]].tolist() == [50 * us, -1]
+
+
+def test_tumbling_merge_update_incremental_equals_full(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metric_search_ray.pipelines import sink, windows
+    us = 1_000_000
+
+    def ev(ids, ts_s, vals):
+        return pa.table({
+            "user_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(np.asarray(ts_s) * us, pa.timestamp("us")),
+            "value": pa.array(np.asarray(vals, np.float64)),
+        })
+
+    rng = np.random.default_rng(9)
+    # initial load: days 0-2; incremental: day 2 (overlap) + day 5 (new)
+    t1 = ev(rng.integers(0, 4, 200), rng.integers(0, 3 * 86400, 200),
+            rng.integers(0, 10, 200))
+    t2 = ev(rng.integers(0, 4, 100),
+            np.concatenate([rng.integers(2 * 86400, 3 * 86400, 50),
+                            rng.integers(5 * 86400, 6 * 86400, 50)]),
+            rng.integers(0, 10, 100))
+    ck = str(tmp_path / "aggckpt")
+    windows.tumbling_checkpointed(rd.from_arrow(t1), ck, "user_id", "ts",
+                                  3600, "value")
+    m = windows.tumbling_merge_update(rd.from_arrow(t2), ck, "user_id", "ts",
+                                      3600, "value")
+    # result must equal a from-scratch aggregate over t1+t2
+    got = (sink.read_partitioned(ck).to_pandas()
+           .sort_values(["user_id", "window_start"]).reset_index(drop=True))
+    full = (windows.tumbling(rd.from_arrow(pa.concat_tables([t1, t2])),
+                             "user_id", "ts", 3600, "value").to_pandas()
+            .sort_values(["user_id", "window_start"]).reset_index(drop=True))
+    assert got["n"].tolist() == full["n"].tolist()
+    assert got["sum_value"].tolist() == full["sum_value"].tolist()
+    assert got["window_start"].tolist() == full["window_start"].tolist()
+    # untouched day-0/1 partitions were NOT rewritten (resumed in manifest
+    # of the update is irrelevant; check files: day 0 partition mtime
+    # predates the update is hard to assert portably — assert manifest
+    # completeness instead)
+    parts = set(m.column("partition").to_pylist())
+    assert {"0", "86400", "172800", "432000"} <= parts
