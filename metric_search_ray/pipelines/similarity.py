@@ -375,3 +375,41 @@ def knn_pq(codes_ds, codebooks: np.ndarray, query_vecs: np.ndarray,
         rows["rank"].extend(range(1, len(order) + 1))
     import pandas as pd
     return pd.DataFrame(rows)
+
+
+def knn_ivf_pq(ds, codebooks: np.ndarray, centroids: np.ndarray,
+               query_vecs: np.ndarray, query_ids: list, k: int = 10,
+               nprobe: int = 4, rerank_factor: int = 8,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """FAISS-style IVF-PQ composition: coarse quantizer prunes the
+    corpus to the queries' ``nprobe`` nearest lists map-side, PQ codes
+    ADC-scan only those survivors, and the candidate pool reranks
+    exactly against the raw vectors.  At 100 TB this is the standard
+    shape: the scan touches nprobe/n_lists of the corpus and moves
+    m-byte codes, not float vectors; only ~k*rerank_factor raw vectors
+    per query are ever fetched."""
+    q = np.asarray(query_vecs, np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    cent = np.asarray(centroids, np.float64)
+    probes = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    wanted = np.unique(probes)
+
+    # TASK-mode assign+filter (no actor pool): this stage re-executes
+    # inside the rerank pass, and a second reserved actor pool can
+    # deadlock small-CPU sessions on resource reservation
+    cref = ray.put(cent)
+
+    def assign_and_filter(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = np.stack(b.column(vec_col).to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        lists = np.argmax(xn @ c.T, axis=1)
+        return b.filter(pa.array(np.isin(lists, wanted)))
+
+    listed = ds.map_batches(assign_and_filter, batch_format="pyarrow")
+    codes = pq_encode(listed, codebooks, vec_col=vec_col,
+                      id_col=id_col).materialize()
+    return knn_pq(codes, codebooks, q, query_ids, k=k, rerank_ds=listed,
+                  rerank_factor=rerank_factor, vec_col=vec_col,
+                  id_col=id_col)

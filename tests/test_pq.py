@@ -58,3 +58,18 @@ def test_pq_encode_deterministic_across_layouts(ray_session, clustered_vecs):
          .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert (a["pq_code"] == b["pq_code"]).all()
     assert len(a["pq_code"].iloc[0]) == 8       # m bytes per vector
+
+
+def test_ivf_pq_composition_recall(ray_session, clustered_vecs):
+    ids, x = clustered_vecs
+    ds = _ds_of(ids, x)
+    books = similarity.train_pq_codebooks(ds, m=8, nbits=8, sample_rows=1024)
+    cent = similarity.train_ivf_centroids(ds, n_lists=16, sample_rows=1024)
+    q = x[::500][:3].astype(np.float64)
+    qids = [f"v{i}" for i in range(len(q))]
+    out = similarity.knn_ivf_pq(ds, books, cent, q, qids, k=10, nprobe=4)
+    for qi, qid in enumerate(qids):
+        d = ((x.astype(np.float64) - q[qi][None, :]) ** 2).sum(axis=1)
+        truth = set(ids[np.lexsort((ids, d))[:10]])
+        got = set(out[out.query_id == qid]["vec_id"])
+        assert len(truth & got) / 10 >= 0.7, qid
