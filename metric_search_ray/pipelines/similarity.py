@@ -413,3 +413,51 @@ def knn_ivf_pq(ds, codebooks: np.ndarray, centroids: np.ndarray,
     return knn_pq(codes, codebooks, q, query_ids, k=k, rerank_ds=listed,
                   rerank_factor=rerank_factor, vec_col=vec_col,
                   id_col=id_col)
+
+
+def knn_lsh(ds, query_ids, query_vecs, k: int = 10, nbits: int = 12,
+            n_tables: int = 8, multiprobe: int = 1, seed: int = 42,
+            vec_col: str = "embedding", id_col: str = "vec_id"):
+    """LSH-bucketed approximate cosine top-k — the hash-pruned sibling
+    of ``knn_ivf``: ``n_tables`` independent random-hyperplane
+    signatures put every row in one of 2^nbits buckets per table
+    map-side (one pass, seeded planes — no training at all); queries
+    probe their bucket plus all single-bit flips per table
+    (``multiprobe=1``), and a row that collides with any query in ANY
+    table reaches the exact cosine rerank.  Candidate fraction
+    ~ n_tables * (1 + nbits) / 2^nbits.  Recall is probabilistic
+    (tested vs brute force); assignments are deterministic given the
+    seed."""
+    q = np.asarray(query_vecs, np.float64)
+    d = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, d, nbits))
+    pow2 = (1 << np.arange(nbits, dtype=np.uint64))
+
+    def buckets_of(x: np.ndarray, t: int) -> np.ndarray:
+        bits = (x @ planes[t] > 0).astype(np.uint64)
+        return (bits * pow2[None, :]).sum(axis=1, dtype=np.uint64)
+
+    wanted = []
+    for t in range(n_tables):
+        qb = buckets_of(q, t)
+        w = set(int(b) for b in qb)
+        if multiprobe >= 1:
+            for b in qb:
+                for j in range(nbits):
+                    w.add(int(b ^ np.uint64(1 << j)))
+        wanted.append(np.asarray(sorted(w), np.uint64))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        x = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        if len(x) == 0:
+            return batch
+        keep = np.zeros(len(x), bool)
+        for t in range(n_tables):
+            keep |= np.isin(buckets_of(x, t), wanted[t])
+        return batch.filter(pa.array(keep))
+
+    pruned = ds.map_batches(filt, batch_format="pyarrow")
+    return knn_cosine(pruned, query_ids, q, k, vec_col=vec_col,
+                      id_col=id_col)

@@ -73,3 +73,19 @@ def test_ivf_pq_composition_recall(ray_session, clustered_vecs):
         truth = set(ids[np.lexsort((ids, d))[:10]])
         got = set(out[out.query_id == qid]["vec_id"])
         assert len(truth & got) / 10 >= 0.7, qid
+
+
+def test_lsh_bucketed_knn_recall(ray_session, clustered_vecs):
+    ids, x = clustered_vecs
+    ds = _ds_of(ids, x)
+    q = x[::700][:3].astype(np.float64)
+    qids = [f"l{i}" for i in range(len(q))]
+    out = (similarity.knn_lsh(ds, qids, q, k=10, nbits=10).to_pandas())
+    xn = x.astype(np.float64)
+    xn = xn / np.linalg.norm(xn, axis=1, keepdims=True)
+    for qi, qid in enumerate(qids):
+        qv = q[qi] / np.linalg.norm(q[qi])
+        sim = xn @ qv
+        truth = set(ids[np.lexsort((ids, -sim))[:10]])
+        got = set(out[out.query_id == qid]["vec_id"])
+        assert len(truth & got) / 10 >= 0.6, (qid, len(truth & got))
