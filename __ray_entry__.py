@@ -691,6 +691,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity",
                                        [0.25, 0.5, 0.75, 0.9])
 
+    def events_value_histogram(sf_dir: str):
+        """Fixed-width value histogram (stats.histogram): bincount
+        partials + bounded driver combine, no shuffle."""
+        from metric_search_ray.pipelines import stats
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["value"])
+        return stats.histogram(ds, "value", 0.0, 500.0, 50)
+
     def events_retention(sf_dir: str):
         """Weekly retention cohorts: distinct (user, week) activity ->
         per-user first week (cohort) -> count per (cohort, offset).
@@ -1452,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": embed_dim_stats,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "events_value_histogram": events_value_histogram,
         "events_retention": events_retention,
         "events_funnel": events_funnel,
         "doc_normalize": doc_normalize,
@@ -1788,6 +1797,12 @@ SELECT b.interval_id, count(*) AS n,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty
 FROM lineitem l JOIN bands b
   ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY 1
+""",
+        "events_value_histogram": """
+SELECT CAST(least(floor((value - 0.0) / 10.0), 49) AS BIGINT) AS bin,
+       count(*) AS n
+FROM events WHERE value >= 0.0 AND value <= 500.0
 GROUP BY 1
 """,
         "events_retention": """

@@ -185,6 +185,42 @@ def quantile_disc_index(q: Fraction | float, n: int) -> int:
     return max(0, -((-qf.numerator * n) // qf.denominator) - 1)
 
 
+def histogram(ds, value_col: str, lo: float, hi: float, bins: int):
+    """Fixed-width histogram of a numeric column as (bin, n) rows:
+    per-block ``np.bincount`` partials, one tiny driver combine —
+    O(bins) output regardless of row count, no shuffle.  Bin index is
+    floor((v - lo) / width) clipped to the last bin at v == hi; rows
+    outside [lo, hi] (and NULL/NaN) are dropped.  The same expression
+    evaluates in SQL, so results hash-match bit-exactly."""
+    import ray
+
+    if bins <= 0 or not hi > lo:
+        raise ValueError("need bins > 0 and hi > lo")
+    width = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False)
+        v = v[(v >= lo) & (v <= hi)]
+        if len(v) == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        idx = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
+        c = np.bincount(idx, minlength=bins)
+        nz = np.flatnonzero(c)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n": pa.array(c[nz], pa.int64())})
+
+    total = np.zeros(bins, np.int64)
+    for t in ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                     .to_arrow_refs()):
+        if t.num_rows:
+            np.add.at(total, t.column("bin").to_numpy(),
+                      t.column("n").to_numpy())
+    nz = np.flatnonzero(total)
+    return pd.DataFrame({"bin": nz.astype(np.int64), "n": total[nz]})
+
+
 def exact_quantile_histogram(ds, value_col: str, probs: list[float],
                              bins: int = 65536,
                              refine_limit: int = 262144) -> dict[float, float]:
