@@ -159,3 +159,16 @@ def test_distinct_count_ignores_nulls(ray_session):
                   "u": pa.array([5, None, 7], pa.int64())})
     out = stats.distinct_count(rd.from_arrow(t), "k", "u").to_pandas()
     assert out["n_distinct"].tolist() == [2]
+
+
+def test_histogram_matches_numpy_and_sql_clip(ray_session):
+    rng = np.random.default_rng(12)
+    vals = np.concatenate([rng.uniform(0, 100, 5000), [100.0, 0.0, -5.0, 120.0]])
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(6)
+    got = stats.histogram(ds, "x", 0.0, 100.0, 10)
+    inb = vals[(vals >= 0) & (vals <= 100)]
+    idx = np.minimum(((inb - 0.0) / 10.0).astype(np.int64), 9)
+    exp = np.bincount(idx, minlength=10)
+    assert got.set_index("bin")["n"].to_dict() == {
+        int(b): int(exp[b]) for b in np.flatnonzero(exp)}
+    assert got["n"].sum() == len(inb)     # out-of-range rows dropped
