@@ -12,8 +12,58 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _tok_flat(col, lowercase: bool = False):
+    """Whitespace tokenization of a string column entirely in Arrow C++
+    kernels (trim -> whitespace split -> flatten -> drop empty pieces)
+    — the shared hot path for every text operator; no per-row Python
+    and no Python-string materialization anywhere.
+
+    Returns ``(flat, row, lens)``: the flattened token array (an ARROW
+    StringArray — keep it in Arrow; use ``pc.is_in``/``pc.index_in``/
+    ``pc.value_counts``/``dictionary_encode`` for lookups), each
+    token's 0-based doc row (numpy int64), and per-doc token counts
+    (numpy int64; whitespace-only/empty/NULL docs count 0 and
+    contribute no flat entries).  Token semantics match the SQL replay
+    used by the driver oracles:
+    ``len(string_split_regex(trim(text), '\\s+'))`` with the
+    empty-string -> 0 correction."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = pc.utf8_trim_whitespace(pc.fill_null(arr, ""))
+    if lowercase:
+        t = pc.utf8_lower(t)
+    # utf8_split_whitespace is ~3.5x faster than the RE2 \s+ split but
+    # emits empty pieces around whitespace runs at string edges — drop
+    # them (a real token is never empty)
+    split = pc.utf8_split_whitespace(t)
+    raw_lens = pc.list_value_length(split).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat_all = pc.list_flatten(split)
+    nonempty = pc.not_equal(flat_all, "")
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    row_all = np.repeat(np.arange(len(raw_lens), dtype=np.int64), raw_lens)
+    flat = flat_all.filter(nonempty)
+    row = row_all[ne]
+    lens = np.bincount(row, minlength=len(raw_lens)).astype(np.int64) \
+        if len(row) else np.zeros(len(raw_lens), np.int64)
+    return flat, row, lens
+
+
+def _join_ngrams(flat: pa.Array, row: np.ndarray, n: int, sep: str = " "):
+    """(grams, gram_row) — n-grams of the flattened token stream that
+    stay within one doc, joined with ``sep`` via one Arrow C++ kernel.
+    ``grams`` is an Arrow StringArray, ``gram_row`` numpy int64."""
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    valid = row[n - 1:] == row[:m]
+    parts = [flat.slice(j, m) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, sep)
+    return grams.filter(pa.array(valid)), row[:m][valid]
 
 # tiny per-language marker vocabularies for the n-gram/stopword heuristic
 LANG_MARKERS = {
@@ -29,11 +79,9 @@ def token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(id, n_tokens) — whitespace tokens, SQL-equivalent to
     len(string_split_regex(trim(text), '\\s+'))."""
     def fn(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column(text_col).to_pylist())
-        n = s.fillna("").str.strip().str.split(r"\s+").map(
-            lambda t: 0 if t == [""] else len(t))
+        _, _, lens = _tok_flat(batch.column(text_col))
         return pa.table({id_col: batch.column(id_col),
-                         "n_tokens": pa.array(n.to_numpy(np.int64), pa.int64())})
+                         "n_tokens": pa.array(lens, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -42,8 +90,10 @@ def bpe_ish_token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
     split on words / numbers / punctuation runs) — one vectorized
     str.count pass, no per-doc findall."""
     def fn(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
-        n = s.str.count(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+").to_numpy(np.int64)
+        col = pc.fill_null(batch.column(text_col), "")
+        n = pc.count_substring_regex(
+            col, r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         return pa.table({id_col: batch.column(id_col),
                          "n_bpe_tokens": pa.array(n, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -52,14 +102,30 @@ def bpe_ish_token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
 def quality_score(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Per-doc quality features: n_chars, n_words, avg word length,
     stopword ratio, punctuation ratio + a combined [0,1] score."""
+    stop_set = pa.array(list(STOPWORDS), pa.string())
+
     def fn(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column(text_col).to_pylist()]
-        s = pd.Series(texts)
-        n_chars = s.str.len().to_numpy(np.int64)
-        words = s.str.strip().str.split(r"\s+")
-        n_words = words.map(lambda t: 0 if t == [""] else len(t)).to_numpy(np.int64)
-        sw = words.map(lambda t: sum(1 for w in t if w.lower() in STOPWORDS)).to_numpy(np.int64)
-        punct = s.str.count(r"[^\w\s]").to_numpy(np.int64)
+        col = pc.fill_null(batch.column(text_col).combine_chunks()
+                           if isinstance(batch.column(text_col),
+                                         pa.ChunkedArray)
+                           else batch.column(text_col), "")
+        n_chars = pc.utf8_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat, row, n_words = _tok_flat(col)
+        # stopword hits: one C++ lower + is_in over the flat token
+        # stream, np.add.at per doc — no per-token Python
+        # stopword lookup over the UNIQUE tokens (dictionary), then a
+        # numpy gather — the is_in/lower pass runs on |vocab| strings,
+        # not |tokens|
+        sw = np.zeros(len(n_words), np.int64)
+        if len(flat):
+            enc = flat.dictionary_encode()
+            hd = pc.is_in(pc.utf8_lower(enc.dictionary),
+                          value_set=stop_set).to_numpy(zero_copy_only=False)
+            hit = hd[enc.indices.to_numpy(zero_copy_only=False)]
+            sw = np.bincount(row[hit], minlength=len(n_words)).astype(np.int64)
+        punct = pc.count_substring_regex(col, r"[^\w\s]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         avg_wlen = np.where(n_words > 0,
                             (n_chars - np.maximum(n_words - 1, 0)) / np.maximum(n_words, 1),
                             0.0)
@@ -85,23 +151,32 @@ class LangId:
     """Actor-pool stage: marker-vocabulary language id (n-gram heuristic)."""
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+        self.markers = {k: pa.array(sorted(v), pa.string())
+                        for k, v in LANG_MARKERS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        s = pd.Series([t or "" for t in batch.column("text").to_pylist()])
-        n_rows = len(s)
-        n_chars = s.str.len().to_numpy(np.int64)
-        cjk = s.str.count(r"[一-鿿]").to_numpy(np.int64)
-        toks = s.str.lower().str.split()
-        n_toks = toks.map(len).to_numpy(np.int64)
-        # per-language marker counts via one explode + isin per language
-        flat = toks.explode()
-        idx = flat.index.to_numpy()
+        col = pc.fill_null(batch.column("text").combine_chunks()
+                           if isinstance(batch.column("text"), pa.ChunkedArray)
+                           else batch.column("text"), "")
+        n_rows = len(col)
+        n_chars = pc.utf8_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cjk = pc.count_substring_regex(col, r"[一-鿿]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat, idx, n_toks = _tok_flat(col, lowercase=True)
+        # one dictionary_encode, then per-language is_in over the
+        # (tiny) dictionary + numpy gather — 4 marker passes cost
+        # O(|vocab|), not O(|tokens|)
         order = ["en", "de", "fr", "es"]
         counts = np.zeros((n_rows, len(order)), np.int64)
-        for li, lang in enumerate(order):
-            hit = flat.isin(self.markers[lang]).to_numpy()
-            np.add.at(counts[:, li], idx[hit], 1)
+        if len(flat):
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            for li, lang in enumerate(order):
+                hd = pc.is_in(enc.dictionary,
+                              value_set=self.markers[lang]).to_numpy(
+                    zero_copy_only=False)
+                counts[:, li] = np.bincount(idx[hd[codes]], minlength=n_rows)
         # first-max wins on ties: argmax over the fixed language order
         best_li = np.argmax(counts, axis=1)
         best_n = counts[np.arange(n_rows), best_li]
@@ -133,14 +208,10 @@ def top_tokens(ds, k: int = 20, text_col: str = "text",
     before the grouped Sum — the exchange carries vocabulary, not
     corpus; the final top-k runs over the aggregated vocabulary."""
     def partial(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
-        if lowercase:
-            s = s.str.lower()
-        toks = s.str.split().explode().dropna()
-        vals, cnt = np.unique(toks.to_numpy(dtype=object), return_counts=True) \
-            if len(toks) else (np.empty(0, object), np.empty(0, np.int64))
-        return pa.table({"token": pa.array(vals, pa.string()),
-                         "partial_n": pa.array(cnt, pa.int64())})
+        flat, _, _ = _tok_flat(batch.column(text_col), lowercase=lowercase)
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "partial_n": pc.cast(vc.field("counts"), pa.int64())})
 
     # vocabulary-sized group count: block-aggregated
     from .fastagg import sort_block_aggregate
@@ -244,20 +315,19 @@ def pii_scrub(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Redact emails / IPv4 addresses / phone numbers: each match is
     replaced with its [TAG].  Returns (id, clean_text, n_redactions).
 
-    One vectorized pandas ``str.count`` + ``str.replace`` pass per
-    pattern per batch (compiled regex, C loop) — no per-row Python.
-    Stateless map stage: embarrassingly parallel, shuffle-free."""
-    import re as _re
-    compiled = [(tag, _re.compile(pat)) for tag, pat in PII_PATTERNS]
-
+    One Arrow RE2 ``count_substring_regex`` + ``replace_substring_regex``
+    pass per pattern per batch (the SAME regex engine the DuckDB oracle
+    uses) — no per-row Python.  Stateless map stage: embarrassingly
+    parallel, shuffle-free."""
     def fn(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        s = pc.fill_null(batch.column(text_col), "")
         n = np.zeros(len(s), np.int64)
-        for tag, rx in compiled:
-            n += s.str.count(rx).to_numpy(np.int64)
-            s = s.str.replace(rx, f"[{tag}]", regex=True)
+        for tag, pat in PII_PATTERNS:
+            n += pc.count_substring_regex(s, pat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            s = pc.replace_substring_regex(s, pat, f"[{tag}]")
         return pa.table({id_col: batch.column(id_col),
-                         "clean_text": pa.array(s.tolist(), pa.string()),
+                         "clean_text": s,
                          "n_redactions": pa.array(n, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -281,20 +351,11 @@ def bm25_score(ds, terms: list[str], k1: float = 1.2, b: float = 0.75,
     """
     terms = list(terms)
 
-    def _toks(batch: pa.Table):
-        s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
-        toks = s.str.strip().str.split(r"\s+")
-        lens = toks.map(lambda t: 0 if t == [""] else len(t)).to_numpy(np.int64)
-        flat = (np.concatenate([t for t in toks.to_list() if t != [""]])
-                if lens.sum() else np.empty(0, object))
-        row = np.repeat(np.arange(len(s)), lens)
-        return flat, row, lens
-
     def census(batch: pa.Table) -> pa.Table:
-        flat, row, lens = _toks(batch)
+        flat, row, lens = _tok_flat(batch.column(text_col))
         df = np.empty(len(terms), np.int64)
         for j, t in enumerate(terms):
-            hit = row[flat == t]
+            hit = row[pc.equal(flat, t).to_numpy(zero_copy_only=False)]
             df[j] = len(np.unique(hit))
         return pa.table({
             "term_idx": pa.array(np.arange(len(terms)), pa.int64()),
@@ -313,12 +374,13 @@ def bm25_score(ds, terms: list[str], k1: float = 1.2, b: float = 0.75,
     idf = np.log((n_total - dfv + 0.5) / (dfv + 0.5) + 1.0)
 
     def score(batch: pa.Table) -> pa.Table:
-        flat, row, lens = _toks(batch)
+        flat, row, lens = _tok_flat(batch.column(text_col))
         n = len(lens)
         sc = np.zeros(n, np.float64)
         norm = k1 * (1.0 - b + b * lens / avgdl)
         for j, t in enumerate(terms):
-            tf = np.bincount(row[flat == t], minlength=n).astype(np.float64)
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(row[hit], minlength=n).astype(np.float64)
             sc += idf[j] * tf * (k1 + 1.0) / (tf + norm)
         keep = sc > 0
         return pa.table({id_col: batch.column(id_col).filter(pa.array(keep)),
@@ -339,17 +401,15 @@ def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
     distinct/top via np.unique + bincount/maximum.at — no per-row
     Python beyond the explode."""
     def fn(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column(text_col).to_pylist()).fillna("")
-        toks = s.str.strip().str.split(r"\s+")
-        lens = toks.map(lambda t: 0 if t == [""] else len(t)).to_numpy(np.int64)
-        n = len(s)
-        flat = (np.concatenate([t for t in toks.to_list() if t != [""]])
-                if lens.sum() else np.empty(0, object))
-        row = np.repeat(np.arange(n), lens)
-        vocab, codes = (np.unique(flat, return_inverse=True)
-                        if len(flat) else (np.empty(0, object),
-                                           np.empty(0, np.int64)))
-        V = np.int64(max(len(vocab), 1))
+        flat, row, lens = _tok_flat(batch.column(text_col))
+        n = len(lens)
+        # dictionary_encode == np.unique(return_inverse) in C++ (codes
+        # are first-appearance order, which the fold only needs to be
+        # a bijection, not sorted)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64) \
+            if len(flat) else np.empty(0, np.int64)
+        V = np.int64(max(len(enc.dictionary), 1))
         out = {id_col: batch.column(id_col)}
         for g, name in ((2, "bi"), (3, "tri")):
             m = len(flat) - (g - 1)
@@ -382,7 +442,25 @@ def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+def _top_m_counts(counts_ds, key_col: str, n_col: str, m: int):
+    """Top-``m`` (count desc, key asc) rows of a distributed census —
+    the heavy-hitters semilattice: each block pre-cuts to its own top-m
+    (the global top-m survives any per-block truncation), the driver
+    merges <= m rows per block."""
+    def topm(batch: pa.Table) -> pa.Table:
+        kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+        nv = batch.column(n_col).to_numpy()
+        order = np.lexsort((kv, -nv))[:m]
+        return pa.table({key_col: pa.array(kv[order], pa.string()),
+                         n_col: pa.array(nv[order], pa.int64())})
+
+    cand = counts_ds.map_batches(topm, batch_format="pyarrow").to_pandas()
+    return cand.sort_values([n_col, key_col],
+                            ascending=[False, True]).head(m)
+
+
+def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
+                    max_bigrams: int | None = None):
     """CCNet-style language-model quality score: add-one-smoothed
     bigram log-likelihood of each doc under the corpus's own bigram
     counts (the perplexity-filter stage of a training-data pipeline).
@@ -390,11 +468,19 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
     Two passes:
     1. bigram census — one distributed grouped count (fastagg) over
        (w1, w2) pairs; unigram first-position counts and the vocab size
-       derive from it.  CONTRACT: the census must fit the object store
-       (bounded vocab); for open-vocab web corpora train the counts on
-       a sample or cap to top-M bigrams first.
+       derive from it.
     2. scoring — census broadcast once (ray.put, sorted-array binary
        search), then a vectorized map over docs.
+
+    SCALE CONTRACT: the exact path materializes the full bigram census
+    on the driver — fine for bounded vocabularies, wrong for open-vocab
+    web corpora.  Pass ``max_bigrams=M`` to cap BOTH the bigram and the
+    first-position-unigram tables to their top-M heavy hitters (count
+    desc, key asc — a per-block semilattice cut, driver memory O(M)
+    regardless of corpus size); bigrams/contexts outside the cap score
+    with count 0 (unseen under smoothing), a documented approximation.
+    The vocab size V is a distributed ``count()`` either way (never
+    materialized).
 
     Each bigram contributes floor(1e6 * ln((c2+1)/(c1+V))) as int64, so
     the per-doc SUM is order-independent and replayable in SQL exactly
@@ -407,81 +493,96 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     SEP = " "       # tokens are whitespace-split, so space is unambiguous
 
-    def _toks(batch: pa.Table) -> list[list[str]]:
-        s = pd.Series(batch.column(text_col).to_pylist())
-        return [t if t != [""] else []
-                for t in s.fillna("").str.strip().str.split(r"\s+")]
+    def _firsts(flat: pa.Array, row: np.ndarray) -> pa.Array:
+        if len(flat) < 2:
+            return pa.array([], pa.string())
+        return flat.slice(0, len(flat) - 1).filter(
+            pa.array(row[1:] == row[:-1]))
 
     def census_partial(batch: pa.Table) -> pa.Table:
-        big: list[str] = []
-        for toks in _toks(batch):
-            big.extend(toks[i] + SEP + toks[i + 1]
-                       for i in range(len(toks) - 1))
-        if not big:
-            return pa.table({"bg": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        vals, cnt = np.unique(np.asarray(big, object), return_counts=True)
-        return pa.table({"bg": pa.array(vals, pa.string()),
-                         "cnt": pa.array(cnt, pa.int64())})
+        flat, row, _ = _tok_flat(batch.column(text_col))
+        grams, grow = _join_ngrams(flat, row, 2, SEP)
+        bvc = pc.value_counts(grams)
+        uvc = pc.value_counts(_firsts(flat, row))
+        return pa.table({
+            "k": pa.concat_arrays([bvc.field("values"), uvc.field("values")]),
+            "cnt": pc.cast(pa.concat_arrays([bvc.field("counts"),
+                                             uvc.field("counts")]),
+                           pa.int64()),
+            "kind": pa.array([0] * len(bvc) + [1] * len(uvc), pa.int8()),
+        })
 
-    parts = ds.map_batches(census_partial, batch_format="pyarrow")
-    census_ds = sort_block_aggregate(parts, "bg", {"c": ("cnt", "sum")})
-    census = pa.concat_tables(
-        [t for t in ray.get(census_ds.to_arrow_refs()) if t.num_rows])
-    bg = np.asarray(census.column("bg").to_pylist(), object)
-    c2 = census.column("c").to_numpy()
-    w1 = np.asarray([b.split(SEP, 1)[0] for b in bg], object)
-    # unigram first-position counts: sum of bigram counts per w1
-    u_vals, u_inv = np.unique(w1, return_inverse=True)
-    c1 = np.zeros(len(u_vals), np.int64)
-    np.add.at(c1, u_inv, c2)
-    # vocab: distinct tokens anywhere (firsts + last tokens); compute
-    # distributed to keep the contract honest
+    parts = ds.map_batches(census_partial,
+                           batch_format="pyarrow").materialize()
+    def _of_kind(kind: int):
+        return parts.map_batches(
+            lambda b, k=kind: b.filter(
+                pc.equal(b.column("kind"), k)).select(["k", "cnt"]),
+            batch_format="pyarrow")
+
+    bg_counts = sort_block_aggregate(_of_kind(0), "k", {"c": ("cnt", "sum")})
+    u_counts = sort_block_aggregate(_of_kind(1), "k", {"c": ("cnt", "sum")})
+    if max_bigrams is not None:
+        bdf = _top_m_counts(bg_counts, "k", "c", max_bigrams)
+        udf = _top_m_counts(u_counts, "k", "c", max_bigrams)
+    else:
+        bdf = bg_counts.to_pandas()
+        udf = u_counts.to_pandas()
+    bdf = bdf.sort_values("k")
+    udf = udf.sort_values("k")
+    # vocab: distinct tokens anywhere — a distributed count, never a
+    # driver materialization
     def uni_partial(batch: pa.Table) -> pa.Table:
-        toks = [w for ts in _toks(batch) for w in ts]
-        vals = np.unique(np.asarray(toks, object)) if toks else np.empty(0, object)
+        flat, _, _ = _tok_flat(batch.column(text_col))
+        vals = np.unique(flat) if len(flat) else np.empty(0, object)
         return pa.table({"w": pa.array(vals, pa.string()),
                          "one": pa.array(np.ones(len(vals), np.int64))})
-    vocab_ds = sort_block_aggregate(
+    V = sort_block_aggregate(
         ds.map_batches(uni_partial, batch_format="pyarrow"),
-        "w", {"n": ("one", "sum")})
-    V = sum(t.num_rows for t in ray.get(vocab_ds.to_arrow_refs()))
+        "w", {"n": ("one", "sum")}).count()
 
-    order = np.argsort(bg, kind="stable")
-    lut_ref = ray.put({"bg": bg[order], "c2": c2[order],
-                       "u": u_vals, "c1": c1, "V": V})
+    # broadcast Arrow key arrays + numpy counts: zero-copy from plasma
+    # in every map task (a pickled dict of Python strings would
+    # re-deserialize per worker)
+    lut_ref = ray.put({"bg": pa.array(bdf["k"], pa.string()),
+                       "c2": bdf["c"].to_numpy(np.int64),
+                       "u": pa.array(udf["k"], pa.string()),
+                       "c1": udf["c"].to_numpy(np.int64), "V": V})
+
+    def _lookup(keys: pa.Array, counts: np.ndarray, q: pa.Array) -> np.ndarray:
+        """counts for q, 0 when absent (capped censuses have misses) —
+        one C++ hash lookup (index_in), no Python strings."""
+        if len(keys) == 0 or len(q) == 0:
+            return np.zeros(len(q), np.int64)
+        idx = pc.index_in(q, value_set=keys)
+        iv = idx.to_numpy(zero_copy_only=False)    # float with NaN at miss
+        miss = np.isnan(iv)
+        return np.where(miss, 0,
+                        counts[np.where(miss, 0, iv).astype(np.int64)])
 
     def score(batch: pa.Table) -> pa.Table:
         lut = ray.get(lut_ref)
         ids = batch.column(id_col)
-        out_id, out_n, out_s = [], [], []
-        toks_list = _toks(batch)
-        doc_big, doc_first, lens = [], [], []
-        for toks in toks_list:
-            n = max(len(toks) - 1, 0)
-            lens.append(n)
-            doc_big.extend(toks[i] + SEP + toks[i + 1] for i in range(n))
-            doc_first.extend(toks[:n])
-        if sum(lens) == 0:
+        flat, row, toklens = _tok_flat(batch.column(text_col))
+        lens = np.maximum(toklens - 1, 0)
+        grams, _ = _join_ngrams(flat, row, 2, SEP)
+        firsts = _firsts(flat, row)
+        if lens.sum() == 0:
             return pa.table({id_col: ids.slice(0, 0),
                              "n_bigrams": pa.array([], pa.int64()),
                              "score_u": pa.array([], pa.int64())})
-        ab = np.asarray(doc_big, object)
-        af = np.asarray(doc_first, object)
-        i2 = np.searchsorted(lut["bg"], ab)
-        i1 = np.searchsorted(lut["u"], af)
-        cc2 = lut["c2"][i2].astype(np.float64)
-        cc1 = lut["c1"][i1].astype(np.int64)
+        cc2 = _lookup(lut["bg"], lut["c2"], grams).astype(np.float64)
+        cc1 = _lookup(lut["u"], lut["c1"], firsts).astype(np.int64)
         term = np.floor(
             np.float64(1e6) * np.log((cc2 + 1.0) / (cc1 + lut["V"]).astype(
                 np.float64))).astype(np.int64)
-        bounds = np.cumsum([0] + lens)
-        sums = np.add.reduceat(term, bounds[:-1][np.asarray(lens) > 0]) \
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        sums = np.add.reduceat(term, bounds[:-1][lens > 0]) \
             if len(term) else np.empty(0, np.int64)
-        keep = np.flatnonzero(np.asarray(lens) > 0)
+        keep = np.flatnonzero(lens > 0)
         return pa.table({
             id_col: ids.take(pa.array(keep)),
-            "n_bigrams": pa.array(np.asarray(lens, np.int64)[keep], pa.int64()),
+            "n_bigrams": pa.array(lens[keep], pa.int64()),
             "score_u": pa.array(sums.astype(np.int64), pa.int64()),
         })
 
@@ -502,47 +603,34 @@ def contamination_check(train_ds, bench_ds, n: int = 8,
     every training doc.  Token semantics match token_count."""
     import ray
 
-    def _toks(batch: pa.Table) -> list[list[str]]:
-        s = pd.Series(batch.column(text_col).to_pylist())
-        return [t if t != [""] else []
-                for t in s.fillna("").str.strip().str.split(r"\s+")]
-
     def bench_grams(batch: pa.Table) -> pa.Table:
-        grams: list[str] = []
-        for toks in _toks(batch):
-            grams.extend(" ".join(toks[i:i + n])
-                         for i in range(len(toks) - n + 1))
-        vals = (np.unique(np.asarray(grams, object)) if grams
-                else np.empty(0, object))
-        return pa.table({"g": pa.array(vals, pa.string())})
+        flat, row, _ = _tok_flat(batch.column(text_col))
+        grams, _ = _join_ngrams(flat, row, n)
+        return pa.table({"g": pc.unique(grams)})
 
-    parts = [t.column("g").to_numpy(zero_copy_only=False)
+    parts = [t.column("g").combine_chunks()
              for t in ray.get(bench_ds.map_batches(
                  bench_grams, batch_format="pyarrow").to_arrow_refs())
              if t.num_rows]
-    gram_set = (np.unique(np.concatenate(parts)) if parts
-                else np.empty(0, object))
-    set_ref = ray.put(gram_set)
+    gram_set = (pc.unique(pa.concat_arrays(parts)) if parts
+                else pa.array([], pa.string()))
+    set_ref = ray.put(gram_set)        # Arrow array: zero-copy per task
 
     def score(batch: pa.Table) -> pa.Table:
         gs = ray.get(set_ref)
         ids = batch.column(id_col)
-        n_g, n_hit = [], []
-        for toks in _toks(batch):
-            grams = [" ".join(toks[i:i + n])
-                     for i in range(len(toks) - n + 1)]
-            n_g.append(len(grams))
-            if grams and len(gs):
-                a = np.asarray(grams, object)
-                pos = np.searchsorted(gs, a)
-                pos = np.minimum(pos, len(gs) - 1)
-                n_hit.append(int((gs[pos] == a).sum()))
-            else:
-                n_hit.append(0)
+        flat, row, toklens = _tok_flat(batch.column(text_col))
+        n_g = np.maximum(toklens - (n - 1), 0)
+        n_hit = np.zeros(len(n_g), np.int64)
+        grams, grow = _join_ngrams(flat, row, n)
+        if len(grams) and len(gs):
+            hit = pc.is_in(grams, value_set=gs).to_numpy(
+                zero_copy_only=False)
+            np.add.at(n_hit, grow[hit], 1)
         return pa.table({
             id_col: ids,
-            "n_ngrams": pa.array(np.asarray(n_g, np.int64), pa.int64()),
-            "n_contaminated": pa.array(np.asarray(n_hit, np.int64), pa.int64()),
+            "n_ngrams": pa.array(n_g, pa.int64()),
+            "n_contaminated": pa.array(n_hit, pa.int64()),
         })
 
     return train_ds.map_batches(score, batch_format="pyarrow")
@@ -561,9 +649,9 @@ def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id",
     were already collapsed to single spaces).  Non-ASCII case folding
     can differ between Python and ICU — pin inputs first."""
     def fn(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column(text_col).to_pylist())
-        n = (s.str.replace("[\t\n\f\r ]+", " ", regex=True)
-             .str.strip(" ").str.lower())
-        return pa.table({id_col: batch.column(id_col),
-                         out: pa.array(n.to_numpy(object), pa.string())})
+        # NULL propagates through every Arrow kernel (SQL semantics)
+        s = pc.replace_substring_regex(batch.column(text_col),
+                                       "[\t\n\f\r ]+", " ")
+        n = pc.utf8_lower(pc.utf8_trim(s, " "))
+        return pa.table({id_col: batch.column(id_col), out: n})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
