@@ -685,14 +685,20 @@ def embedding_dedup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id"
 
     Candidate recall is probabilistic in max_hamming (unlike the exact
     text paths); the verify stage computes true cosine, so precision is
-    exact.  Raise max_hamming for higher recall at more candidates.
+    exact.  Raise max_hamming and/or n_planes (<= 64: the signature is
+    packed into one 64-bit word) for higher recall at more candidates.
     """
+    if not 1 <= n_planes <= 64:
+        raise ValueError("n_planes must be in [1, 64] (one-word packing); "
+                         "use more LSH tables (similarity.knn_lsh) for "
+                         "wider signatures")
+
     def sig(batch: pa.Table) -> pa.Table:
         x = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False))
         rng = np.random.default_rng(seed)
-        planes = rng.normal(size=(x.shape[1], 64))
+        planes = rng.normal(size=(x.shape[1], n_planes))
         bits = (x @ planes > 0).astype(np.uint64)
-        words = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        words = (bits << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64)
         return pa.table({id_col: batch.column(id_col),
                          "planehash": pa.array(words.astype(np.int64), pa.int64()),
@@ -701,14 +707,23 @@ def embedding_dedup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id"
     sigs = ds.map_batches(sig, batch_format="pyarrow")
     # materialized for the same join-decoupling reason as minhash
     cands = hamming_pairs(sigs, hash_col="planehash", id_col=id_col,
-                          max_hamming=max_hamming).materialize()
+                          max_hamming=max_hamming,
+                          bit_width=n_planes).materialize()
 
     # Ray's hash join rejects (fixed_size_)list non-key fields — carry the
     # vector as raw float64 bytes through the two id joins instead
+    # (ONE matrix tobytes + a vectorized offset build, no per-row loop)
     def to_bytes(batch: pa.Table) -> pa.Table:
-        x = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        x = np.ascontiguousarray(np.stack(
+            batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+            np.float64))
+        stride = x.shape[1] * 8
+        offs = np.arange(0, (len(x) + 1) * stride, stride, dtype=np.int32)
+        vec_bytes = pa.BinaryArray.from_buffers(
+            pa.binary(), len(x),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(x.tobytes())])
         return pa.table({id_col: batch.column(id_col),
-                         "vec_bytes": pa.array([row.tobytes() for row in x], pa.binary())})
+                         "vec_bytes": vec_bytes})
 
     vecs = ds.select_columns([id_col, vec_col]).map_batches(
         to_bytes, batch_format="pyarrow")
@@ -719,11 +734,23 @@ def embedding_dedup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id"
                  on=("id_b",), right_on=(id_col,), right_suffix="_b")
     j2 = _rename_first_present(j2, ["vec_bytes_b", "vec_bytes"], "vec_b")
 
+    def _mat(col: pa.ChunkedArray) -> np.ndarray:
+        # equal-width binary column -> (n, dim) float64 view of the data
+        # buffer (no per-row frombuffer)
+        a = col.combine_chunks()
+        off = np.frombuffer(a.buffers()[1], np.int32,
+                            len(a) + 1, a.offset * 4)
+        widths = np.diff(off)
+        assert len(widths) == 0 or (widths == widths[0]).all()
+        flat = np.frombuffer(a.buffers()[2], np.uint8)[off[0]:off[-1]]
+        return flat.view(np.float64).reshape(len(a), -1)
+
     def verify(batch: pa.Table) -> pa.Table:
-        xa = np.stack([np.frombuffer(b, np.float64)
-                       for b in batch.column("vec_a").to_pylist()])
-        xb = np.stack([np.frombuffer(b, np.float64)
-                       for b in batch.column("vec_b").to_pylist()])
+        if batch.num_rows == 0:
+            return batch.select(["id_a", "id_b"]).append_column(
+                "cosine", pa.array([], pa.float64()))
+        xa = _mat(batch.column("vec_a"))
+        xb = _mat(batch.column("vec_b"))
         cos = (xa * xb).sum(1) / (np.linalg.norm(xa, axis=1) * np.linalg.norm(xb, axis=1))
         out = batch.select(["id_a", "id_b"]).append_column(
             "cosine", pa.array(cos, pa.float64()))

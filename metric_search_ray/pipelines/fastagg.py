@@ -45,6 +45,14 @@ def sort_block_aggregate(ds, key: list[str] | str, aggs: dict):
     for out, (col, fn) in aggs.items():
         if fn not in _COMBINE:
             raise ValueError(f"unsupported aggregate {fn!r}")
+        if col is None and fn == "count":
+            # row count: pyarrow count_all (a plain "count" over a key
+            # column would skip rows whose key is NULL)
+            if "count_all" in rename:
+                raise ValueError("duplicate row-count aggregate")
+            partial_spec.append(([], "count_all"))
+            rename["count_all"] = out
+            continue
         src = col if col is not None else keys[0]
         pa_name = f"{src}_{fn}"
         if pa_name in rename:
@@ -54,7 +62,8 @@ def sort_block_aggregate(ds, key: list[str] | str, aggs: dict):
     combine_spec = [(out, _COMBINE[fn]) for out, (_, fn) in aggs.items()]
     combine_rename = {f"{out}_{_COMBINE[fn]}": out
                       for out, (_, fn) in aggs.items()}
-    out_cols = keys + [rename[f"{c}_{f}"] for c, f in partial_spec]
+    out_cols = keys + [rename["count_all" if f == "count_all"
+                              else f"{c}_{f}"] for c, f in partial_spec]
 
     def block_partials(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -72,14 +81,20 @@ def sort_block_aggregate(ds, key: list[str] | str, aggs: dict):
         # global sort a key's rows are globally contiguous, so every
         # partial row of a block-spanning key is an edge — healing only
         # edges is exact.
+        def _eq_scalar(col: pa.ChunkedArray, scalar) -> np.ndarray:
+            # null-safe: a NULL key groups with NULL (sorted contiguous),
+            # so null == null must be True here
+            if not scalar.is_valid:
+                return pc.is_null(col).to_numpy(zero_copy_only=False)
+            return pc.fill_null(pc.equal(col, scalar), False).to_numpy(
+                zero_copy_only=False)
+
         is_first = np.ones(gb.num_rows, bool)
         is_last = np.ones(gb.num_rows, bool)
         for kc in keys:
             col = gb.column(kc)
-            is_first &= pc.equal(col, batch.column(kc)[0]).to_numpy(
-                zero_copy_only=False)
-            is_last &= pc.equal(col, batch.column(kc)[-1]).to_numpy(
-                zero_copy_only=False)
+            is_first &= _eq_scalar(col, batch.column(kc)[0])
+            is_last &= _eq_scalar(col, batch.column(kc)[-1])
         return (gb.select(out_cols)
                 .append_column("_edge", pa.array(is_first | is_last,
                                                  pa.bool_())))

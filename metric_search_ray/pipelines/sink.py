@@ -33,23 +33,30 @@ SINK_MANIFEST = pa.schema([
 ])
 
 
-def partition_path(out_dir: str, value) -> str:
+def partition_path(out_dir: str, value, suffix: str = "") -> str:
     safe = str(value).replace(os.sep, "_")
-    return os.path.join(out_dir, f"part-{safe}.parquet")
+    return os.path.join(out_dir, f"part-{safe}{suffix}.parquet")
 
 
 def write_partitioned(ds, out_dir: str, partition_col: str,
-                      resume: bool = True) -> pa.Table:
+                      resume: bool = True, filename_suffix: str = "",
+                      write_manifest: bool = True) -> pa.Table:
     """Write one parquet file per distinct partition_col value.
     Returns the manifest table (also written as manifest.parquet,
-    atomically).  Rerun with ``resume=True`` skips partitions whose
-    files exist (atomic rename guarantees a present file is complete).
+    atomically, unless ``write_manifest=False`` — merge-style callers
+    that must transition the manifest old->new in ONE atomic step pass
+    False and write the combined manifest themselves).  Rerun with
+    ``resume=True`` skips partitions whose files exist (atomic rename
+    guarantees a present file is complete).  ``filename_suffix`` writes
+    versioned file names (``part-<val><suffix>.parquet``) so a merge
+    can write new data WITHOUT touching the files a crash-recovery
+    would still need.
     """
     os.makedirs(out_dir, exist_ok=True)
 
     def write_one(g: pa.Table) -> pa.Table:
         val = g.column(partition_col)[0].as_py()
-        path = partition_path(out_dir, val)
+        path = partition_path(out_dir, val, filename_suffix)
         if resume and os.path.exists(path):
             md = pq.read_metadata(path)
             return pa.table({"partition": [str(val)], "n_rows": [md.num_rows],
@@ -69,15 +76,23 @@ def write_partitioned(ds, out_dir: str, partition_col: str,
     manifest = pa.Table.from_pandas(manifest_ds.to_pandas(),
                                     schema=SINK_MANIFEST,
                                     preserve_index=False)
+    if write_manifest:
+        replace_manifest(out_dir, manifest)
+    return manifest
+
+
+def replace_manifest(out_dir: str, manifest: pa.Table) -> None:
+    """Atomically install ``manifest`` as the directory's manifest."""
     tmp = os.path.join(out_dir, f"manifest.tmp.{os.getpid()}")
     pq.write_table(manifest, tmp)
     os.replace(tmp, os.path.join(out_dir, "manifest.parquet"))
-    return manifest
 
 
 def read_partitioned(out_dir: str, partitions: list | None = None):
     """Read back selected partitions (or all) through the manifest —
-    file-pruned at the source."""
+    file-pruned at the source.  A manifest-listed file that is MISSING
+    on disk is corruption (the manifest is authoritative): fail loudly
+    instead of silently reading a subset."""
     import ray.data as rd
 
     manifest = pq.read_table(os.path.join(out_dir, "manifest.parquet"))
@@ -86,4 +101,10 @@ def read_partitioned(out_dir: str, partitions: list | None = None):
         want = {str(p) for p in partitions}
         parts = manifest.column("partition").to_pylist()
         paths = [p for p, v in zip(paths, parts) if v in want]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"{out_dir}: {len(missing)} manifest-listed partition file(s) "
+            f"missing (e.g. {missing[0]}) — the sink directory is "
+            "corrupted; refusing to read a silent subset")
     return rd.read_parquet(paths)

@@ -68,7 +68,10 @@ def grouped_percent_rank(ds, key, value_col: str, out: str = "pr"):
     #keys x #distinct — same contract as grouped_quantiles), broadcast
     once via ray.put, then a map-side vectorized lookup per row.
     Matches SQL: pr = (#rows with smaller value in the key) / (n_key-1),
-    0.0 for single-row keys."""
+    0.0 for single-row keys.  NULL keys or values are REJECTED (raise):
+    a NULL would become NaN in the broadcast numpy LUT and searchsorted
+    against NaN returns arbitrary indices — wrong ranks for the whole
+    key, silently.  Filter or fill NULLs upstream."""
     import ray
 
     keys = _keylist(key)
@@ -78,6 +81,12 @@ def grouped_percent_rank(ds, key, value_col: str, out: str = "pr"):
     cols = keys + [value_col]
 
     def block_census(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch.column(c).null_count:
+                raise ValueError(
+                    f"grouped_percent_rank: NULL in {c!r} is unsupported "
+                    "(would corrupt the searchsorted LUT) — drop or fill "
+                    "NULLs upstream")
         gb = (batch.select(cols).group_by(cols, use_threads=False)
               .aggregate([([], "count_all")]))
         return gb.rename_columns(cols + ["cnt"])
@@ -140,6 +149,11 @@ def grouped_zscore(ds, key, value_col: str, out: str = "z"):
 
     def block_moments(batch: pa.Table) -> pa.Table:
         t = batch.select(cols)
+        for c in cols:
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"grouped_zscore: NULL in {c!r} is unsupported — "
+                    "drop or fill NULLs upstream")
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
         t = (t.drop_columns([value_col])
              .append_column("_v", pa.array(v, pa.int64()))

@@ -88,10 +88,21 @@ def grouped_top_k(ds, keys: list[str] | str, order_col: str, k: int,
     # the key tuple
     sort_np = [healed.column(id_col).to_numpy(zero_copy_only=False)]
     ov = healed.column(order_col).to_numpy(zero_copy_only=False)
-    sort_np.append(-ov if descending and np.issubdtype(ov.dtype, np.number)
-                   else ov)
     if descending and not np.issubdtype(ov.dtype, np.number):
         raise TypeError("descending grouped_top_k needs a numeric order column")
+    if np.issubdtype(ov.dtype, np.floating) and np.isnan(ov).any():
+        raise ValueError("grouped_top_k: NaN order values are unsupported "
+                         "(their sort position would differ between the "
+                         "distributed sort and the driver re-rank)")
+    if descending:
+        # dense-rank then negate — np.negative on unsigned ints WRAPS
+        # (0 stays smallest) and can overflow int64 min; ranks are
+        # always small non-negative ints, ties collapse to one rank so
+        # the id tiebreak below still applies
+        _, inv = np.unique(ov, return_inverse=True)
+        sort_np.append(-inv.astype(np.int64))
+    else:
+        sort_np.append(ov)
     kcols = [healed.column(c).to_numpy(zero_copy_only=False) for c in keys]
     order = np.lexsort(tuple(reversed(kcols + [sort_np[1], sort_np[0]])))
     # after lexsort: grouped by keys, ordered by (order, id) within

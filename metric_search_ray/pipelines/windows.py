@@ -93,13 +93,25 @@ def _sessionize(ep: np.ndarray, vals: np.ndarray, gap_s: int):
 
 def sessions(ds, key_col: str, ts_col: str, gap_s: int, value_col: str):
     """Gap-based sessions per key: (key, session_start, session_end, n,
-    sum_value).  Ordering assumption: map_groups hands one full key per
-    group; events are sorted by ts inside the UDF.
+    sum_value).
 
-    SKEW NOTE: one key's entire history lands in one task.  For keys
-    holding a large fraction of all events use ``sessions_scalable``,
-    which pre-splits by coarse time range and merges boundary sessions.
-    """
+    DEFAULTS to the skew-hardened sort-based implementation
+    (``sessions_scalable``): a hot key's events spread across many
+    sorted blocks instead of landing in one task, and session
+    boundaries (key, start, end, n) are bit-identical to the per-key
+    path; float sums can differ only in add order.  The per-key
+    ``map_groups`` variant survives as ``sessions_grouped`` for
+    workloads with many small keys where the global sort isn't worth
+    it."""
+    return sessions_scalable(ds, key_col, ts_col, gap_s, value_col)
+
+
+def sessions_grouped(ds, key_col: str, ts_col: str, gap_s: int,
+                     value_col: str):
+    """Per-key ``map_groups`` sessionizer.  Ordering assumption:
+    map_groups hands one full key per group; events are sorted by ts
+    inside the UDF.  SKEW NOTE: one key's entire history lands in one
+    task — prefer ``sessions`` (sort-based) when any key may be hot."""
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
@@ -123,51 +135,140 @@ def asof_join_ids(left_ds, right_ds, key_col: str, ts_col: str,
     timestamp < left.ts (``strict``) or <= (non-strict); -1 when no
     right row precedes it.
 
-    Shuffle shape: both sides project to (key, ts, id) — payloads never
-    move; callers hash-join payloads back by id.  The match itself is a
-    union + ``groupby(key)`` with a vectorized searchsorted per key
-    (ties on ts resolve to the greatest right id — deterministic).
-    Partitioning assumption: one key's rows fit one task (same skew
-    note as ``sessions``; pre-split by coarse time range + boundary
-    carry is the mitigation at extreme key skew).
+    Skew-safe shape (no per-key task): both sides project to
+    (key, ts, id) — payloads never move; callers hash-join payloads
+    back by id.  The union is globally sorted by (key, ep, ord, id)
+    where ``ord`` places rights before/after equal-ts lefts according
+    to ``strict``, so "the match" is simply THE LAST RIGHT ROW ABOVE
+    each left row within its key — a vectorized maximum.accumulate per
+    sorted block.  Lefts whose preceding right sits in an earlier block
+    resolve against a per-(block, key) CARRY (last right per key per
+    block, prefix-combined on the driver — bounded by #keys x #blocks,
+    never by a hot key's event count).  Ties on ts resolve to the
+    greatest right id — deterministic, identical to a per-key
+    searchsorted.
 
     Returns (left_id, matched right_id | -1, matched ts | -1).
     """
+    import ray
+    import ray.data as rd
+
     def project(ds_, id_col_, side_):
+        # ord: sort position at EQUAL ts — strict excludes equal-ts
+        # rights (lefts first), non-strict includes them (rights first)
+        ordv = (side_ if strict else 1 - side_)
+
         def fn(b: pa.Table) -> pa.Table:
             return pa.table({
                 key_col: b.column(key_col),
                 "ep": pa.array(_ts_to_epoch(b, ts_col), pa.int64()),
+                "ord": pa.array(np.full(b.num_rows, ordv, np.int8)),
                 "row_id": b.column(id_col_),
                 "side": pa.array(np.full(b.num_rows, side_, np.int8)),
             })
         return ds_.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
     both = project(left_ds, left_id, 0).union(project(right_ds, right_id, 1))
+    sorted_ds = both.sort([key_col, "ep", "ord", "row_id"]).materialize()
+    refs = sorted_ds.to_arrow_refs()        # range partitions, in order
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["side"] == 0]
-        r = g[g["side"] == 1]
-        lid = l["row_id"].to_numpy()
-        lep = l["ep"].to_numpy()
-        rep = r["ep"].to_numpy()
-        rid = r["row_id"].to_numpy()
-        if len(rep) == 0:
-            out_id = np.full(len(lid), -1, np.int64)
-            out_ep = np.full(len(lid), -1, np.int64)
+    @ray.remote
+    def block_last_right(tbl: pa.Table):
+        """(last right row per key in this sorted block, block bounds)."""
+        bounds = None
+        if tbl.num_rows:
+            bounds = (tbl.column(key_col)[0].as_py(),
+                      tbl.column("ep")[0].as_py(),
+                      tbl.column(key_col)[-1].as_py(),
+                      tbl.column("ep")[-1].as_py())
+        r = tbl.filter(pa.compute.equal(tbl.column("side"), 1))
+        if r.num_rows == 0:
+            return r.select([key_col, "ep", "row_id"]), bounds
+        k = r.column(key_col).to_numpy(zero_copy_only=False)
+        last = np.concatenate([k[1:] != k[:-1], [True]])
+        return (r.select([key_col, "ep", "row_id"]).filter(pa.array(last)),
+                bounds)
+
+    lasts_bounds = ray.get([block_last_right.remote(ref) for ref in refs])
+    lasts = [lb[0] for lb in lasts_bounds]
+    # the carry protocol requires refs in global sort order — verify
+    # block bounds are non-decreasing (cheap, fails loudly if Ray ever
+    # changes sorted-block ordering)
+    prev = None
+    for _, bounds in lasts_bounds:
+        if bounds is None:
+            continue
+        lo, hi = (bounds[0], bounds[1]), (bounds[2], bounds[3])
+        if prev is not None and lo < prev:
+            raise AssertionError("asof_join_ids: sorted blocks arrived "
+                                 "out of order; carry protocol invalid")
+        prev = hi
+
+    @ray.remote
+    def resolve(tbl: pa.Table, carry: pa.Table | None) -> pa.Table:
+        n = tbl.num_rows
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        ep = tbl.column("ep").to_numpy()
+        rid = tbl.column("row_id").to_numpy()
+        side = tbl.column("side").to_numpy()
+        is_right = side == 1
+        idx = np.arange(n, dtype=np.int64)
+        lastr = np.maximum.accumulate(np.where(is_right, idx, -1)) \
+            if n else np.empty(0, np.int64)
+        # valid only if that right belongs to the SAME key: compare
+        # against the key's first index in this block
+        new_key = np.concatenate([[True], k[1:] != k[:-1]]) if n else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, n))
+        key_start = np.repeat(starts, counts)
+        lmask = ~is_right
+        lpos = idx[lmask]
+        cand = lastr[lmask]
+        in_block = cand >= key_start[lmask]
+        out_id = np.where(in_block, rid[np.maximum(cand, 0)], -1)
+        out_ep = np.where(in_block, ep[np.maximum(cand, 0)], -1)
+        if carry is not None and carry.num_rows and (~in_block).any():
+            ck = carry.column(key_col).to_numpy(zero_copy_only=False)
+            cep = carry.column("ep").to_numpy()
+            cid = carry.column("row_id").to_numpy()
+            need = ~in_block
+            lk = k[lmask][need]
+            pos = np.searchsorted(ck, lk)
+            pos_c = np.minimum(pos, len(ck) - 1)
+            hit = ck[pos_c] == lk
+            sub_id = np.where(hit, cid[pos_c], -1)
+            sub_ep = np.where(hit, cep[pos_c], -1)
+            out_id[need] = sub_id
+            out_ep[need] = sub_ep
+        return pa.table({
+            left_id: pa.array(rid[lmask]),
+            "asof_" + right_id: pa.array(out_id.astype(np.int64), pa.int64()),
+            "asof_ep": pa.array(out_ep.astype(np.int64), pa.int64()),
+        })
+
+    # driver prefix-combine: carry for block b = last right per key over
+    # blocks < b (incremental dict of per-key lasts, snapshot per block)
+    out_refs = []
+    state: dict = {}
+    for b, ref in enumerate(refs):
+        if state:
+            keys_sorted = sorted(state)
+            carry = pa.table({
+                key_col: pa.array(keys_sorted),
+                "ep": pa.array([state[kk][0] for kk in keys_sorted],
+                               pa.int64()),
+                "row_id": pa.array([state[kk][1] for kk in keys_sorted]),
+            })
         else:
-            order = np.lexsort((rid, rep))    # ties -> greatest id is LAST
-            rep, rid = rep[order], rid[order]
-            pos = np.searchsorted(rep, lep,
-                                  side="left" if strict else "right") - 1
-            hit = pos >= 0
-            out_id = np.where(hit, rid[np.maximum(pos, 0)], -1)
-            out_ep = np.where(hit, rep[np.maximum(pos, 0)], -1)
-        return pd.DataFrame({left_id: lid,
-                             "asof_" + right_id: out_id.astype(np.int64),
-                             "asof_ep": out_ep.astype(np.int64)})
-
-    return both.groupby(key_col).map_groups(per_key, batch_format="pandas")
+            carry = None
+        out_refs.append(resolve.remote(ref, carry))
+        lt = lasts[b]
+        for kk, e, i in zip(lt.column(key_col).to_pylist(),
+                            lt.column("ep").to_pylist(),
+                            lt.column("row_id").to_pylist()):
+            state[kk] = (e, i)
+    return rd.from_arrow_refs(out_refs)
 
 
 def sessions_scalable(ds, key_col: str, ts_col: str, gap_s: int, value_col: str,
@@ -249,13 +350,21 @@ def funnel(ds, key_col: str, ts_col: str, type_col: str, steps: list[str]):
     one row per key that completed step 1: (key, steps_completed,
     ts_1..ts_k epoch-us, -1 for unreached steps).
 
-    Shuffle shape: projects to (key, ep, step-index) — payloads never
-    move — then one ``groupby(key)``; the per-key kernel is a
-    searchsorted chain over that key's sorted step timestamps, one
-    call per funnel STEP (not per event).  Same partitioning
-    assumption as sessions/asof: one key's projected rows fit a task.
+    Skew-proof shape (no per-key grouping of raw events at all): the
+    chain advances one step per PASS.  Pass i holds a per-key threshold
+    ``cur`` (the ts reached at step i-1; one entry per surviving key,
+    bounded by the OUTPUT size, broadcast once via ``ray.put``), and
+    computes ``min ep of step-i events with ep > cur[key]`` — a
+    map-side per-block partial min per key (a grouped-min census, tiny
+    exchange to the driver), so a key with a billion step-i events
+    contributes at most one row per block.  k passes over the projected
+    step events (materialized once).
     """
+    import ray
+    import pyarrow.compute as pc
+
     step_idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
 
     def project(batch: pa.Table) -> pa.Table:
         et = batch.column(type_col).to_pylist()
@@ -271,35 +380,82 @@ def funnel(ds, key_col: str, ts_col: str, type_col: str, steps: list[str]):
             "si": pa.array(si[keep], pa.int64()),
         })
 
-    k = len(steps)
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        out_ts = np.full(k, -1, np.int64)
-        cur = -1  # strictly-after threshold
-        done = 0
-        for i in range(k):
-            eps = np.sort(g.loc[g["si"] == i, "ep"].to_numpy())
-            pos = np.searchsorted(eps, cur, side="right")
-            if pos >= len(eps):
-                break
-            cur = int(eps[pos])
-            out_ts[i] = cur
-            done += 1
-        if done == 0:
-            # typed empty frame: object-dtype empties arrow-convert to
-            # null columns and break cross-block schema unification
-            return pd.DataFrame({
-                key_col: pd.Series([], dtype=g[key_col].dtype),
-                "steps_completed": pd.Series([], dtype=np.int64),
-                **{f"ts_{i+1}": pd.Series([], dtype=np.int64)
-                   for i in range(k)}})
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
-                             "steps_completed": [done],
-                             **{f"ts_{i+1}": [out_ts[i]] for i in range(k)}})
+    def step_min(i: int, state_ref):
+        """Distributed per-key min over step-i events strictly after the
+        key's threshold; None state = pass 0 (every key, cur = -inf)."""
+        def partial(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch.column("si"), i).to_numpy(
+                zero_copy_only=False)
+            kv = batch.column(key_col).to_numpy(zero_copy_only=False)[m]
+            ev = batch.column("ep").to_numpy()[m]
+            if state_ref is not None:
+                st = ray.get(state_ref)
+                sk, scur = st["k"], st["cur"]
+                pos = np.searchsorted(sk, kv)
+                pos_c = np.minimum(pos, max(len(sk) - 1, 0))
+                hit = (sk[pos_c] == kv) if len(sk) else np.zeros(len(kv), bool)
+                after = np.zeros(len(kv), bool)
+                after[hit] = ev[hit] > scur[pos_c[hit]]
+                kv, ev = kv[after], ev[after]
+            if len(kv) == 0:
+                return pa.table({key_col: pa.array([], batch.schema.field(
+                    key_col).type), "ep": pa.array([], pa.int64())})
+            t = pa.table({key_col: pa.array(kv), "ep": pa.array(ev, pa.int64())})
+            gb = t.group_by([key_col], use_threads=False).aggregate(
+                [("ep", "min")])
+            return gb.rename_columns([key_col, "ep"])
 
-    return (ds.map_batches(project, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(key_col).map_groups(per_key, batch_format="pandas"))
+        parts = [t for t in ray.get(
+            proj.map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return None
+        allp = pa.concat_tables(parts)
+        gb = allp.group_by([key_col], use_threads=False).aggregate(
+            [("ep", "min")])
+        kv = gb.column(key_col).to_numpy(zero_copy_only=False)
+        ev = gb.column("ep_min").to_numpy()
+        order = np.argsort(kv, kind="stable")
+        return kv[order], ev[order]
+
+    state_ref = None
+    survivors: list[tuple[np.ndarray, np.ndarray]] = []
+    for i in range(k):
+        res = step_min(i, state_ref)
+        if res is None:
+            break
+        kv, ev = res
+        survivors.append((kv, ev))
+        state_ref = ray.put({"k": kv, "cur": ev})
+
+    if not survivors:
+        import ray.data as rd
+        ktype = proj.schema().base_schema.field(key_col).type \
+            if hasattr(proj.schema(), "base_schema") else pa.string()
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([], ktype),
+            "steps_completed": pa.array([], pa.int64()),
+            **{f"ts_{i+1}": pa.array([], pa.int64()) for i in range(k)}}))
+
+    # assemble one row per key that completed step 1
+    keys0, _ = survivors[0]
+    done = np.ones(len(keys0), np.int64)
+    ts_cols = np.full((len(keys0), k), -1, np.int64)
+    ts_cols[:, 0] = survivors[0][1]
+    for i in range(1, len(survivors)):
+        kv, ev = survivors[i]
+        pos = np.searchsorted(keys0, kv)
+        ts_cols[pos, i] = ev
+        done[pos] = i + 1
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        key_col: pa.array(keys0),
+        "steps_completed": pa.array(done, pa.int64()),
+        **{f"ts_{i+1}": pa.array(ts_cols[:, i], pa.int64())
+           for i in range(k)}}))
 
 
 def tumbling_checkpointed(ds, ckpt_dir: str, key_col: str, ts_col: str,
@@ -328,8 +484,13 @@ def tumbling_merge_update(new_ds, ckpt_dir: str, key_col: str, ts_col: str,
     new events, read back ONLY the sink partitions their windows touch,
     sum-merge (count and sum are semilattice-mergeable partials), and
     atomically rewrite just those partitions.  Untouched partitions are
-    never read.  Returns the updated manifest."""
+    never read.  Returns the updated manifest.
+
+    Single-writer contract: one merge at a time per ckpt_dir (the
+    orphan sweep would otherwise delete a concurrent merge's fresh
+    files)."""
     import os
+    import time
 
     import pyarrow.parquet as pq
     import ray
@@ -352,22 +513,33 @@ def tumbling_merge_update(new_ds, ckpt_dir: str, key_col: str, ts_col: str,
     have = {p: path for p, path in
             zip(old_manifest.column("partition").to_pylist(),
                 old_manifest.column("path").to_pylist())}
-    exist = [p for p in touched if str(p) in have and
-             os.path.exists(have[str(p)])]
+    missing = [p for p in touched if str(p) in have and
+               not os.path.exists(have[str(p)])]
+    if missing:
+        # a manifest-listed file vanished: the directory is corrupt —
+        # merging delta-only here would silently drop accumulated
+        # counts, so refuse (crash-resume contract)
+        raise FileNotFoundError(
+            f"{ckpt_dir}: manifest lists partitions {missing[:3]}... whose "
+            "files are missing; refusing a delta-only merge")
+    exist = [p for p in touched if str(p) in have]
     merged = delta
     if exist:
         merged = sink.read_partitioned(ckpt_dir, partitions=exist).union(delta)
     merged = sort_block_aggregate(
         merged, [key_col, "window_start", "part"],
         {"n": ("n", "sum"), "sum_value": ("sum_value", "sum")})
-    # rewrite only touched partitions: drop their files, resume skips rest
-    for p in exist:
-        os.remove(have[str(p)])
+    # CRASH-SAFE ORDER: (1) write merged partitions to NEW versioned
+    # files (old files untouched -> a crash here loses nothing: the old
+    # manifest still points at complete old files, the orphan new files
+    # are swept below on the next merge); (2) install the combined
+    # manifest in ONE atomic rename; (3) only then delete the stale old
+    # files (a crash between 2 and 3 leaves unreferenced orphans only).
+    suffix = f"-m{time.time_ns():x}"
     new_manifest = sink.write_partitioned(merged, ckpt_dir, "part",
-                                          resume=True)
-    # write_partitioned's manifest covers only the partitions in
-    # ``merged`` — merge back the untouched partitions' rows so the
-    # manifest stays complete
+                                          resume=False,
+                                          filename_suffix=suffix,
+                                          write_manifest=False)
     touched_strs = {str(p) for p in touched}
     keep_rows = [i for i in range(old_manifest.num_rows)
                  if old_manifest.column("partition")[i].as_py()
@@ -375,7 +547,14 @@ def tumbling_merge_update(new_ds, ckpt_dir: str, key_col: str, ts_col: str,
     full = pa.concat_tables([
         old_manifest.take(pa.array(keep_rows, pa.int64())),
         new_manifest]).combine_chunks()
-    tmp = os.path.join(ckpt_dir, f"manifest.tmp.{os.getpid()}")
-    pq.write_table(full, tmp)
-    os.replace(tmp, os.path.join(ckpt_dir, "manifest.parquet"))
+    sink.replace_manifest(ckpt_dir, full)
+    live = set(full.column("path").to_pylist())
+    for p in exist:                          # stale files, post-swap
+        if have[str(p)] not in live:
+            os.remove(have[str(p)])
+    for f in os.listdir(ckpt_dir):           # orphans from crashed merges
+        fp = os.path.join(ckpt_dir, f)
+        if (f.startswith("part-") and f.endswith(".parquet")
+                and fp not in live):
+            os.remove(fp)
     return full

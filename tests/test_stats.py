@@ -172,3 +172,78 @@ def test_histogram_matches_numpy_and_sql_clip(ray_session):
     assert got.set_index("bin")["n"].to_dict() == {
         int(b): int(exp[b]) for b in np.flatnonzero(exp)}
     assert got["n"].sum() == len(inb)     # out-of-range rows dropped
+
+
+# ------------------------------------------------------- round-3 regressions
+
+def test_grouped_top_k_unsigned_order_with_zero(ray_session):
+    """Descending top-k over an UNSIGNED order column containing 0:
+    np.negative would wrap 0 to the TOP of an edge group (review
+    finding) — dense-rank negation must keep it last."""
+    import pyarrow as pa
+    import ray.data as rd
+    from metric_search_ray.pipelines import topk
+
+    # one group spanning blocks (every group is an edge group with
+    # target_num_blocks tiny), values include 0 and big uint64s
+    n = 40
+    vals = np.concatenate([[0, 2**63 + 7], np.arange(1, n - 1)]).astype(
+        np.uint64)
+    t = pa.table({"g": pa.array(["a"] * n),
+                  "v": pa.array(vals, pa.uint64()),
+                  "id": pa.array(np.arange(n, dtype=np.int64))})
+    out = topk.grouped_top_k(rd.from_arrow(t).repartition(6), "g", "v", 3,
+                             id_col="id", descending=True).to_pandas()
+    got = set(out["v"].astype(np.uint64))
+    exp = set(np.sort(vals)[-3:])
+    assert got == exp, (got, exp)
+    assert 0 not in got
+
+
+def test_grouped_top_k_nan_rejected(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from metric_search_ray.pipelines import topk
+
+    t = pa.table({"g": ["a", "a", "a"], "v": [1.0, float("nan"), 2.0],
+                  "id": [1, 2, 3]})
+    with pytest.raises((ValueError, Exception)):
+        topk.grouped_top_k(rd.from_arrow(t).repartition(2), "g", "v", 2,
+                           id_col="id", descending=True).to_pandas()
+
+
+def test_sort_block_aggregate_null_key_count(ray_session):
+    """'count' with col=None counts ROWS — a NULL-valued group key must
+    not zero it (count_all fix)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from metric_search_ray.pipelines.fastagg import sort_block_aggregate
+
+    # nullable float key (Ray's own sort rejects None in string keys,
+    # so nullable-numeric is the reachable case)
+    t = pa.table({"k": pa.array([1.5, None, None, 2.5, 1.5], pa.float64()),
+                  "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    out = sort_block_aggregate(rd.from_arrow(t).repartition(3), "k",
+                               {"n": (None, "count"),
+                                "s": ("v", "sum")}).to_pandas()
+    m = {("<null>" if (k is None or (isinstance(k, float) and np.isnan(k)))
+          else k): (n, s)
+         for k, n, s in zip(out["k"], out["n"], out["s"])}
+    assert m[1.5] == (2, 6)
+    assert m[2.5] == (1, 4)
+    assert m["<null>"] == (2, 5)
+
+
+def test_percent_rank_and_zscore_reject_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from metric_search_ray.pipelines import stats
+
+    t = pa.table({"k": pa.array(["a", "a", "b"]),
+                  "v": pa.array([1.0, None, 2.0], pa.float64())})
+    with pytest.raises(Exception, match="NULL"):
+        stats.grouped_percent_rank(rd.from_arrow(t), "k", "v").to_pandas()
+    t2 = pa.table({"k": pa.array(["a", None, "b"]),
+                   "v": pa.array([1, 2, 3], pa.int64())})
+    with pytest.raises(Exception, match="NULL"):
+        stats.grouped_zscore(rd.from_arrow(t2), "k", "v").to_pandas()

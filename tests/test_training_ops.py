@@ -381,3 +381,64 @@ def test_contamination_check_planted(ray_session):
     assert out["n_contaminated"].tolist()[0] == 0
     assert out["n_contaminated"].tolist()[1] == 2   # two 4-grams overlap
     assert out["n_ngrams"].tolist()[2] == 0
+
+
+def test_embedding_dedup_n_planes_honored(ray_session):
+    """n_planes must actually change the signature (review finding: it
+    was hardcoded to 64); >64 raises; results stay exact-precision at
+    any plane count (the verify stage computes true cosine)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from metric_search_ray.pipelines import dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    # plant 5 near-dup pairs
+    dup = base[:5] + rng.normal(scale=1e-3, size=(5, 16))
+    x = np.vstack([base, dup])
+    t = pa.table({"vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+                  "embedding": pa.array(list(x.astype(np.float64)))})
+    ds = rd.from_arrow(t)
+    got = dedup.embedding_dedup_pairs(
+        ds, cos_threshold=0.99, n_planes=32, max_hamming=8).to_pandas()
+    pairs = {tuple(sorted(p)) for p in
+             zip(got["id_a"].astype(int), got["id_b"].astype(int))}
+    assert {(i, 40 + i) for i in range(5)} <= pairs
+    # exact precision: every reported pair really is above threshold
+    for a, b in pairs:
+        cos = float(x[a] @ x[b] / (np.linalg.norm(x[a]) * np.linalg.norm(x[b])))
+        assert cos >= 0.99
+    with pytest.raises(ValueError):
+        dedup.embedding_dedup_pairs(ds, n_planes=128)
+
+
+def test_bigram_lm_score_census_cap(ray_session):
+    """max_bigrams: capped run (a) returns a row per scoreable doc,
+    (b) never scores ABOVE the exact path (unseen bigrams smooth to
+    count 0), (c) equals the exact path when the cap exceeds the
+    census."""
+    import pyarrow as pa
+    import ray.data as rd
+    from metric_search_ray.pipelines import text as textops
+
+    rng = np.random.default_rng(9)
+    # open-vocab-ish corpus: 300 docs with mostly-unique tokens + a few
+    # heavy-hitter bigrams
+    docs = []
+    for i in range(300):
+        toks = [f"tok{rng.integers(0, 5000)}" for _ in range(20)]
+        if i % 3 == 0:
+            toks[:2] = ["the", "cat"]
+        docs.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    ds = rd.from_arrow(t)
+    exact = textops.bigram_lm_score(ds).to_pandas().set_index("doc_id")
+    capped = textops.bigram_lm_score(ds, max_bigrams=50).to_pandas(
+        ).set_index("doc_id")
+    big = textops.bigram_lm_score(ds, max_bigrams=10**6).to_pandas(
+        ).set_index("doc_id")
+    assert len(capped) == len(exact) == 300
+    j = exact.join(capped, rsuffix="_c")
+    assert (j["score_u_c"] <= j["score_u"]).all()
+    pd.testing.assert_frame_equal(exact.sort_index(), big.sort_index())

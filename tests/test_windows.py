@@ -187,3 +187,154 @@ def test_tumbling_merge_update_incremental_equals_full(ray_session, tmp_path):
     # completeness instead)
     parts = set(m.column("partition").to_pylist())
     assert {"0", "86400", "172800", "432000"} <= parts
+
+
+# ---------------------------------------------------------------- skew +
+# crash-resume regressions (round 3)
+
+@pytest.fixture(scope="module")
+def skewed_events(ray_session):
+    """One hot key holds ~90% of all events (the 'city' key)."""
+    rng = np.random.default_rng(11)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 10, n))
+    ts = np.sort(rng.integers(0, 3 * 86400, n)).astype("datetime64[s]")
+    df = pd.DataFrame({
+        "user_id": keys.astype(np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "value": rng.normal(5, 2, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["view", "cart", "purchase"], n,
+                                 p=[0.6, 0.3, 0.1]),
+    })
+    # many small blocks so the hot key spans block boundaries
+    return rd.from_pandas(df).repartition(16), df
+
+
+def _sessions_oracle(df, gap):
+    rows = []
+    for k, g in df.sort_values("ts").groupby("user_id"):
+        ep = g["ts"].astype("datetime64[s]").astype(np.int64).to_numpy()
+        v = g["value"].to_numpy()
+        new = np.concatenate([[True], np.diff(ep) > gap])
+        st = np.flatnonzero(new)
+        en = np.concatenate([st[1:], [len(ep)]])
+        for a, b in zip(st, en):
+            rows.append((k, ep[a], ep[b - 1], b - a, v[a:b].sum()))
+    return pd.DataFrame(rows, columns=["user_id", "session_start",
+                                       "session_end", "n", "sum_value"])
+
+
+def test_sessions_skewed_key(skewed_events):
+    ds, df = skewed_events
+    got = (windows.sessions(ds, "user_id", "ts", 600, "value").to_pandas()
+           .sort_values(["user_id", "session_start"]).reset_index(drop=True))
+    exp = (_sessions_oracle(df, 600)
+           .sort_values(["user_id", "session_start"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ("user_id", "session_start", "session_end", "n"):
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
+    np.testing.assert_allclose(got["sum_value"], exp["sum_value"], rtol=1e-9)
+
+
+def test_asof_skewed_key(skewed_events):
+    ds, df = skewed_events
+    purchases = ds.filter(lambda r: r["event_type"] == "purchase")
+    got = (windows.asof_join_ids(ds, purchases, "user_id", "ts",
+                                 "event_id", "event_id").to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # brute-force oracle
+    rdf = df[df["event_type"] == "purchase"]
+    exp_id = np.full(len(df), -1, np.int64)
+    ep = df["ts"].astype("datetime64[s]").astype(np.int64).to_numpy()
+    for k, g in rdf.groupby("user_id"):
+        rep = g["ts"].astype("datetime64[s]").astype(np.int64).to_numpy()
+        rid = g["event_id"].to_numpy()
+        order = np.lexsort((rid, rep))
+        rep, rid = rep[order], rid[order]
+        mask = (df["user_id"] == k).to_numpy()
+        pos = np.searchsorted(rep, ep[mask], side="left") - 1
+        hit = pos >= 0
+        exp_id[mask] = np.where(hit, rid[np.maximum(pos, 0)], -1)
+    exp = pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                        "asof_event_id": exp_id}).sort_values(
+        "event_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["asof_event_id"].to_numpy(),
+                                  exp["asof_event_id"].to_numpy())
+
+
+def test_funnel_skewed_key(skewed_events):
+    ds, df = skewed_events
+    steps = ["view", "cart", "purchase"]
+    got = (windows.funnel(ds, "user_id", "ts", "event_type", steps)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # brute-force chain oracle
+    rows = []
+    epu = df["ts"].astype("datetime64[us]").astype(np.int64)
+    for k, g in df.assign(epu=epu).groupby("user_id"):
+        cur, done, out = -1, 0, [-1, -1, -1]
+        for i, s in enumerate(steps):
+            eps = np.sort(g.loc[g["event_type"] == s, "epu"].to_numpy())
+            pos = np.searchsorted(eps, cur, side="right")
+            if pos >= len(eps):
+                break
+            cur = int(eps[pos]); out[i] = cur; done += 1
+        if done:
+            rows.append((k, done, *out))
+    exp = pd.DataFrame(rows, columns=["user_id", "steps_completed",
+                                      "ts_1", "ts_2", "ts_3"]).sort_values(
+        "user_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
+
+
+def test_merge_update_crash_safety(ray_session, tmp_path):
+    """Crash-resume contract: old files survive until the new manifest
+    is installed; missing manifest-listed files fail loudly; orphans
+    from a crashed merge are swept."""
+    import os
+    from metric_search_ray.pipelines import sink
+
+    rng = np.random.default_rng(3)
+    def mk(n, t0):
+        ts = (t0 + np.sort(rng.integers(0, 2 * 86400, n))).astype(
+            "datetime64[s]")
+        return pd.DataFrame({"user_id": rng.integers(0, 5, n),
+                             "ts": ts.astype("datetime64[us]"),
+                             "value": np.ones(n)})
+    d = str(tmp_path / "agg")
+    base, delta = mk(500, 0), mk(300, 86400)
+    windows.tumbling_checkpointed(rd.from_pandas(base), d, "user_id",
+                                  "ts", 3600, "value")
+    manifest0 = {r["partition"]: r["path"] for r in
+                 pd.read_parquet(os.path.join(d, "manifest.parquet"))
+                 .to_dict("records")}
+    # plant an orphan file (simulates a crash between write and manifest
+    # swap of an earlier merge)
+    orphan = os.path.join(d, "part-99999-mdeadbeef.parquet")
+    import pyarrow.parquet as pq_
+    pq_.write_table(pa.table({"x": [1]}), orphan)
+    windows.tumbling_merge_update(rd.from_pandas(delta), d, "user_id",
+                                  "ts", 3600, "value")
+    assert not os.path.exists(orphan), "orphan sweep failed"
+    # merged result equals from-scratch
+    both = pd.concat([base, delta])
+    full = windows.tumbling(rd.from_pandas(both), "user_id", "ts", 3600,
+                            "value").to_pandas()
+    merged = sink.read_partitioned(d).to_pandas()
+    g = merged.groupby(["user_id", "window_start"]).agg(
+        n=("n", "sum")).reset_index().sort_values(
+        ["user_id", "window_start"]).reset_index(drop=True)
+    e = full.sort_values(["user_id", "window_start"]).reset_index(
+        drop=True)[["user_id", "window_start", "n"]]
+    np.testing.assert_array_equal(g["n"].to_numpy(), e["n"].to_numpy())
+    # corruption (manifest-listed file missing for a TOUCHED partition)
+    # fails loudly instead of silently merging delta-only
+    man = pd.read_parquet(os.path.join(d, "manifest.parquet"))
+    victim = man.loc[man["partition"] == "86400", "path"].iloc[0]
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError):
+        windows.tumbling_merge_update(rd.from_pandas(delta), d, "user_id",
+                                      "ts", 3600, "value")
