@@ -135,7 +135,8 @@ def run_bench() -> dict:
     counts["radius_rows"] = timed(
         "radius_join",
         lambda: joins.radius_join(rd.from_arrow(rqt), ckpt, radius=2.0,
-                                  batch_size=1024, use_actor_pool=False).count())
+                                  batch_size=1024, use_actor_pool=False,
+                                  emit="ids").count())
 
     # ---- 3. point-in-polygon spatial join over all points, task mode
     counts["pip_rows"] = timed(
