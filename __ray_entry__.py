@@ -1034,7 +1034,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def img_features(sf_dir: str):
         from metric_search_ray.pipelines import multimodal
         ds = rd.read_parquet(_image_table_path(sf_dir))
-        return multimodal.decode_features(ds, concurrency=4)
+        feats = multimodal.decode_features(ds, concurrency=4).to_pandas()
+        # integer-quantized wide columns (round(1e6 * f32) — exact given
+        # identical per-image kernels) so the driver's value-hash compare
+        # is well-defined; the oracle replays the same kernel per row
+        m = np.round(np.stack(feats["features"].to_numpy()
+                              ).astype(np.float64) * 1e6).astype(np.int64)
+        out = pd.DataFrame({"image_id": feats["image_id"]})
+        for j in range(m.shape[1]):
+            out[f"f{j:02d}"] = m[:, j]
+        return out
 
     def embed_knn_pq(sf_dir: str):
         """Product-quantization ANN (similarity.train_pq_codebooks /
@@ -1608,6 +1617,193 @@ FROM inter i JOIN sizes za ON za.doc_id = i.id_a
              JOIN sizes zb ON zb.doc_id = i.id_b
 WHERE i.n_inter >= {threshold} * (za.ns + zb.ns - i.n_inter)
 """
+
+
+# ---------------------------------------------------------------------------
+# pixel-content oracle replays
+#
+# The 6 image/PQ queries depend on decoded pixel content, which SQL
+# cannot derive from the fixture FORMULA.  Their oracles instead embed
+# a SINGLE-PROCESS local replay (pure numpy, no Ray — the same
+# per-row kernels, pytest-verified, driven sequentially) as VALUES
+# literals: the driver's hash compare then verifies that the
+# DISTRIBUTED orchestration (shuffles, actor pools, top-k merges)
+# produces exactly the local-execution answer — the reference's own
+# brute-force-equality bar (reference tests/test_api.cpp:52-65).
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.lru_cache(maxsize=2)
+def _fixture_rows_local(n: int):
+    """Rows 0..n-1 of the F1 fixture, computed locally (no Ray)."""
+    from metric_search_ray import fixtures
+    return [fixtures.row_of(i) for i in range(n)]
+
+
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _img_values_cte(n: int) -> str:
+    rows = _fixture_rows_local(n)
+    vals = ", ".join(
+        f"({_sqlq(r['image_id'])}, {_sqlq(r['caption'])}, {r['phash']})"
+        for r in rows)
+    return f"img(image_id, caption, phash) AS (VALUES {vals})"
+
+
+def _img_features_sql(n: int) -> str:
+    from metric_search_ray import codecs
+    from metric_search_ray.pipelines.multimodal import ImageFeatures
+    import pyarrow as _pa
+    rows = _fixture_rows_local(n)
+    tbl = _pa.table({
+        "image_id": [r["image_id"] for r in rows],
+        "bytes": _pa.array([r["bytes"] for r in rows], _pa.binary()),
+        "fmt": [r["fmt"] for r in rows],
+    })
+    feats = ImageFeatures()(tbl)          # the per-row kernel, serially
+    m = np.round(np.stack(feats.column("features").to_numpy(
+        zero_copy_only=False)).astype(np.float64) * 1e6).astype(np.int64)
+    ids = feats.column("image_id").to_pylist()
+    cols = ", ".join(f"f{j:02d}" for j in range(m.shape[1]))
+    vals = ", ".join(
+        "(" + _sqlq(i) + ", " + ", ".join(str(int(v)) for v in row) + ")"
+        for i, row in zip(ids, m))
+    return (f"SELECT * FROM (VALUES {vals}) "
+            f"AS t(image_id, {cols})")
+
+
+def _img_cluster_sql(n: int, res: int, distribution=(0.0, 0.25, 0.5)) -> str:
+    """Local replay of the full distributed path: geotag -> cell ->
+    per-partition flat-array tree build (same canonical image_id sort)
+    -> quantile clustering walk per partition."""
+    from metric_search_ray import cell as cellmod
+    from metric_search_ray import geocode
+    from metric_search_ray.covertree import CoverTree, build_planar_tree_arrays
+    from metric_search_ray.metrics import PlanarDeg
+
+    rows = _fixture_rows_local(n)
+    ids = np.asarray([r["image_id"] for r in rows], object)
+    la_u, lo_u = geocode.geocode_image_ids(ids)
+    cells = cellmod.cell_of(la_u, lo_u, res)
+    out = []
+    for c in np.unique(cells):
+        sel = np.flatnonzero(cells == c)
+        sub_ids = ids[sel]
+        order = np.argsort(sub_ids, kind="stable")
+        pts = np.stack([la_u[sel][order] / 1e6, lo_u[sel][order] / 1e6],
+                       axis=1)
+        arrays = build_planar_tree_arrays(pts)
+        tree = CoverTree.from_arrays({
+            "ID": arrays["ID"], "level": arrays["level"],
+            "parent_ID": arrays["parent_ID"],
+            "parent_dist": arrays["parent_dist"],
+            "maxdist": arrays["maxdist"],
+            "data": pts[arrays["ID"]],
+        }, metric=PlanarDeg())
+        buckets = tree._clustering_impl(
+            list(distribution), np.asarray(tree.root.data, np.float64),
+            2.2250738585072014e-308)
+        sorted_ids = sub_ids[order]
+        for b, bucket in enumerate(buckets):
+            for i in bucket:
+                out.append((int(c), 0, str(sorted_ids[i]), b))
+    vals = ", ".join(f"({c}, {s}, {_sqlq(i)}, {b})" for c, s, i, b in out)
+    return f"SELECT * FROM (VALUES {vals}) AS t(cell, salt, image_id, bucket)"
+
+
+def _img_patch_knn_sql(n: int) -> str:
+    """Local replay: patch descriptors of every image (serial kernel),
+    exact cosine top-5 for patches 0/5/10/15 of image 0 with the same
+    (similarity desc, id asc) tie order as knn_metric."""
+    from metric_search_ray.pipelines.multimodal import ImagePatches
+    import pyarrow as _pa
+    rows = _fixture_rows_local(n)
+    tbl = _pa.table({
+        "image_id": [r["image_id"] for r in rows],
+        "bytes": _pa.array([r["bytes"] for r in rows], _pa.binary()),
+        "fmt": [r["fmt"] for r in rows],
+    })
+    patches = ImagePatches(grid=4)(tbl)
+    keys = np.asarray(patches.column("patch_key").to_pylist(), object)
+    x = np.stack(patches.column("descriptor").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    qsel = np.flatnonzero(np.isin(keys, [f"img-00000000#{p}"
+                                         for p in (0, 5, 10, 15)]))
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    out = []
+    for qi in qsel:
+        sims = xn @ xn[qi]
+        order = np.lexsort((keys, -sims))[:5]
+        for rk, j in enumerate(order, 1):
+            out.append((str(keys[qi]), str(keys[j]), rk,
+                        round(float(sims[j]), 6)))
+    vals = ", ".join(f"({_sqlq(q)}, {_sqlq(i)}, {r}, {v!r})"
+                     for q, i, r, v in out)
+    return (f"SELECT * FROM (VALUES {vals}) "
+            f"AS t(query_id, patch_key, rank, similarity)")
+
+
+def _embed_knn_pq_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Local replay of train_pq_codebooks -> pq_encode -> ADC scan ->
+    exact rerank over the sf0.01 embeddings table (the sf the driver
+    oracles run at), reading the parquet directly with pyarrow (no
+    Ray).  Every stage is the same numpy kernel in the same order, so
+    the replay is bit-identical to the distributed run."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m, nbits, iters, seed, k, rf = 8, 6, 10, 42, 5, 8
+    kk = 1 << nbits
+    d = x.shape[1]
+    sub = d // m
+    # train (corpus <= sample_rows: whole table, sorted by id — the
+    # same branch train_pq_codebooks takes at this scale)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, kk, sub), np.float64)
+    for j in range(m):
+        xj = x[:, j * sub:(j + 1) * sub]
+        cent = xj[rng.choice(len(xj), size=min(kk, len(xj)), replace=False)]
+        if len(cent) < kk:
+            cent = cent[np.arange(kk) % len(cent)]
+        for _ in range(iters):
+            d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            asg = np.argmin(d2, axis=1)
+            for c in range(kk):
+                s = asg == c
+                if s.any():
+                    cent[c] = xj[s].mean(axis=0)
+        books[j] = cent
+    codes = np.empty((len(x), m), np.int64)
+    for j in range(m):
+        xj = x[:, j * sub:(j + 1) * sub]
+        d2 = ((xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    qsel = np.isin(ids, [0, 1, 2])
+    q = x[qsel]
+    qids = [f"pq-{i}" for i in ids[qsel]]
+    out = []
+    for qi, qid in enumerate(qids):
+        tabs = np.empty((m, kk), np.float64)
+        for j in range(m):
+            tabs[j] = ((q[qi, j * sub:(j + 1) * sub][None, :]
+                        - books[j]) ** 2).sum(axis=1)
+        adc = tabs[np.arange(m)[None, :], codes].sum(axis=1)
+        cand = np.lexsort((ids, adc))[:k * rf]
+        dd = ((x[cand] - q[qi][None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((ids[cand], dd))[:k]
+        for rk, j in enumerate(order, 1):
+            out.append((qid, int(ids[cand][j]), rk,
+                        round(float(np.sqrt(dd[j])), 6)))
+    vals = ", ".join(f"({_sqlq(qd)}, {i}, {r}, {v!r})"
+                     for qd, i, r, v in out)
+    return (f"SELECT * FROM (VALUES {vals}) "
+            f"AS t(query_id, vec_id, rank, dist)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2265,6 +2461,56 @@ SELECT printf('img-%08d', CAST(range AS INT)) AS image_id,
        CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
        CASE WHEN range % 5 = 3 THEN 'qdct' ELSE 'ppm' END AS fmt
 FROM range({n_img})
+""",
+        # pixel-content oracles: local-replay VALUES (see the replay
+        # helpers above) — distributed result must equal the serial
+        # single-process execution of the same kernels
+        "img_phash_pairs": f"""
+WITH {_img_values_cte(n_img)}
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM img a JOIN img b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+""",
+        "img_features": _img_features_sql(n_img),
+        "img_cluster": _img_cluster_sql(n_img, res=4 if n_img <= 30000
+                                        else 5),
+        "img_patch_knn": _img_patch_knn_sql(n_img),
+        "embed_knn_pq": _embed_knn_pq_sql(),
+        # cross-modal caption search: BM25 over the VALUES caption table
+        # (same ln/round shape as the doc_bm25 oracle), top-10 on
+        # (score desc, image_id), joined back to phash
+        "img_caption_search": f"""
+WITH {_img_values_cte(n_img)},
+d AS (SELECT image_id, phash,
+    CASE WHEN trim(caption) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(caption), '\\s+') END AS toks
+  FROM img),
+dl AS (SELECT image_id, phash, toks, len(toks) AS dl FROM d),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+tf AS (SELECT image_id, phash, dl,
+    len(list_filter(toks, x -> x = 'harbor'))  AS tf0,
+    len(list_filter(toks, x -> x = 'glacier')) AS tf1,
+    len(list_filter(toks, x -> x = 'temple'))  AS tf2
+  FROM dl),
+df AS (SELECT sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+              sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+              sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+       FROM tf),
+scored AS (SELECT image_id, phash,
+    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * (1.2 + 1.0)
+      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0)
+      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0)
+      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+  FROM tf CROSS JOIN stats CROSS JOIN df)
+SELECT image_id, score, rank, phash FROM (
+  SELECT image_id, phash, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, image_id) AS rank
+  FROM scored WHERE score > 0)
+WHERE rank <= 10
 """,
         # IVF with the seed-vector quantizer: centroid c = embedding of
         # vec_id c; assignment = argmax cosine (ties -> lowest c), probe
