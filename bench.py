@@ -132,10 +132,13 @@ def run_bench() -> dict:
         "lat": pa.array(rng.uniform(-85, 85, nrq), pa.float64()),
         "lon": pa.array(rng.uniform(-180, 180, nrq), pa.float64()),
     })
+    # batch_size sized to the CPU count: a fixed 1024 gave only 10
+    # tasks for 10k queries — 16 CPUs sat idle behind a 10-way stage
+    rbatch = max(256, nrq // (2 * num_cpus))
     counts["radius_rows"] = timed(
         "radius_join",
         lambda: joins.radius_join(rd.from_arrow(rqt), ckpt, radius=2.0,
-                                  batch_size=1024, use_actor_pool=False,
+                                  batch_size=rbatch, use_actor_pool=False,
                                   emit="ids").count())
 
     # ---- 3. point-in-polygon spatial join over all points, task mode

@@ -130,6 +130,85 @@ def qdct_decode(buf: bytes) -> np.ndarray:
     return out[:, :, 0] if c == 1 else out
 
 
+def qdct_decode_many(bufs: list) -> list:
+    """Decode many QDCT buffers with ONE inverse-DCT einsum per
+    (h, w, q) group (bit-identical per image to ``qdct_decode``;
+    color or odd streams fall back per-buffer).  Raises like
+    ``qdct_decode`` on a malformed stream."""
+    from collections import defaultdict
+
+    groups: dict = defaultdict(list)
+    for i, buf in enumerate(bufs):
+        if buf[:4] != QDCT_MAGIC:
+            raise ValueError("not a QDCT stream")
+        h, w = np.frombuffer(buf, np.uint32, count=2, offset=4)
+        c, q = np.frombuffer(buf, np.uint8, count=2, offset=12)
+        groups[(int(h), int(w), int(c), int(q))].append(i)
+    out: list = [None] * len(bufs)
+    for (h, w, c, q), idxs in groups.items():
+        if c != 1:
+            for i in idxs:
+                out[i] = qdct_decode(bufs[i])
+            continue
+        bh, bw = -(-h // 8), -(-w // 8)
+        per = bh * bw * 64
+        qc = np.stack([np.frombuffer(bufs[i], np.int16, count=per, offset=14
+                                     ).reshape(bh, bw, 8, 8) for i in idxs])
+        blocks = np.einsum("ba,nijbc,cd->nijad", _D8,
+                           qc.astype(np.float64) * q, _D8)
+        ch = (blocks.transpose(0, 1, 3, 2, 4)
+              .reshape(len(idxs), bh * 8, bw * 8)[:, :h, :w] + 128.0)
+        dec = np.clip(np.rint(ch), 0, 255).astype(np.uint8)
+        for j, i in enumerate(idxs):
+            out[i] = dec[j]
+    return out
+
+
+def decode_many(bufs: list, fmts: list) -> list:
+    """Decode a batch, batching the QDCT inverse transform by size
+    group.  Per-buffer errors propagate like ``decode`` — callers that
+    tolerate bad rows should catch per row (see stages/decode.py)."""
+    idx_q = [i for i, f in enumerate(fmts) if f == "qdct"]
+    out: list = [None] * len(bufs)
+    if idx_q:
+        dec = qdct_decode_many([bufs[i] for i in idx_q])
+        for j, i in enumerate(idx_q):
+            out[i] = dec[j]
+    for i, (buf, fmt) in enumerate(zip(bufs, fmts)):
+        if out[i] is None:
+            out[i] = decode(buf, fmt)
+    return out
+
+
+def qdct_roundtrip_batch(stack: np.ndarray,
+                         q: int = QDCT_DEFAULT_Q) -> np.ndarray:
+    """encode->decode roundtrip of a same-size GRAY (n, h, w) uint8
+    stack without serialization — the same quantize/dequantize math as
+    ``qdct_decode(qdct_encode(pix))`` with one leading batch dim (used
+    by the validate stage's batched PSNR gate; parity-tested)."""
+    n, h, w = stack.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    ch = np.pad(stack.astype(np.float64) - 128.0,
+                ((0, 0), (0, ph), (0, pw)), mode="edge")
+    H, W = ch.shape[1:]
+    blocks = ch.reshape(n, H // 8, 8, W // 8, 8).transpose(0, 1, 3, 2, 4)
+    coef = np.einsum("ab,nijbc,dc->nijad", _D8, blocks, _D8)
+    qc = np.rint(coef / q).astype(np.int16)
+    blocks2 = np.einsum("ba,nijbc,cd->nijad", _D8, qc.astype(np.float64) * q,
+                        _D8)
+    out = blocks2.transpose(0, 1, 3, 2, 4).reshape(n, H, W)[:, :h, :w] + 128.0
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-image PSNR of two (n, h, w) stacks (inf where identical)."""
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = (d * d).mean(axis=(1, 2))
+    with np.errstate(divide="ignore"):
+        return np.where(mse == 0, np.inf, 10.0 * np.log10(255.0**2
+                                                          / np.maximum(mse, 1e-300)))
+
+
 # ---------------------------------------------------------------- dispatch
 
 CODECS = {

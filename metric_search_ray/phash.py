@@ -78,6 +78,38 @@ def phash64(pix: np.ndarray) -> int:
     return int(word.astype(np.int64))
 
 
+def _resize_batch(g: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """(n, h, w) -> (n, oh, ow), bit-identical per element to ``_resize``
+    (same expression shape and multiply order, one leading batch dim)."""
+    _, h, w = g.shape
+    ys = (np.arange(oh) + 0.5) * h / oh - 0.5
+    xs = (np.arange(ow) + 0.5) * w / ow - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0, 1)[None, :, None]
+    fx = np.clip(xs - x0, 0, 1)[None, None, :]
+    iy0, ix0 = y0[:, None], x0[None, :]
+    iy1, ix1 = y1[:, None], x1[None, :]
+    return (g[:, iy0, ix0] * (1 - fy) * (1 - fx)
+            + g[:, iy0, ix1] * (1 - fy) * fx
+            + g[:, iy1, ix0] * fy * (1 - fx)
+            + g[:, iy1, ix1] * fy * fx)
+
+
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """Gradient hash of a (n, h, w) same-size gray stack -> int64 (n,).
+    Bit-identical to per-image ``phash64`` (parity-tested)."""
+    if len(stack) == 0:
+        return np.empty(0, np.int64)
+    s = _resize_batch(np.asarray(stack, np.float64), 8, 9)
+    bits = (s[:, :, 1:] > s[:, :, :-1]).reshape(len(stack), 64).astype(
+        np.uint64)
+    return (bits * _BITVALS[None, :]).sum(axis=1, dtype=np.uint64).astype(
+        np.int64)
+
+
 def dct_phash64(pix: np.ndarray) -> int:
     """Classic median-DCT pHash (kept for completeness; see module doc)."""
     g = _resize32(to_gray(pix))

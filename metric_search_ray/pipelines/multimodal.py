@@ -72,21 +72,41 @@ class ImageFeatures:
     DIM = 12
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+
         bufs = batch.column("bytes").to_pylist()
         fmts = batch.column("fmt").to_pylist()
-        feats = np.empty((len(bufs), self.DIM), np.float32)
-        for i, (buf, fmt) in enumerate(zip(bufs, fmts)):
-            pix = _decode_or_raise(buf, fmt).astype(np.float64)
+        n = len(bufs)
+        feats = np.empty((n, self.DIM), np.float32)
+        # decode per row, batch the descriptor math per same-size group
+        # (one numpy dispatch per group, not ~7 per image)
+        for fmt in set(fmts):
+            if fmt not in codecs.CODECS:
+                _decode_or_raise(b"", fmt)       # stub/unknown boundary
+        pix_list = codecs.decode_many(bufs, fmts)
+        groups: dict = defaultdict(list)
+        for i, pix in enumerate(pix_list):
+            pix = pix.astype(np.float64)
             if pix.ndim == 3:
                 pix = pix.mean(axis=2)
-            hist, _ = np.histogram(pix, bins=8, range=(0, 256))
-            gx = np.abs(np.diff(pix, axis=1)).mean()
-            gy = np.abs(np.diff(pix, axis=0)).mean()
-            feats[i, 0] = pix.mean()
-            feats[i, 1] = pix.std()
-            feats[i, 2:10] = hist / pix.size
-            feats[i, 10] = gx
-            feats[i, 11] = gy
+            pix_list[i] = pix
+            groups[pix.shape].append(i)
+        for shape, idx_list in groups.items():
+            idxs = np.asarray(idx_list, np.int64)
+            stack = np.stack([pix_list[i] for i in idx_list])
+            size = shape[0] * shape[1]
+            # 8-bin histogram over [0, 256) == floor(v / 32) bincount
+            # (np.histogram edge semantics for v in [0, 256))
+            bins = np.minimum((stack.reshape(len(idxs), size) // 32.0
+                               ).astype(np.int64), 7)
+            flat = bins + np.arange(len(idxs), dtype=np.int64)[:, None] * 8
+            hist = np.bincount(flat.ravel(),
+                               minlength=8 * len(idxs)).reshape(len(idxs), 8)
+            feats[idxs, 0] = stack.mean(axis=(1, 2))
+            feats[idxs, 1] = stack.std(axis=(1, 2))
+            feats[idxs, 2:10] = hist / size
+            feats[idxs, 10] = np.abs(np.diff(stack, axis=2)).mean(axis=(1, 2))
+            feats[idxs, 11] = np.abs(np.diff(stack, axis=1)).mean(axis=(1, 2))
         return pa.table({
             "image_id": batch.column("image_id"),
             "features": pa.FixedSizeListArray.from_arrays(
