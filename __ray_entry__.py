@@ -137,6 +137,94 @@ r{t} AS (SELECT nodes.v, {base} + (85 * COALESCE(s.s, 0)) // 100 AS r
     return "".join(parts)
 
 
+SSSP_ROUNDS = 4
+SSSP_INF = 10**15
+
+
+def _sssp_weight_expr(a: str, b: str) -> str:
+    """Symmetric integer edge weight 1 + (min*31 + max*17) % 9 — SQL."""
+    return (f"(1 + (least({a}, {b}) * 31 + greatest({a}, {b}) * 17) % 9)")
+
+
+def _sssp_weights_np(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    return (1 + (lo * 31 + hi * 17) % 9).astype(np.int64)
+
+
+def _sssp_oracle_sql(rounds: int = SSSP_ROUNDS, n: int = 576,
+                     source: int = 0, inf: int = SSSP_INF) -> str:
+    """Unrolled-CTE replay of graph.sssp_int on margulis(n) with the
+    deterministic symmetric integer weights: exactly ``rounds``
+    Bellman-Ford relaxations (same trick as _pagerank_oracle_sql —
+    int64 min/plus is order-independent, so an ITERATIVE algorithm
+    hash-matches)."""
+    s = int(np.sqrt(n))
+    parts = [f"""
+WITH nodes AS (SELECT range AS v FROM range({n})),
+ij AS (SELECT range // {s} AS i, range % {s} AS j, range AS u FROM range({n})),
+raw AS (
+  SELECT u, ((i + 2*j) % {s}) * {s} + j AS dst FROM ij
+  UNION ALL SELECT u, i*{s} + (2*i + j) % {s} FROM ij
+  UNION ALL SELECT u, i*{s} + (2*i + j + 1) % {s} FROM ij
+  UNION ALL SELECT u, ((i + 2*j + 1) % {s}) * {s} + j FROM ij),
+edges AS (
+  SELECT u, dst, {_sssp_weight_expr('u', 'dst')} AS w
+  FROM (SELECT u, dst FROM raw WHERE u != dst
+        UNION SELECT dst, u FROM raw WHERE u != dst)),
+d0 AS (SELECT v, CAST(CASE WHEN v = {source} THEN 0 ELSE {inf} END
+                      AS BIGINT) AS d FROM nodes)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+d{t} AS (SELECT d{t-1}.v, least(d{t-1}.d, COALESCE(r.m, {inf})) AS d
+  FROM d{t-1} LEFT JOIN (
+    SELECT e.dst AS v, min(least(d{t-1}.d + e.w, {inf})) AS m
+    FROM edges e JOIN d{t-1} ON d{t-1}.v = e.u
+    GROUP BY 1) r ON d{t-1}.v = r.v)""")
+    parts.append(f"\nSELECT v AS node, CAST(d AS BIGINT) AS dist_u "
+                 f"FROM d{rounds}")
+    return "".join(parts)
+
+
+def _n_audio(sf_dir: str) -> int:
+    return int(max(200, round(50_000 * _sf_of(sf_dir))))
+
+
+def _n_video(sf_dir: str) -> int:
+    return int(max(100, round(20_000 * _sf_of(sf_dir))))
+
+
+def _audio_table_path(sf_dir: str) -> str:
+    import ray.data as rd
+    from metric_search_ray import fixtures
+    n = _n_audio(sf_dir)
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    path = os.path.join(TMP_ROOT, f"audio_{n}")
+    if os.path.exists(path):
+        return path
+    tmp = path + f".tmp.{os.getpid()}"
+    (rd.range(n).map_batches(lambda b: fixtures.audio_batch(b["id"]),
+                             batch_format="numpy", batch_size=256)
+     .write_parquet(tmp))
+    os.replace(tmp, path)
+    return path
+
+
+def _video_table_path(sf_dir: str) -> str:
+    import ray.data as rd
+    from metric_search_ray import fixtures
+    n = _n_video(sf_dir)
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    path = os.path.join(TMP_ROOT, f"video_{n}")
+    if os.path.exists(path):
+        return path
+    tmp = path + f".tmp.{os.getpid()}"
+    (rd.range(n).map_batches(lambda b: fixtures.video_batch(b["id"]),
+                             batch_format="numpy", batch_size=64)
+     .write_parquet(tmp))
+    os.replace(tmp, path)
+    return path
+
+
 def _hll_oracle_sql(p: int = HLL_P) -> str:
     """DuckDB replay of pipelines/sketch.py's splitmix64 + register map.
 
@@ -1366,6 +1454,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      "dst": pa.array(e[:, 1], pa.int64())}))
         return graph.pagerank_int(ds, 576, iters=PR_ITERS)
 
+    def graph_sssp(sf_dir: str):
+        """Integer-weight Bellman-Ford SSSP on margulis(576), exactly
+        SSSP_ROUNDS relaxation rounds (graph.sssp_int) — int64 min/plus
+        arithmetic, SQL-oracled by unrolled CTE rounds."""
+        from metric_search_ray import graph
+        g = graph.margulis(576)
+        e = np.asarray(g.edges)
+        src = np.concatenate([e[:, 0], e[:, 1]])
+        dst = np.concatenate([e[:, 1], e[:, 0]])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        src, dst = pairs[:, 0], pairs[:, 1]
+        ds = rd.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "w": pa.array(_sssp_weights_np(src, dst), pa.int64())}))
+        return graph.sssp_int(ds, 576, source=0, rounds=SSSP_ROUNDS,
+                              inf=SSSP_INF)
+
+    def audio_features(sf_dir: str):
+        """Audio multimodal stage end-to-end: synthesized pcm16 table ->
+        actor-pool decode + spectral descriptor; output quantized to
+        round(1e6 * f32) ints so the local-replay oracle hash-matches."""
+        from metric_search_ray.pipelines import multimodal
+        ds = rd.read_parquet(_audio_table_path(sf_dir))
+        feats = multimodal.audio_features(ds, concurrency=4).to_pandas()
+        m = np.round(np.stack(feats["features"].to_numpy()
+                              ).astype(np.float64) * 1e6).astype(np.int64)
+        out = pd.DataFrame({"audio_id": feats["audio_id"]})
+        for j in range(m.shape[1]):
+            out[f"f{j:02d}"] = m[:, j]
+        return out
+
+    def video_frames(sf_dir: str):
+        """Video multimodal stage end-to-end: synthesized ppmcat table ->
+        actor-pool frame sampling (every 10th frame) -> per-frame phash
+        (batched kernel).  (video_id, frame_no, frame_phash)."""
+        from metric_search_ray import codecs as codecs_
+        from metric_search_ray import phash as phash_
+        from metric_search_ray.pipelines import multimodal
+        ds = rd.read_parquet(_video_table_path(sf_dir))
+        frames = multimodal.sample_frames(ds, every_n=10, concurrency=2)
+
+        def add_phash(b: pa.Table) -> pa.Table:
+            pix = [codecs_.ppm_decode(x) for x in b.column("bytes").to_pylist()]
+            ph = (phash_.phash64_batch(np.stack(pix).astype(np.float64))
+                  if pix else np.empty(0, np.int64))
+            return pa.table({
+                "video_id": b.column("video_id"),
+                "frame_no": b.column("frame_no"),
+                "frame_phash": pa.array(ph, pa.int64()),
+            })
+
+        return frames.map_batches(add_phash, batch_format="pyarrow")
+
     def doc_pii_scrub(sf_dir: str):
         # the synthetic corpus carries no PII, so the query derives a
         # deterministic PII-bearing text from the table's own columns
@@ -1526,6 +1670,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_per_customer": orders_top_per_customer,
         "doc_repetition": doc_repetition,
         "doc_sample_topn": doc_sample_topn,
+        "graph_sssp": graph_sssp,
+        "audio_features": audio_features,
+        "video_frames": video_frames,
     }
     return _assemble_queries(base)
 
@@ -1745,6 +1892,53 @@ def _img_patch_knn_sql(n: int) -> str:
                      for q, i, r, v in out)
     return (f"SELECT * FROM (VALUES {vals}) "
             f"AS t(query_id, patch_key, rank, similarity)")
+
+
+def _audio_features_sql(n: int) -> str:
+    """Local replay of the audio descriptor kernel over the fixture."""
+    from metric_search_ray import fixtures
+    from metric_search_ray.pipelines.multimodal import AudioFeatures
+    import pyarrow as _pa
+    rows = [fixtures.audio_row_of(i) for i in range(n)]
+    tbl = _pa.table({
+        "audio_id": [r["audio_id"] for r in rows],
+        "bytes": _pa.array([r["bytes"] for r in rows], _pa.binary()),
+        "fmt": [r["fmt"] for r in rows],
+    })
+    feats = AudioFeatures()(tbl)
+    m = np.round(np.stack(feats.column("features").to_numpy(
+        zero_copy_only=False)).astype(np.float64) * 1e6).astype(np.int64)
+    ids = feats.column("audio_id").to_pylist()
+    cols = ", ".join(f"f{j:02d}" for j in range(m.shape[1]))
+    vals = ", ".join(
+        "(" + _sqlq(i) + ", " + ", ".join(str(int(v)) for v in row) + ")"
+        for i, row in zip(ids, m))
+    return f"SELECT * FROM (VALUES {vals}) AS t(audio_id, {cols})"
+
+
+def _video_frames_sql(n: int) -> str:
+    """Local replay: FrameSampler kernel + per-frame phash, serially."""
+    from metric_search_ray import codecs as codecs_
+    from metric_search_ray import fixtures
+    from metric_search_ray import phash as phash_
+    from metric_search_ray.pipelines.multimodal import FrameSampler
+    import pyarrow as _pa
+    rows = [fixtures.video_row_of(i) for i in range(n)]
+    tbl = _pa.table({
+        "video_id": [r["video_id"] for r in rows],
+        "bytes": _pa.array([r["bytes"] for r in rows], _pa.binary()),
+        "fmt": [r["fmt"] for r in rows],
+    })
+    frames = FrameSampler(every_n=10)(tbl)
+    pix = np.stack([codecs_.ppm_decode(b)
+                    for b in frames.column("bytes").to_pylist()])
+    ph = phash_.phash64_batch(pix.astype(np.float64))
+    vals = ", ".join(
+        f"({_sqlq(v)}, {fn}, {int(p)})"
+        for v, fn, p in zip(frames.column("video_id").to_pylist(),
+                            frames.column("frame_no").to_pylist(), ph))
+    return (f"SELECT * FROM (VALUES {vals}) "
+            f"AS t(video_id, frame_no, frame_phash)")
 
 
 def _embed_knn_pq_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -2473,6 +2667,10 @@ FROM img a JOIN img b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 6
 """,
         "img_features": _img_features_sql(n_img),
+        "graph_sssp": _sssp_oracle_sql(),
+        "audio_features": _audio_features_sql(
+            _n_audio("/root/testdata/sf0.01")),
+        "video_frames": _video_frames_sql(_n_video("/root/testdata/sf0.01")),
         "img_cluster": _img_cluster_sql(n_img, res=4 if n_img <= 30000
                                         else 5),
         "img_patch_knn": _img_patch_knn_sql(n_img),
@@ -2731,6 +2929,8 @@ def _suite_specs() -> dict:
                  {"node": "node", "v": "depth", "s1": _L("")}),
                 ("tri", "graph_triangles",
                  {"node": _L(-1), "v": "n_triangles", "s1": "graph"}),
+                ("sssp", "graph_sssp",
+                 {"node": "node", "v": "dist_u", "s1": _L("")}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

@@ -83,7 +83,13 @@ def run_bench() -> dict:
         return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
 
     if heavy:
-        images_path = entrymod._image_table_path_n(300_000)
+        # heavy FIXED workload for the scaling criterion: sized so
+        # per-stage compute dominates Ray's constant scheduling/shuffle
+        # overheads (re-sized round 3 after the image kernels got ~2x
+        # faster — the efficiency ratio measures the engine, and at the
+        # 10^12-row target the compute share is overwhelming)
+        images_path = entrymod._image_table_path_n(
+            int(os.environ.get("GRAFT_SCALE_IMAGES", "400000")))
     else:
         images_path = entrymod._image_table_path(sf_dir)
     pts = lineitem_points()
@@ -107,7 +113,7 @@ def run_bench() -> dict:
 
     # ---- 2. exact geo kNN (ring protocol over the index), task mode
     rng = np.random.default_rng(12)
-    nq = 300_000 if heavy else 10_000
+    nq = 400_000 if heavy else 10_000
     qtbl = pa.table({
         "query_id": pa.array([f"b-{i:05d}" for i in range(nq)], pa.string()),
         "lat": pa.array(rng.uniform(-85, 85, nq), pa.float64()),

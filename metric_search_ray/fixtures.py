@@ -159,6 +159,70 @@ def polygon_layer(n_rect: int = 30, n_convex: int = 15, n_star: int = 5,
 # ---------------------------------------------------------------- F3 queries
 
 
+def audio_row_of(i: int, seed: int = 42) -> dict:
+    """One F4 audio row (audio_id, bytes 'pcm16', sample_rate,
+    n_samples) — pure function of (seed, i): a 2-sine mix + noise at
+    8 kHz, 0.25-1.0 s, quantized to s16le inside the deterministic
+    pcm16 container (multimodal._decode_pcm16)."""
+    from .pipelines.multimodal import encode_pcm16
+
+    rng = np.random.default_rng(np.random.SeedSequence([seed, int(i), 21]))
+    rate = 8000
+    n = int(rng.integers(rate // 4, rate + 1))
+    t = np.arange(n) / rate
+    f1, f2 = rng.uniform(60, 1200, 2)
+    x = (0.5 * np.sin(2 * np.pi * f1 * t)
+         + 0.3 * np.sin(2 * np.pi * f2 * t)
+         + rng.normal(0, 0.05, n))
+    s = np.clip(np.rint(x * 12000), -32768, 32767).astype(np.int16)
+    return {"audio_id": f"aud-{i:08d}", "bytes": encode_pcm16(rate, s),
+            "fmt": "pcm16", "sample_rate": rate, "n_samples": n}
+
+
+def audio_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
+    rows = [audio_row_of(int(i), seed) for i in indices]
+    return pa.table({
+        "audio_id": pa.array([r["audio_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+        "sample_rate": pa.array([r["sample_rate"] for r in rows], pa.int32()),
+        "n_samples": pa.array([r["n_samples"] for r in rows], pa.int32()),
+    })
+
+
+VIDEO_FRAMES = 24
+
+
+def video_row_of(i: int, seed: int = 42) -> dict:
+    """One F5 video row (video_id, bytes 'ppmcat', fps, n_frames) —
+    VIDEO_FRAMES ppm frames, frame f a pure function of (seed, i, f)
+    (the deterministic fake container multimodal._split_ppmcat
+    splits)."""
+    frames = []
+    for f in range(VIDEO_FRAMES):
+        rng = np.random.default_rng(np.random.SeedSequence(
+            [seed, int(i), 31, f]))
+        s = 16
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float64)
+        ph = rng.uniform(0, 2 * np.pi)
+        pix = np.clip(127 + 90 * np.sin(0.3 * xx + 0.2 * f + ph)
+                      + rng.normal(0, 4, (s, s)), 0, 255).astype(np.uint8)
+        frames.append(codecs.ppm_encode(pix))
+    return {"video_id": f"vid-{i:08d}", "bytes": b"".join(frames),
+            "fmt": "ppmcat", "fps": 12, "n_frames": VIDEO_FRAMES}
+
+
+def video_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
+    rows = [video_row_of(int(i), seed) for i in indices]
+    return pa.table({
+        "video_id": pa.array([r["video_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+        "fps": pa.array([r["fps"] for r in rows], pa.int32()),
+        "n_frames": pa.array([r["n_frames"] for r in rows], pa.int32()),
+    })
+
+
 def knn_queries(n: int = 200, seed: int = 42) -> dict:
     """Geo kNN query mixture: uniform, cell-boundary, hot-spot, remote."""
     from .geocode import HOT_CENTERS

@@ -517,6 +517,73 @@ def pagerank_int(edges_ds, n_nodes: int, iters: int = 5,
     return ranks
 
 
+def sssp_int(edges_ds, n_nodes: int, source: int = 0, rounds: int = 6,
+             weight_col: str = "w", inf: int = 10**15,
+             num_partitions: int = 4):
+    """Integer-weight single-source shortest paths, exactly ``rounds``
+    Bellman-Ford relaxation rounds (distributed; an operator the
+    reference's graph module lacks — its getNeighbours is hop-count
+    BFS only, details/graph.cpp:175-242):
+
+        d_0(v)     = 0 if v == source else inf
+        d_{t+1}(v) = min(d_t(v), min over edges (u -> v) of d_t(u) + w)
+
+    All arithmetic is int64 min/plus, so the after-exactly-R-rounds
+    result is exact and replayable in SQL via R unrolled CTE rounds
+    (the pagerank_int trick) whether or not it has converged; with
+    rounds >= graph diameter it IS the shortest-path distance.
+    Shuffle cost per round: one hash join on src + one grouped min on
+    dst — the same two-exchange shape as pagerank_int; distances are
+    materialized + repartitioned per round (bounds block growth,
+    avoids the Ray 2.49 empty-first-block join flake)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .pipelines.fastagg import sort_block_aggregate
+
+    edges = edges_ds.materialize()
+    d0 = np.full(n_nodes, inf, np.int64)
+    d0[source] = 0
+    nodes = rd.from_arrow(pa.table({
+        "node": pa.array(np.arange(n_nodes), pa.int64())})).repartition(2)
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array(np.arange(n_nodes), pa.int64()),
+        "dist_u": pa.array(d0, pa.int64()),
+    })).repartition(num_partitions)
+
+    for _ in range(rounds):
+        relax = (edges.join(dist, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("src",), right_on=("node",))
+                 .map_batches(
+                     lambda b: pa.table({
+                         "dst": b.column("dst"),
+                         "cand": pa.array(np.minimum(
+                             b.column("dist_u").to_numpy()
+                             + b.column(weight_col).to_numpy(), inf),
+                             pa.int64())}),
+                     batch_format="pyarrow"))
+        best = sort_block_aggregate(relax, "dst", {"m": ("cand", "min")})
+        joined = dist.join(best.repartition(num_partitions),
+                           join_type="left_outer",
+                           num_partitions=num_partitions,
+                           on=("node",), right_on=("dst",))
+
+        def apply(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            m = pc.fill_null(b.column("m"), inf).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "node": b.column("node"),
+                "dist_u": pa.array(np.minimum(
+                    b.column("dist_u").to_numpy(), m), pa.int64()),
+            })
+
+        dist = (joined.map_batches(apply, batch_format="pyarrow")
+                .materialize().repartition(num_partitions))
+    return dist
+
+
 def triangle_count(edges_ds, num_partitions: int = 4):
     """Distributed triangle count via the wedge-join algorithm:
 

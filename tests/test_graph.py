@@ -192,3 +192,42 @@ def test_triangle_count_matches_bruteforce(ray_session):
         exp = sum(1 for a in range(g.n) for b in adj[a] if b > a
                   for c in adj[a] if c > b and c in adj[b])
         assert got == exp, (gen.__name__, got, exp)
+
+
+def test_sssp_int_matches_bellman_ford(ray_session):
+    """graph.sssp_int == numpy Bellman-Ford after the same number of
+    rounds (both the converged case and the exact-R-rounds contract)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metric_search_ray import graph
+
+    g = graph.margulis(64)
+    e = np.asarray(g.edges)
+    src = np.concatenate([e[:, 0], e[:, 1]])
+    dst = np.concatenate([e[:, 1], e[:, 0]])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    w = (1 + (lo * 31 + hi * 17) % 9).astype(np.int64)
+    inf = 10**15
+
+    def bf(rounds):
+        d = np.full(64, inf, np.int64)
+        d[0] = 0
+        for _ in range(rounds):
+            cand = np.minimum(d[src] + w, inf)
+            new = d.copy()
+            np.minimum.at(new, dst, cand)
+            d = new
+        return d
+
+    ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                 "dst": pa.array(dst, pa.int64()),
+                                 "w": pa.array(w, pa.int64())}))
+    for rounds in (2, 8):
+        out = (graph.sssp_int(ds, 64, source=0, rounds=rounds, inf=inf)
+               .to_pandas().sort_values("node"))
+        np.testing.assert_array_equal(out["dist_u"].to_numpy(), bf(rounds))

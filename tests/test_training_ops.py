@@ -442,3 +442,38 @@ def test_bigram_lm_score_census_cap(ray_session):
     j = exact.join(capped, rsuffix="_c")
     assert (j["score_u_c"] <= j["score_u"]).all()
     pd.testing.assert_frame_equal(exact.sort_index(), big.sort_index())
+
+
+def test_audio_video_fixtures_and_stages(ray_session):
+    """Audio/video fixture determinism + the sampling/descriptor stages
+    (serial kernel == actor-pool stage)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metric_search_ray import codecs, fixtures, phash
+    from metric_search_ray.pipelines import multimodal
+
+    a1, a2 = fixtures.audio_row_of(7), fixtures.audio_row_of(7)
+    assert a1["bytes"] == a2["bytes"]
+    v1, v2 = fixtures.video_row_of(3), fixtures.video_row_of(3)
+    assert v1["bytes"] == v2["bytes"]
+
+    at = fixtures.audio_batch(np.arange(40))
+    feats = multimodal.audio_features(rd.from_arrow(at), concurrency=2
+                                      ).to_pandas().sort_values("audio_id")
+    serial = multimodal.AudioFeatures()(at)
+    m_d = np.stack(feats["features"].to_numpy())
+    m_s = np.stack(serial.column("features").to_numpy(zero_copy_only=False))
+    np.testing.assert_array_equal(m_d, m_s)
+
+    vt = fixtures.video_batch(np.arange(10))
+    frames = multimodal.sample_frames(rd.from_arrow(vt), every_n=10,
+                                      concurrency=2).to_pandas()
+    # 24 frames sampled every 10th -> 0, 10, 20 per video
+    assert len(frames) == 30
+    assert sorted(frames["frame_no"].unique()) == [0, 10, 20]
+    pix = codecs.ppm_decode(frames["bytes"].iloc[0])
+    assert pix.shape == (16, 16)
+    # frame phash kernel consistency
+    ph = phash.phash64_batch(pix[None].astype(np.float64))
+    assert int(ph[0]) == phash.phash64(pix)
