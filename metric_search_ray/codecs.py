@@ -211,9 +211,13 @@ def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 # ---------------------------------------------------------------- dispatch
 
+from .pngcodec import png_decode, png_encode  # noqa: E402
+
 CODECS = {
     "ppm": (ppm_encode, ppm_decode),
     "qdct": (lambda p: qdct_encode(p), qdct_decode),
+    # real container: pure numpy+zlib PNG (lossless, PSNR = inf)
+    "png": (png_encode, png_decode),
 }
 
 

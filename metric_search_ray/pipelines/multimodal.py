@@ -5,9 +5,11 @@ typed metadata columns alongside (w, h, fmt / sample_rate, n_samples /
 fps, n_frames).  Each transform is an actor-pool ``map_batches`` stage
 with real Ray-side plumbing (schema, batch sizing, actor signature,
 output layout); decode is REAL for the engine's own codecs
-(ppm/qdct via codecs.py), and STUBBED behind ``NotImplementedError``
-for container formats whose libraries aren't in this environment
-(jpeg/png/wav/mp4) — the stub boundary is explicit per stage.
+(ppm/qdct via codecs.py), for PNG (from-scratch numpy+zlib decoder,
+pngcodec.py) and for RIFF/WAV PCM audio (``_decode_wav`` below), and
+STUBBED behind ``NotImplementedError`` for container formats whose
+libraries aren't in this environment (jpeg/webp/flac/mp4) — the stub
+boundary is explicit per stage.
 
 Batch-size guidance: payload columns dominate block size; callers
 should pass small ``batch_size`` (e.g. 64-256) for megapixel images so
@@ -22,7 +24,7 @@ import pyarrow as pa
 
 from .. import codecs
 
-STUBBED_FORMATS = {"jpeg", "png", "webp", "wav", "flac", "mp4", "webm"}
+STUBBED_FORMATS = {"jpeg", "webp", "flac", "mp4", "webm"}
 
 
 def _decode_or_raise(buf: bytes, fmt: str) -> np.ndarray:
@@ -135,13 +137,79 @@ def encode_pcm16(rate: int, samples: np.ndarray) -> bytes:
             + s.tobytes())
 
 
+def _decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM decoder (real container, stdlib-only parse).
+
+    Supports format 1 (integer PCM, 8/16/32-bit) and format 3 (float32),
+    any channel count; multichannel is downmixed to mono by mean, and
+    every width is normalized to int16 range so downstream features see
+    one sample model.  Returns (sample_rate, int16 mono samples)."""
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt_chunk = None
+    data = None
+    n = len(buf)
+    while pos + 8 <= n:
+        tag = buf[pos:pos + 4]
+        size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        body = buf[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            fmt_chunk = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt_chunk) < 16:
+        raise ValueError("WAV fmt chunk too short")
+    audio_fmt = int.from_bytes(fmt_chunk[0:2], "little")
+    channels = int.from_bytes(fmt_chunk[2:4], "little")
+    rate = int.from_bytes(fmt_chunk[4:8], "little")
+    bits = int.from_bytes(fmt_chunk[14:16], "little")
+    if channels == 0 or rate == 0:
+        raise ValueError("WAV fmt declares zero channels/rate")
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float64)
+    elif audio_fmt == 1 and bits == 8:  # 8-bit PCM is unsigned
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) * 256.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float64) / 65536.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float64) * 32767.0
+    else:
+        raise ValueError(f"WAV format {audio_fmt}/{bits}-bit unsupported")
+    if channels > 1:
+        usable = (len(x) // channels) * channels
+        x = x[:usable].reshape(-1, channels).mean(axis=1)
+    return rate, np.clip(np.rint(x), -32768, 32767).astype(np.int16)
+
+
+def encode_wav(rate: int, samples: np.ndarray, channels: int = 1) -> bytes:
+    """int16 samples (interleaved if channels>1) -> PCM16 RIFF/WAVE."""
+    s = np.asarray(samples, np.int16)
+    byte_rate = rate * channels * 2
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + int(channels).to_bytes(2, "little")
+           + int(rate).to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+           + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    data = b"data" + (s.nbytes).to_bytes(4, "little") + s.tobytes()
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+AUDIO_DECODERS = {"pcm16": _decode_pcm16, "wav": _decode_wav}
+
+
 class AudioFeatures:
     """Audio analogue of ImageFeatures: decode -> compact descriptor as
     fixed_size_list<float32, 11> (duration, rms, zero-crossing rate,
     8 log-spaced spectral band energies).  Same actor contract a real
     model would use (state in __init__, batched work in __call__);
-    only the deterministic 'pcm16' container decodes here — wav/flac
-    raise the explicit stub error."""
+    the deterministic 'pcm16' container and real RIFF/WAV PCM both
+    decode here — flac/mp4 raise the explicit stub error."""
 
     DIM = 11
 
@@ -153,13 +221,15 @@ class AudioFeatures:
         fmts = batch.column("fmt").to_pylist()
         feats = np.zeros((len(bufs), self.DIM), np.float32)
         for i, (buf, fmt) in enumerate(zip(bufs, fmts)):
-            if fmt != "pcm16":
+            dec = AUDIO_DECODERS.get(fmt)
+            if dec is None:
                 if fmt in STUBBED_FORMATS:
                     raise NotImplementedError(
                         f"audio container {fmt!r} needs an audio library not "
-                        "present in this environment; only 'pcm16' decodes")
+                        "present in this environment; 'pcm16' and 'wav' "
+                        "decode here")
                 raise ValueError(f"unknown audio fmt {fmt!r}")
-            rate, s = _decode_pcm16(buf)
+            rate, s = dec(buf)
             x = s.astype(np.float64) / 32768.0
             n = len(x)
             if n == 0 or rate == 0:
