@@ -96,6 +96,7 @@ def _geo_query_points() -> list[tuple[str, int, int]]:
 
 GEO_KNN_K = 5
 RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
+HAV_RADIUS_KM = 400.0  # great-circle radius for the geodesic suite
 
 HLL_P = 12  # HyperLogLog precision for events_hll_registers (4096 registers)
 PACK_BUDGET = 256  # token budget per training sequence for doc_pack
@@ -349,6 +350,22 @@ def _tile_sql_cols() -> str:
             f"LEAST(((lat_u + 90000000) * {n}) // 180000000, {n - 1}) AS iy")
 
 
+def _hav_sql_expr() -> str:
+    """Haversine km between (q.qlat_u, q.qlon_u) and (p.lat_u, p.lon_u)
+    microdegree columns — operation order mirrors
+    metric_search_ray.geodesic.haversine_km term for term (sin*sin
+    instead of pow: numpy's x**2 is a multiply)."""
+    qla = "(q.qlat_u / 1000000.0)"
+    qlo = "(q.qlon_u / 1000000.0)"
+    pla = "(p.lat_u / 1000000.0)"
+    plo = "(p.lon_u / 1000000.0)"
+    dla = f"radians(({pla} - {qla}) / 2.0)"
+    dlo = f"radians(({plo} - {qlo}) / 2.0)"
+    a = (f"sin({dla}) * sin({dla}) + cos(radians({qla})) * "
+         f"cos(radians({pla})) * (sin({dlo}) * sin({dlo}))")
+    return f"2.0 * 6371.0088 * asin(sqrt(LEAST({a}, 1.0)))"
+
+
 # ---------------------------------------------------------------------------
 # cached inputs (synthesized image table, geo index) under /tmp
 # ---------------------------------------------------------------------------
@@ -534,6 +551,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cand["o_orderkey"] = key
         out = cand[d2 < RADIUS2_U][["query_id", "o_orderkey"]].reset_index(drop=True)
         return out
+
+    def geo_hav_knn(sf_dir: str):
+        """Exact great-circle kNN (haversine scatter-gather,
+        geodesic.py) — the geodesic complement to planar geo_knn."""
+        from metric_search_ray import geodesic
+        pts = _orders_points(sf_dir)
+        qpts = _geo_query_points()
+        out = geodesic.haversine_knn(
+            pts, [q[0] for q in qpts],
+            [q[1] / 1e6 for q in qpts], [q[2] / 1e6 for q in qpts],
+            k=GEO_KNN_K, id_col="o_orderkey").to_pandas()
+        out["dist_km_r"] = geodesic.round_km(out["dist_km"].to_numpy())
+        return out[["query_id", "o_orderkey", "rank", "dist_km_r"]]
+
+    def geo_hav_radius(sf_dir: str):
+        """Great-circle radius join (streaming, latitude-band
+        prefilter)."""
+        from metric_search_ray import geodesic
+        pts = _orders_points(sf_dir)
+        qpts = _geo_query_points()
+        out = geodesic.haversine_radius_join(
+            pts, [q[0] for q in qpts],
+            [q[1] / 1e6 for q in qpts], [q[2] / 1e6 for q in qpts],
+            radius_km=HAV_RADIUS_KM, id_col="o_orderkey").to_pandas()
+        out["dist_km_r"] = geodesic.round_km(out["dist_km"].to_numpy())
+        return out[["query_id", "o_orderkey", "dist_km_r"]]
+
+    def geo_zonal(sf_dir: str):
+        """Zonal statistics: per-polygon count/sum of point values over
+        the polygon's raster-tile cover (tiles.zonal_stats)."""
+        from metric_search_ray.pipelines import tiles
+        pts = _orders_points(sf_dir)
+        return tiles.zonal_stats(pts, _rect_layer(), TILE_RES, "phash")
 
     def phash_hamming_pairs(sf_dir: str):
         from metric_search_ray.pipelines import dedup
@@ -1601,6 +1651,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn": geo_knn,
         "geo_radius": geo_radius,
         "geo_tile_polygon_cover": geo_tile_polygon_cover,
+        "geo_hav_knn": geo_hav_knn,
+        "geo_hav_radius": geo_hav_radius,
+        "geo_zonal": geo_zonal,
         "phash_hamming_pairs": phash_hamming_pairs,
         "doc_dedup_exact": doc_dedup_exact,
         "doc_token_count": doc_token_count,
@@ -2063,6 +2116,48 @@ SELECT iy.iy * {n} + ix.ix AS tile_id, r.polygon_id
 FROM rng r,
      LATERAL (SELECT unnest(generate_series(r.ix0, r.ix1)) AS ix) ix,
      LATERAL (SELECT unnest(generate_series(r.iy0, r.iy1)) AS iy) iy
+""",
+        "geo_hav_knn": f"""
+WITH {_pts_cte()},
+q(query_id, qlat_u, qlon_u) AS (VALUES {qpt_values}),
+d AS (SELECT q.query_id, p.okey AS o_orderkey, {_hav_sql_expr()} AS dkm
+      FROM q CROSS JOIN pts p)
+SELECT query_id, o_orderkey,
+       row_number() OVER (PARTITION BY query_id ORDER BY dkm, o_orderkey) AS rank,
+       floor(dkm * 1000 + 0.5) / 1000 AS dist_km_r
+FROM d
+QUALIFY rank <= {GEO_KNN_K}
+""",
+        "geo_hav_radius": f"""
+WITH {_pts_cte()},
+q(query_id, qlat_u, qlon_u) AS (VALUES {qpt_values}),
+d AS (SELECT q.query_id, p.okey AS o_orderkey, {_hav_sql_expr()} AS dkm
+      FROM q CROSS JOIN pts p)
+SELECT query_id, o_orderkey, floor(dkm * 1000 + 0.5) / 1000 AS dist_km_r
+FROM d WHERE dkm < {HAV_RADIUS_KM!r}
+""",
+        "geo_zonal": f"""
+WITH {_pts_cte()},
+rects(polygon_id, x0, x1, y0, y1) AS (VALUES {rect_values}),
+rng AS (SELECT polygon_id,
+  LEAST(((x0::BIGINT + 180000000) * {n}) // 360000000, {n - 1}) AS ix0,
+  LEAST(((x1::BIGINT + 180000000) * {n}) // 360000000, {n - 1}) AS ix1,
+  LEAST(((y0::BIGINT + 90000000) * {n}) // 180000000, {n - 1}) AS iy0,
+  LEAST(((y1::BIGINT + 90000000) * {n}) // 180000000, {n - 1}) AS iy1
+  FROM rects),
+cover AS (SELECT r.polygon_id, iy.iy * {n} + ix.ix AS tile_id
+          FROM rng r,
+               LATERAL (SELECT unnest(generate_series(r.ix0, r.ix1)) AS ix) ix,
+               LATERAL (SELECT unnest(generate_series(r.iy0, r.iy1)) AS iy) iy),
+pt AS (SELECT okey, (s1 % 65536) AS val, {_tile_sql_cols()} FROM pts),
+pt2 AS (SELECT okey, val, iy * {n} + ix AS tile_id FROM pt),
+tp AS (SELECT polygon_id, count(*) AS n_tiles FROM cover GROUP BY 1),
+st AS (SELECT c.polygon_id, count(*) AS n_points, sum(p.val) AS sum_val
+       FROM cover c JOIN pt2 p USING (tile_id) GROUP BY 1)
+SELECT t.polygon_id, t.n_tiles,
+       COALESCE(s.n_points, 0) AS n_points,
+       COALESCE(s.sum_val, 0) AS sum_val
+FROM tp t LEFT JOIN st s USING (polygon_id)
 """,
         "phash_hamming_pairs": f"""
 WITH {_pts_cte()},
@@ -2931,6 +3026,21 @@ def _suite_specs() -> dict:
                  {"node": _L(-1), "v": "n_triangles", "s1": "graph"}),
                 ("sssp", "graph_sssp",
                  {"node": "node", "v": "dist_u", "s1": _L("")}),
+            ]),
+        # ---- geodesic ops: haversine kNN / radius + raster zonal stats
+        "geo_geodesic_suite": dict(
+            schema=[("query_id", "VARCHAR"), ("o_orderkey", "BIGINT"),
+                    ("rank", "BIGINT"), ("v", "DOUBLE")],
+            parts=[
+                ("hav_knn", "geo_hav_knn",
+                 {"query_id": "query_id", "o_orderkey": "o_orderkey",
+                  "rank": "rank", "v": "dist_km_r"}),
+                ("hav_radius", "geo_hav_radius",
+                 {"query_id": "query_id", "o_orderkey": "o_orderkey",
+                  "rank": _L(0), "v": "dist_km_r"}),
+                ("zonal", "geo_zonal",
+                 {"query_id": "polygon_id", "o_orderkey": "n_points",
+                  "rank": "n_tiles", "v": "sum_val"}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

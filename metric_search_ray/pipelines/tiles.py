@@ -151,3 +151,70 @@ def raster_vector_assignment(points_ds, polygon_layer: dict, res: int):
 
     return assign_tiles(points_ds, res).map_batches(
         TileJoin, batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+def zonal_stats(points_ds, polygon_layer: dict, res: int, value_col: str):
+    """Zonal statistics: per-polygon aggregates of point values over the
+    polygon's raster-tile cover (count + sum; the classic raster zonal
+    operation, computed in tile space rather than by point-in-polygon).
+
+    Scale shape: the (tile, polygon) cover is the broadcast small side
+    (bounded by n_polygons x bbox tiles); points stream through one
+    map_batches that emits PARTIAL per-polygon aggregates per batch
+    (combiner pattern), and the final combine is a driver-side
+    vectorized merge bounded by n_polygons — no groupby shuffle of the
+    point table.  Polygons whose cover holds no points still emit a
+    row (n_points = 0), so the output row count equals the layer size.
+
+    Output: (polygon_id, n_tiles, n_points, sum_val) pandas frame —
+    small by construction (one row per polygon).
+    """
+    import ray
+
+    cover = tile_polygon_cover(polygon_layer, res)
+    pids = list(dict.fromkeys(polygon_layer["polygon_id"]))
+    pid_idx = {p: i for i, p in enumerate(pids)}
+    n_poly = len(pids)
+    lut: dict[int, np.ndarray] = {}
+    n_tiles = np.zeros(n_poly, np.int64)
+    for t, p in zip(cover.column("tile_id").to_pylist(),
+                    cover.column("polygon_id").to_pylist()):
+        lut.setdefault(int(t), []).append(pid_idx[p])
+        n_tiles[pid_idx[p]] += 1
+    lut = {t: np.asarray(v, np.int64) for t, v in lut.items()}
+    ref = ray.put(lut)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        tids = batch.column("tile_id").to_numpy()
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        cnt = np.zeros(n_poly, np.int64)
+        tot = np.zeros(n_poly, np.int64)
+        # group batch rows by tile once; accumulate per covering polygon
+        uniq, inv = np.unique(tids, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, vals.astype(np.int64))
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        for ui, t in enumerate(uniq):
+            hit = table.get(int(t))
+            if hit is not None:
+                cnt[hit] += counts[ui]
+                tot[hit] += sums[ui]
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "pidx": pa.array(nz, pa.int64()),
+            "n_partial": pa.array(cnt[nz], pa.int64()),
+            "sum_partial": pa.array(tot[nz], pa.int64()),
+        })
+
+    partials = assign_tiles(points_ds, res).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    n_points = np.zeros(n_poly, np.int64)
+    sum_val = np.zeros(n_poly, np.int64)
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        idx = b.column("pidx").to_numpy()
+        np.add.at(n_points, idx, b.column("n_partial").to_numpy())
+        np.add.at(sum_val, idx, b.column("sum_partial").to_numpy())
+    import pandas as pd
+    return pd.DataFrame({"polygon_id": pids, "n_tiles": n_tiles,
+                         "n_points": n_points, "sum_val": sum_val})
