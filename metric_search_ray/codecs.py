@@ -212,12 +212,14 @@ def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- dispatch
 
 from .pngcodec import png_decode, png_encode  # noqa: E402
+from .jpegcodec import jpeg_decode, jpeg_encode  # noqa: E402
 
 CODECS = {
     "ppm": (ppm_encode, ppm_decode),
     "qdct": (lambda p: qdct_encode(p), qdct_decode),
-    # real container: pure numpy+zlib PNG (lossless, PSNR = inf)
+    # real containers: pure-numpy PNG (lossless) + baseline JPEG (lossy)
     "png": (png_encode, png_decode),
+    "jpeg": (lambda p: jpeg_encode(p), jpeg_decode),
 }
 
 

@@ -5,10 +5,11 @@ typed metadata columns alongside (w, h, fmt / sample_rate, n_samples /
 fps, n_frames).  Each transform is an actor-pool ``map_batches`` stage
 with real Ray-side plumbing (schema, batch sizing, actor signature,
 output layout); decode is REAL for the engine's own codecs
-(ppm/qdct via codecs.py), for PNG (from-scratch numpy+zlib decoder,
-pngcodec.py) and for RIFF/WAV PCM audio (``_decode_wav`` below), and
+(ppm/qdct via codecs.py), for PNG (from-scratch numpy+zlib,
+pngcodec.py), for baseline JPEG (from-scratch numpy entropy+DCT,
+jpegcodec.py) and for RIFF/WAV PCM audio (``_decode_wav`` below), and
 STUBBED behind ``NotImplementedError`` for container formats whose
-libraries aren't in this environment (jpeg/webp/flac/mp4) — the stub
+libraries aren't in this environment (webp/flac/mp4) — the stub
 boundary is explicit per stage.
 
 Batch-size guidance: payload columns dominate block size; callers
@@ -24,7 +25,7 @@ import pyarrow as pa
 
 from .. import codecs
 
-STUBBED_FORMATS = {"jpeg", "webp", "flac", "mp4", "webm"}
+STUBBED_FORMATS = {"webp", "flac", "mp4", "webm"}
 
 
 def _decode_or_raise(buf: bytes, fmt: str) -> np.ndarray:
@@ -118,9 +119,8 @@ class ImageFeatures:
 
 def _decode_pcm16(buf: bytes) -> tuple[int, np.ndarray]:
     """Deterministic raw-audio container: 8-byte header (sample_rate
-    uint32 LE, n_samples uint32 LE) + s16le mono samples.  The real
-    containers (wav/flac/mp3) need audio libraries absent in this
-    environment and raise via _decode_or_raise's stub boundary."""
+    uint32 LE, n_samples uint32 LE) + s16le mono samples.  Real RIFF/WAV
+    decodes via ``_decode_wav``; flac/mp3 remain stubbed."""
     if len(buf) < 8:
         raise ValueError("pcm16 buffer shorter than its header")
     rate = int.from_bytes(buf[0:4], "little")
