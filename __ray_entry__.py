@@ -97,6 +97,9 @@ def _geo_query_points() -> list[tuple[str, int, int]]:
 GEO_KNN_K = 5
 RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
 HAV_RADIUS_KM = 400.0  # great-circle radius for the geodesic suite
+MOSAIC_RES = 4         # tile resolution for the image mosaic (256 tiles)
+DP_EPS = 8.0           # Douglas-Peucker epsilon (degrees)
+DP_CUST_MOD = 5        # track sample: customers with custkey % 5 == 0
 
 HLL_P = 12  # HyperLogLog precision for events_hll_registers (4096 registers)
 PACK_BUDGET = 256  # token budget per training sequence for doc_pack
@@ -584,6 +587,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import tiles
         pts = _orders_points(sf_dir)
         return tiles.zonal_stats(pts, _rect_layer(), TILE_RES, "phash")
+
+    def geo_track_dp(sf_dir: str):
+        """Douglas-Peucker trajectory simplification, one track per
+        customer, ordered by orderkey (pipelines/tracks.py)."""
+        from metric_search_ray.pipelines import tracks
+        from metric_search_ray.stages import assign
+        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            keep = (b.column("o_custkey").to_numpy() % DP_CUST_MOD) == 0
+            return assign.geotag_from_key(b.filter(pa.array(keep)),
+                                          "o_orderkey")
+
+        pts = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        return tracks.simplify_tracks(
+            pts, eps=DP_EPS, track_col="o_custkey",
+            order_col="o_orderkey").to_pandas()
+
+    def img_mosaic(sf_dir: str):
+        """Per-tile mean-thumbnail mosaic over the geotagged image
+        table (tiles.tile_mosaic), melted to one row per (tile, pixel)
+        so the hash verifies every integer pixel sum."""
+        from metric_search_ray.pipelines import tiles as tilesmod
+        ds = rd.read_parquet(_image_table_path(sf_dir))
+        out = tilesmod.tile_mosaic(ds, res=MOSAIC_RES, thumb=8,
+                                   concurrency=4)
+        t2 = 64
+        tid = np.repeat(out["tile_id"].to_numpy(), t2)
+        pidx = np.tile(np.arange(t2, dtype=np.int64), len(out))
+        pix = (np.concatenate([np.asarray(p) for p in out["pix"]])
+               if len(out) else np.empty(0, np.int64))
+        nim = np.repeat(out["n_images"].to_numpy(), t2)
+        return pd.DataFrame({"tile_id": tid, "pixel_idx": pidx,
+                             "pixsum": pix, "n_images": nim})
 
     def phash_hamming_pairs(sf_dir: str):
         from metric_search_ray.pipelines import dedup
@@ -1654,6 +1693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hav_knn": geo_hav_knn,
         "geo_hav_radius": geo_hav_radius,
         "geo_zonal": geo_zonal,
+        "geo_track_dp": geo_track_dp,
+        "img_mosaic": img_mosaic,
         "phash_hamming_pairs": phash_hamming_pairs,
         "doc_dedup_exact": doc_dedup_exact,
         "doc_token_count": doc_token_count,
@@ -1945,6 +1986,79 @@ def _img_patch_knn_sql(n: int) -> str:
                      for q, i, r, v in out)
     return (f"SELECT * FROM (VALUES {vals}) "
             f"AS t(query_id, patch_key, rank, similarity)")
+
+
+def _img_mosaic_sql(n: int, res: int = MOSAIC_RES, thumb: int = 8) -> str:
+    """Local serial replay of tiles.tile_mosaic over the fixture
+    (bit-identical _resize_batch kernel, integer pixel sums commute,
+    so block layout cannot change the answer)."""
+    from collections import defaultdict
+
+    from metric_search_ray import cell as cellmod
+    from metric_search_ray import codecs, geocode
+    from metric_search_ray.phash import _resize_batch, to_gray
+
+    rows = _fixture_rows_local(n)
+    ids = np.asarray([r["image_id"] for r in rows], object)
+    la, lo = geocode.geocode_image_ids(ids)
+    tid = cellmod.tile_of(la, lo, res)
+    pix = codecs.decode_many([r["bytes"] for r in rows],
+                             [r["fmt"] for r in rows])
+    t2 = thumb * thumb
+    thumbs = np.empty((len(pix), t2), np.int64)
+    groups: dict = defaultdict(list)
+    for i, p in enumerate(pix):
+        g = to_gray(p)
+        pix[i] = g
+        groups[g.shape].append(i)
+    for _shape, idxs in groups.items():
+        st = np.stack([pix[i] for i in idxs])
+        r = _resize_batch(st.astype(np.float64), thumb, thumb)
+        thumbs[np.asarray(idxs)] = np.rint(r).astype(np.int64).reshape(
+            len(idxs), t2)
+    agg: dict[int, np.ndarray] = {}
+    cnt: dict[int, int] = {}
+    for i, t in enumerate(tid):
+        t = int(t)
+        if t in agg:
+            agg[t] = agg[t] + thumbs[i]
+            cnt[t] += 1
+        else:
+            agg[t] = thumbs[i].copy()
+            cnt[t] = 1
+    vals = ", ".join(f"({t}, {j}, {int(agg[t][j])}, {cnt[t]})"
+                     for t in sorted(agg) for j in range(t2))
+    return ("SELECT * FROM (VALUES " + vals
+            + ") AS t(tile_id, pixel_idx, pixsum, n_images)")
+
+
+def _track_dp_sql(sf_dir: str = "/root/testdata/sf0.01",
+                  eps: float = DP_EPS, mod: int = DP_CUST_MOD) -> str:
+    """Local serial replay of tracks.simplify_tracks over the orders
+    table (same simplify_polyline kernel, per-track)."""
+    import pyarrow.parquet as _pq
+
+    from metric_search_ray import geocode
+    from metric_search_ray.pipelines.tracks import simplify_polyline
+
+    t = _pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                       columns=["o_orderkey", "o_custkey"])
+    okey = t.column("o_orderkey").to_numpy().astype(np.int64)
+    cust = t.column("o_custkey").to_numpy().astype(np.int64)
+    sel = (cust % mod) == 0
+    okey, cust = okey[sel], cust[sel]
+    la_u, lo_u = geocode.geocode_from_key(okey)
+    la, lo = la_u / 1e6, lo_u / 1e6
+    vals = []
+    for c in np.unique(cust):
+        m = np.flatnonzero(cust == c)
+        order = np.argsort(okey[m], kind="stable")
+        mm = m[order]
+        kept = simplify_polyline(np.stack([lo[mm], la[mm]], axis=1), eps)
+        vals.extend(f"({int(c)}, {int(okey[mm[k]])}, {s})"
+                    for s, k in enumerate(kept, 1))
+    return ("SELECT * FROM (VALUES " + ", ".join(vals)
+            + ") AS t(o_custkey, o_orderkey, pos)")
 
 
 def _audio_features_sql(n: int) -> str:
@@ -2762,6 +2876,8 @@ FROM img a JOIN img b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 6
 """,
         "img_features": _img_features_sql(n_img),
+        "img_mosaic": _img_mosaic_sql(n_img),
+        "geo_track_dp": _track_dp_sql(),
         "graph_sssp": _sssp_oracle_sql(),
         "audio_features": _audio_features_sql(
             _n_audio("/root/testdata/sf0.01")),
@@ -3041,6 +3157,9 @@ def _suite_specs() -> dict:
                 ("zonal", "geo_zonal",
                  {"query_id": "polygon_id", "o_orderkey": "n_points",
                   "rank": "n_tiles", "v": "sum_val"}),
+                ("dp", "geo_track_dp",
+                 {"query_id": "o_custkey", "o_orderkey": "o_orderkey",
+                  "rank": "pos", "v": _L(0.0)}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(
@@ -3256,6 +3375,9 @@ def _suite_specs() -> dict:
                 ("resize", "img_resize",
                  {"image_id": "image_id", "fmt": "fmt", "w": "w", "h": "h",
                   "valid": _L(1)}),
+                ("mosaic", "img_mosaic",
+                 {"image_id": "tile_id", "fmt": _L("mosaic"),
+                  "w": "pixel_idx", "h": "pixsum", "valid": "n_images"}),
             ]),
         # ---- orders joins: grouped join agg + LEFT ANTI
         "orders_suite": dict(
@@ -3304,8 +3426,12 @@ def _assemble_queries(base: dict) -> dict:
                     else:
                         ser = df[m].reset_index(drop=True)
                     pd_t = _PD_CAST[typ]
+                    # VARCHAR: real str values (matching the oracle's
+                    # CAST AS VARCHAR), never ints-in-object — a mixed
+                    # int/str object column makes the driver's canon
+                    # row sort diverge between the two sides
                     out[col] = (ser.astype(pd_t) if pd_t is not None
-                                else ser.astype(object))
+                                else ser.astype(str).astype(object))
                 frames.append(pd.DataFrame(out))
             return pd.concat(frames, ignore_index=True)
 

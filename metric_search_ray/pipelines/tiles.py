@@ -218,3 +218,83 @@ def zonal_stats(points_ds, polygon_layer: dict, res: int, value_col: str):
     import pandas as pd
     return pd.DataFrame({"polygon_id": pids, "n_tiles": n_tiles,
                          "n_points": n_points, "sum_val": sum_val})
+
+
+def tile_mosaic(images_ds, res: int, thumb: int = 8,
+                concurrency: int = 4, batch_size: int = 256):
+    """Per-tile mean thumbnail over geotagged images (map-tile mosaic
+    build): decode -> gray -> bilinear thumb x thumb -> integer-rounded
+    pixel grid, then per-tile pixel-sum partials inside the actor pool
+    and an O(n_tiles x thumb^2) driver combine.  The heavy side (image
+    bytes) streams once and never shuffles; only (tile, 64 sums)
+    partials leave each task.
+
+    Determinism: per-pixel values are ``rint`` int64 before summation,
+    so the distributed result equals a serial replay exactly (same
+    bit-identical ``_resize_batch`` kernel, integer accumulation).
+
+    Output: pandas (tile_id, n_images, pix: list<int64> of thumb*thumb
+    sums) — mean pixel = pix / n_images.
+    """
+    from collections import defaultdict
+
+    from .. import codecs
+    from ..phash import _resize_batch, to_gray
+    from ..stages import assign
+
+    t2 = thumb * thumb
+
+    class MosaicPartial:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = assign.geotag(batch)
+            batch = assign.assign_tile(batch, res)
+            bufs = batch.column("bytes").to_pylist()
+            fmts = batch.column("fmt").to_pylist()
+            tids = batch.column("tile_id").to_numpy()
+            pix = codecs.decode_many(bufs, fmts)
+            groups: dict = defaultdict(list)
+            thumbs = np.empty((len(pix), t2), np.int64)
+            for i, p in enumerate(pix):
+                g = to_gray(p)
+                groups[g.shape].append(i)
+                pix[i] = g
+            for shape, idxs in groups.items():
+                stack = np.stack([pix[i] for i in idxs])
+                r = _resize_batch(stack.astype(np.float64), thumb, thumb)
+                thumbs[np.asarray(idxs)] = np.rint(r).astype(
+                    np.int64).reshape(len(idxs), t2)
+            uniq, inv = np.unique(tids, return_inverse=True)
+            sums = np.zeros((len(uniq), t2), np.int64)
+            np.add.at(sums, inv, thumbs)
+            cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            return pa.table({
+                "tile_id": pa.array(uniq, pa.int64()),
+                "n_partial": pa.array(cnt, pa.int64()),
+                "pix": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), pa.int64()), t2),
+            })
+
+    partials = images_ds.map_batches(
+        MosaicPartial, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+    acc: dict[int, tuple] = {}
+    total_n: dict[int, int] = {}
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        tid = b.column("tile_id").to_numpy()
+        cnt = b.column("n_partial").to_numpy()
+        pix = np.stack(b.column("pix").to_numpy(zero_copy_only=False))
+        for j, t in enumerate(tid):
+            t = int(t)
+            if t in acc:
+                acc[t] = acc[t] + pix[j]
+                total_n[t] += int(cnt[j])
+            else:
+                acc[t] = pix[j].copy()
+                total_n[t] = int(cnt[j])
+    import pandas as pd
+    keys = sorted(acc)
+    return pd.DataFrame({
+        "tile_id": np.asarray(keys, np.int64),
+        "n_images": np.asarray([total_n[k] for k in keys], np.int64),
+        "pix": [acc[k] for k in keys],
+    })

@@ -354,12 +354,18 @@ def test_audio_features(ray_session):
     assert f1[2] > f0[2]
     assert np.argmax(f1[3:]) > np.argmax(f0[3:])
     assert f0[3:].sum() == pytest.approx(1.0, abs=1e-3)
-    # stub boundary is explicit
+    # wav decodes for real now (round 3): malformed wav is a loud
+    # parse error, and the stub boundary moved to flac
     bad = pa.table({"audio_id": pa.array(["b"]),
                     "bytes": pa.array([b"RIFF"], pa.binary()),
                     "fmt": pa.array(["wav"])})
-    with pytest.raises(Exception, match="audio library|NotImplemented"):
+    with pytest.raises(Exception, match="RIFF/WAVE"):
         multimodal.audio_features(rd.from_arrow(bad), concurrency=2).materialize()
+    stub = pa.table({"audio_id": pa.array(["c"]),
+                     "bytes": pa.array([b"fLaC...."], pa.binary()),
+                     "fmt": pa.array(["flac"])})
+    with pytest.raises(Exception, match="audio library|NotImplemented"):
+        multimodal.audio_features(rd.from_arrow(stub), concurrency=2).materialize()
 
 
 def test_contamination_check_planted(ray_session):
