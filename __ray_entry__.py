@@ -588,6 +588,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = _orders_points(sf_dir)
         return tiles.zonal_stats(pts, _rect_layer(), TILE_RES, "phash")
 
+    def geo_cover_area(sf_dir: str):
+        """Area-weighted tile cover: exact polygon-tile overlap areas
+        in square microdegrees (tiles.tile_cover_areas, S-H clip +
+        shoelace in tile-local coordinates)."""
+        from metric_search_ray.pipelines import tiles as tilesmod
+        rects = _oracle_rects()
+        layer = {
+            "polygon_id": [r["polygon_id"] for r in rects],
+            "ring": [np.asarray(
+                [[r["x0"] + 0.5, r["y0"] + 0.5],
+                 [r["x1"] + 0.5, r["y0"] + 0.5],
+                 [r["x1"] + 0.5, r["y1"] + 0.5],
+                 [r["x0"] + 0.5, r["y1"] + 0.5]], np.float64)
+                for r in rects],
+        }
+        return tilesmod.tile_cover_areas(
+            layer, TILE_RES, rings_in_microdegrees=True).to_pandas()
+
     def geo_track_dp(sf_dir: str):
         """Douglas-Peucker trajectory simplification, one track per
         customer, ordered by orderkey (pipelines/tracks.py)."""
@@ -1693,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hav_knn": geo_hav_knn,
         "geo_hav_radius": geo_hav_radius,
         "geo_zonal": geo_zonal,
+        "geo_cover_area": geo_cover_area,
         "geo_track_dp": geo_track_dp,
         "img_mosaic": img_mosaic,
         "phash_hamming_pairs": phash_hamming_pairs,
@@ -2272,6 +2291,26 @@ SELECT t.polygon_id, t.n_tiles,
        COALESCE(s.n_points, 0) AS n_points,
        COALESCE(s.sum_val, 0) AS sum_val
 FROM tp t LEFT JOIN st s USING (polygon_id)
+""",
+        "geo_cover_area": f"""
+WITH rects(polygon_id, x0, x1, y0, y1) AS (VALUES {rect_values}),
+rng AS (SELECT polygon_id, x0, x1, y0, y1,
+  LEAST(((x0::BIGINT + 180000000) * {n}) // 360000000, {n - 1}) AS ix0,
+  LEAST(((x1::BIGINT + 180000000) * {n}) // 360000000, {n - 1}) AS ix1,
+  LEAST(((y0::BIGINT + 90000000) * {n}) // 180000000, {n - 1}) AS iy0,
+  LEAST(((y1::BIGINT + 90000000) * {n}) // 180000000, {n - 1}) AS iy1
+  FROM rects),
+cand AS (SELECT r.polygon_id, r.x0, r.x1, r.y0, r.y1, ix.ix, iy.iy
+         FROM rng r,
+              LATERAL (SELECT unnest(generate_series(r.ix0, r.ix1)) AS ix) ix,
+              LATERAL (SELECT unnest(generate_series(r.iy0, r.iy1)) AS iy) iy),
+a AS (SELECT polygon_id, iy * {n} + ix AS tile_id,
+  (LEAST(x1 + 0.5, -180000000.0 + (ix + 1) * {360e6 / n!r})
+   - GREATEST(x0 + 0.5, -180000000.0 + ix * {360e6 / n!r}))
+  * (LEAST(y1 + 0.5, -90000000.0 + (iy + 1) * {180e6 / n!r})
+     - GREATEST(y0 + 0.5, -90000000.0 + iy * {180e6 / n!r})) AS area_u2
+  FROM cand)
+SELECT polygon_id, tile_id, area_u2 FROM a WHERE area_u2 > 0
 """,
         "phash_hamming_pairs": f"""
 WITH {_pts_cte()},
@@ -3160,6 +3199,9 @@ def _suite_specs() -> dict:
                 ("dp", "geo_track_dp",
                  {"query_id": "o_custkey", "o_orderkey": "o_orderkey",
                   "rank": "pos", "v": _L(0.0)}),
+                ("cover_area", "geo_cover_area",
+                 {"query_id": "polygon_id", "o_orderkey": "tile_id",
+                  "rank": _L(0), "v": "area_u2"}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

@@ -230,3 +230,70 @@ def point_cell_min_dist_deg(lat_deg: float, lon_deg: float, cells: np.ndarray) -
     dx = np.minimum(dx, np.maximum(dx_wrap, 0.0))
     dy = np.maximum(np.maximum(lat0d - lat_deg, lat_deg - lat1d), 0.0)
     return np.sqrt(dx * dx + dy * dy)
+
+
+def compact_cells(cells: np.ndarray) -> np.ndarray:
+    """H3-style set compaction: wherever all 4 siblings are present,
+    replace them with their parent, repeated up the hierarchy.
+
+    Input: int64 cell ids, any mix of resolutions, duplicates allowed
+    (deduped).  Output: the unique minimal mixed-resolution set covering
+    exactly the same area, sorted.  Fully vectorized per level: group
+    finest-level cells by parent with one sort + run-length count."""
+    cells = np.unique(np.asarray(cells, np.int64))
+    if len(cells) == 0:
+        return cells
+    out = []
+    cur = cells
+    while True:
+        _, _, res = cell_to_xy(cur)
+        top = int(res.max())
+        if top == 0:
+            out.append(cur)
+            break
+        fine = cur[res == top]
+        rest = cur[res != top]
+        par = parent(fine, top - 1)
+        uniq, cnt = np.unique(par, return_counts=True)
+        full = uniq[cnt == 4]
+        if len(full) == 0:
+            out.append(fine)
+            cur = rest
+            if len(cur) == 0:
+                break
+            continue
+        keep = fine[~np.isin(par, full)]
+        out.append(keep)
+        cur = np.unique(np.concatenate([rest, full]))
+    return np.sort(np.concatenate(out)) if out else cells
+
+
+def uncompact_cells(cells: np.ndarray, res: int) -> np.ndarray:
+    """Expand a mixed-resolution cell set to uniform ``res`` (every
+    input cell must be at resolution <= res).  Vectorized per level:
+    each pass splits every too-coarse cell into its 4 children at
+    once (2-bit Morton append)."""
+    cur = np.unique(np.asarray(cells, np.int64))
+    if len(cur) == 0:
+        return cur
+    _, _, r = cell_to_xy(cur)
+    if np.any(r > res):
+        raise ValueError("uncompact_cells: input finer than target res")
+    done = [cur[r == res]]
+    work = cur[r < res]
+    # one pass per level: split exactly the coarsest cells each round
+    # (the set may mix resolutions)
+    while len(work):
+        ix, iy, r = cell_to_xy(work)
+        lev = int(r.min())
+        sel = r == lev
+        bx, by = ix[sel] << 1, iy[sel] << 1
+        cx = np.concatenate([bx, bx + 1, bx, bx + 1])
+        cy = np.concatenate([by, by, by + 1, by + 1])
+        ch = cell_id_from_xy(cx, cy, lev + 1)
+        if lev + 1 == res:
+            done.append(ch)
+            work = work[~sel]
+        else:
+            work = np.concatenate([work[~sel], ch])
+    return np.sort(np.unique(np.concatenate(done)))

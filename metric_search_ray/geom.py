@@ -116,3 +116,58 @@ def rect_intersects_polygon(lon0: float, lat0: float, lon1: float, lat1: float,
     b1 = pe1[None, :, :]
     b2 = pe2[None, :, :]
     return bool(_segments_intersect(a1, a2, b1, b2).any())
+
+
+def clip_ring_rect(ring: np.ndarray, x0: float, y0: float,
+                   x1: float, y1: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of a simple ring against an axis-aligned
+    box -> (m, 2) vertices (possibly empty).  For axis-aligned input
+    edges every output coordinate is an exact copy/boundary value (the
+    interpolation term vanishes), which the exact-area contract of
+    ``tiles.tile_cover_areas`` relies on."""
+    pts = np.asarray(ring, np.float64)
+
+    def clip(poly, inside, intersect):
+        out = []
+        n = len(poly)
+        for i in range(n):
+            a = poly[i]
+            b = poly[(i + 1) % n]
+            ia, ib = inside(a), inside(b)
+            if ia:
+                out.append(a)
+                if not ib:
+                    out.append(intersect(a, b))
+            elif ib:
+                out.append(intersect(a, b))
+        return np.asarray(out, np.float64).reshape(-1, 2)
+
+    def ix_at_x(xc):
+        def f(a, b):
+            t = (xc - a[0]) / (b[0] - a[0])
+            return np.array([xc, a[1] + t * (b[1] - a[1])])
+        return f
+
+    def ix_at_y(yc):
+        def f(a, b):
+            t = (yc - a[1]) / (b[1] - a[1])
+            return np.array([a[0] + t * (b[0] - a[0]), yc])
+        return f
+
+    pts = clip(pts, lambda p: p[0] >= x0, ix_at_x(x0))
+    if len(pts):
+        pts = clip(pts, lambda p: p[0] <= x1, ix_at_x(x1))
+    if len(pts):
+        pts = clip(pts, lambda p: p[1] >= y0, ix_at_y(y0))
+    if len(pts):
+        pts = clip(pts, lambda p: p[1] <= y1, ix_at_y(y1))
+    return pts
+
+
+def ring_area(pts: np.ndarray) -> float:
+    """Shoelace area (absolute) of a ring given as (n, 2) vertices."""
+    if len(pts) < 3:
+        return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    s = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    return abs(s) * 0.5

@@ -298,3 +298,54 @@ def tile_mosaic(images_ds, res: int, thumb: int = 8,
         "n_images": np.asarray([total_n[k] for k in keys], np.int64),
         "pix": [acc[k] for k in keys],
     })
+
+
+def tile_cover_areas(polygon_layer: dict, res: int,
+                     rings_in_microdegrees: bool = False) -> pa.Table:
+    """(polygon_id, tile_id, area_u2) — the area-weighted refinement of
+    ``tile_polygon_cover``: for every covering tile, the EXACT overlap
+    area between the polygon and the tile box, in square microdegrees.
+
+    Exactness contract: the clip runs in TILE-LOCAL microdegree
+    coordinates (ring*1e6 minus the tile origin), so for axis-aligned
+    rings every vertex is an exact double and the shoelace sum stays
+    far below 2^53 at res >= 4 — the result is bit-equal to the SQL
+    width x height expression over the same integers.  General
+    (non-axis-aligned) rings get correct floating-point areas with
+    ordinary rounding, tested against numpy references.
+
+    Driver-side like tile_polygon_cover (the layer is the small side);
+    output is the broadcastable cover table for area-weighted zonal
+    aggregation."""
+    n = 1 << res
+    wx = 360e6 / n   # exact doubles (power-of-two division)
+    wy = 180e6 / n
+    tids, pids, areas = [], [], []
+    for pid, ring in zip(polygon_layer["polygon_id"],
+                         polygon_layer["ring"]):
+        # degree rings pay one inexact *1e6 scaling; callers who hold
+        # exact microdegree coordinates pass them directly to keep the
+        # bit-exact contract (deg/1e6*1e6 double-rounds off by ~1 ulp)
+        if rings_in_microdegrees:
+            ring_u = np.asarray(ring, np.float64)
+            bbox = geom.ring_bbox(ring_u / 1e6)
+        else:
+            ring_u = np.asarray(ring, np.float64) * 1e6
+            bbox = geom.ring_bbox(np.asarray(ring, np.float64))
+        ix0, iy0, ix1, iy1 = tile_range_of_bbox(bbox, res)
+        for iy in range(iy0, iy1 + 1):
+            ty0 = -90e6 + iy * wy
+            for ix in range(ix0, ix1 + 1):
+                tx0 = -180e6 + ix * wx
+                local = ring_u - np.array([tx0, ty0])
+                pts = geom.clip_ring_rect(local, 0.0, 0.0, wx, wy)
+                a = geom.ring_area(pts)
+                if a > 0.0:
+                    tids.append(iy * n + ix)
+                    pids.append(pid)
+                    areas.append(a)
+    return pa.table({
+        "tile_id": pa.array(np.asarray(tids, np.int64), pa.int64()),
+        "polygon_id": pa.array(pids, pa.string()),
+        "area_u2": pa.array(np.asarray(areas, np.float64), pa.float64()),
+    })

@@ -85,3 +85,66 @@ def test_tile_id_row_major():
 def test_res_out_of_range():
     with pytest.raises(ValueError):
         cell.cell_xy(np.asarray([0]), np.asarray([0]), 29)
+
+
+def test_compact_uncompact_roundtrip():
+    import numpy as np
+    from metric_search_ray import cell
+
+    rng = np.random.default_rng(31)
+    for trial in range(8):
+        res = int(rng.integers(2, 7))
+        n = 1 << res
+        # random region: union of a few rectangles of res-cells
+        ids = set()
+        for _ in range(int(rng.integers(1, 4))):
+            x0, y0 = rng.integers(0, n, 2)
+            w, h = rng.integers(1, max(2, n // 2), 2)
+            for x in range(int(x0), min(n, int(x0 + w))):
+                for y in range(int(y0), min(n, int(y0 + h))):
+                    ids.add((x, y))
+        xs = np.asarray([x for x, _ in ids], np.int64)
+        ys = np.asarray([y for _, y in ids], np.int64)
+        cells = cell.cell_id_from_xy(xs, ys, res)
+        comp = cell.compact_cells(cells)
+        # compaction never grows the set and covers the same area
+        assert len(comp) <= len(cells)
+        back = cell.uncompact_cells(comp, res)
+        np.testing.assert_array_equal(back, np.sort(cells))
+        # idempotent, and no complete sibling quad remains
+        np.testing.assert_array_equal(cell.compact_cells(comp), comp)
+        _, _, r = cell.cell_to_xy(comp)
+        for lev in np.unique(r):
+            if lev == 0:
+                continue
+            sub = comp[r == lev]
+            par = cell.parent(sub, int(lev) - 1)
+            _, cnt = np.unique(par, return_counts=True)
+            assert cnt.max() < 4
+
+
+def test_compact_full_plane_collapses_to_root():
+    import numpy as np
+    from metric_search_ray import cell
+
+    res = 3
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    cells = cell.cell_id_from_xy(xs.ravel(), ys.ravel(), res)
+    comp = cell.compact_cells(cells)
+    assert len(comp) == 1
+    _, _, r = cell.cell_to_xy(comp)
+    assert r[0] == 0
+    np.testing.assert_array_equal(cell.uncompact_cells(comp, res),
+                                  np.sort(cells))
+
+
+def test_uncompact_rejects_finer_input():
+    import numpy as np
+    import pytest
+    from metric_search_ray import cell
+
+    c = cell.cell_id_from_xy(np.array([3]), np.array([5]), 4)
+    with pytest.raises(ValueError, match="finer"):
+        cell.uncompact_cells(c, 2)
+    assert len(cell.compact_cells(np.empty(0, np.int64))) == 0

@@ -64,3 +64,76 @@ def test_point_in_polygons_join():
     # every reported pair verifies exactly
     for i, j in zip(pi[:50], pj[:50]):
         assert geom.points_in_polygon(lon[i : i + 1], lat[i : i + 1], layer["ring"][j])[0]
+
+
+def test_clip_ring_rect_cases():
+    import numpy as np
+    from metric_search_ray import geom
+
+    sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+    # fully inside
+    got = geom.clip_ring_rect(sq, -1, -1, 5, 5)
+    assert geom.ring_area(got) == 16.0
+    # fully outside
+    assert len(geom.clip_ring_rect(sq, 10, 10, 12, 12)) == 0
+    # half overlap
+    got = geom.clip_ring_rect(sq, 2, -1, 10, 10)
+    assert geom.ring_area(got) == 8.0
+    # corner overlap
+    got = geom.clip_ring_rect(sq, 3, 3, 10, 10)
+    assert geom.ring_area(got) == 1.0
+    # triangle clipped to half
+    tri = np.array([[0, 0], [4, 0], [0, 4]], float)
+    assert geom.ring_area(geom.clip_ring_rect(tri, 0, 0, 2, 4)) == 6.0
+
+
+def test_clip_area_partition_of_unity():
+    """Tile overlap areas partition the polygon exactly."""
+    import numpy as np
+    from metric_search_ray import geom
+    from metric_search_ray.pipelines import tiles
+
+    rng = np.random.default_rng(41)
+    for _ in range(6):
+        # random convex polygon (hull of random points)
+        pts = rng.uniform(-50, 50, (12, 2))
+        c = pts.mean(axis=0)
+        ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+        ring = pts[np.argsort(ang)]
+        layer = {"polygon_id": ["p"], "ring": [ring]}
+        cov = tiles.tile_cover_areas(layer, 5)
+        total = sum(cov.column("area_u2").to_pylist())
+        want = geom.ring_area(ring * 1e6)
+        assert abs(total - want) <= 1e-6 * max(want, 1.0)
+
+
+def test_tile_cover_areas_consistent_with_boolean_cover():
+    import numpy as np
+    from metric_search_ray.pipelines import tiles
+
+    ring = np.array([[10.25, -5.75], [22.51, -5.75], [22.51, 8.25],
+                     [10.25, 8.25]])
+    layer = {"polygon_id": ["r"], "ring": [ring]}
+    res = 6
+    areas = tiles.tile_cover_areas(layer, res)
+    boolean = tiles.tile_polygon_cover(layer, res)
+    # edges off tile boundaries: the two covers agree exactly
+    a = set(areas.column("tile_id").to_pylist())
+    b = set(boolean.column("tile_id").to_pylist())
+    assert a == b
+    # edge ON a tile boundary (22.5 = -180 + 36/64*360): the boolean
+    # cover keeps the zero-width touching tiles, the area cover drops
+    # them — the documented semantic difference
+    ring2 = np.array([[10.25, -5.75], [22.5, -5.75], [22.5, 8.25],
+                      [10.25, 8.25]])
+    layer2 = {"polygon_id": ["r"], "ring": [ring2]}
+    a2 = set(tiles.tile_cover_areas(layer2, res)
+             .column("tile_id").to_pylist())
+    b2 = set(tiles.tile_polygon_cover(layer2, res)
+             .column("tile_id").to_pylist())
+    assert a2 < b2 and all(t not in a2 for t in (b2 - a2))
+    # each area bounded by the tile box area
+    n = 1 << res
+    tile_area = (360e6 / n) * (180e6 / n)
+    assert all(0 < v <= tile_area + 1e-6
+               for v in areas.column("area_u2").to_pylist())
