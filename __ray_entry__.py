@@ -588,6 +588,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = _orders_points(sf_dir)
         return tiles.zonal_stats(pts, _rect_layer(), TILE_RES, "phash")
 
+    def orders_lineitem_join(sf_dir: str):
+        """Generic large x large shuffle hash join (joins.
+        shuffle_hash_join): orders x lineitem on orderkey, neither side
+        broadcast; row-level pairing verified (one row per joined
+        lineitem with values from both sides)."""
+        from metric_search_ray.pipelines import joins as joinsmod
+
+        def keep(b: pa.Table) -> pa.Table:
+            sel = (b.column("o_orderkey").to_numpy() % 59) == 0
+            return b.filter(pa.array(sel))
+
+        left = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_orderkey", "o_totalprice"])
+                .map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+        def rn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["o_orderkey", "l_linenumber"])
+
+        right = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                                 columns=["l_orderkey", "l_linenumber"])
+                 .map_batches(rn, batch_format="pyarrow",
+                              zero_copy_batch=True))
+        return joinsmod.shuffle_hash_join(
+            left, right, "o_orderkey", ["o_totalprice"], ["l_linenumber"],
+            how="inner").to_pandas()
+
     def geo_cover_area(sf_dir: str):
         """Area-weighted tile cover: exact polygon-tile overlap areas
         in square microdegrees (tiles.tile_cover_areas, S-H clip +
@@ -1711,6 +1738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hav_knn": geo_hav_knn,
         "geo_hav_radius": geo_hav_radius,
         "geo_zonal": geo_zonal,
+        "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
         "geo_track_dp": geo_track_dp,
         "img_mosaic": img_mosaic,
@@ -2291,6 +2319,11 @@ SELECT t.polygon_id, t.n_tiles,
        COALESCE(s.n_points, 0) AS n_points,
        COALESCE(s.sum_val, 0) AS sum_val
 FROM tp t LEFT JOIN st s USING (polygon_id)
+""",
+        "orders_lineitem_join": """
+SELECT o_orderkey, l_linenumber, o_totalprice
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 59 = 0
 """,
         "geo_cover_area": f"""
 WITH rects(polygon_id, x0, x1, y0, y1) AS (VALUES {rect_values}),
@@ -3429,6 +3462,9 @@ def _suite_specs() -> dict:
                  {"k": "c_nationkey", "n": "n_orders", "v": "revenue"}),
                 ("anti", "customers_without_orders",
                  {"k": "c_custkey", "n": "c_nationkey", "v": _L(0.0)}),
+                ("bigjoin", "orders_lineitem_join",
+                 {"k": "o_orderkey", "n": "l_linenumber",
+                  "v": "o_totalprice"}),
             ]),
     }
 

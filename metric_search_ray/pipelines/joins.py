@@ -303,3 +303,80 @@ def range_join(ds, intervals: dict, value_col: str, how: str = "inner",
                                "how": how, "closed": closed},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+def shuffle_hash_join(left, right, on: str, left_cols: list[str],
+                      right_cols: list[str], how: str = "inner"):
+    """Generic large x large equi-join: neither side broadcastable.
+
+    Shape: tag each side, union the (projected) streams, one
+    ``groupby(on)`` exchange co-locates both sides' rows per key, and
+    the per-group kernel emits the vectorized cross-product of the two
+    sides (np.repeat/np.tile index gathers — no Python row loop).
+    ``how='inner'`` or ``'left'`` (left rows with no match emit nulls).
+
+    Scale contract: ONE all-to-all exchange over the union of the two
+    projections (project before joining!).  Every row of a key lands in
+    one task, so a pathologically hot key serializes — for those,
+    pre-split with the bloom/broadcast variants or salt the build side.
+    ``left_cols``/``right_cols`` must be disjoint output names.
+    """
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"shuffle_hash_join: overlapping output columns "
+                         f"{sorted(overlap)}; rename before joining")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r} unsupported (inner|left)")
+
+    lsch, rsch = left.schema(), right.schema()
+    type_of = {c: lsch.base_schema.field(c).type for c in left_cols}
+    type_of.update({c: rsch.base_schema.field(c).type for c in right_cols})
+
+    def tag(side: int, keep: list[str], other: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            out = {on: b.column(on)}
+            for c in keep:
+                out[c] = b.column(c)
+            n = len(b)
+            for c in other:
+                out[c] = pa.nulls(n, type_of[c])
+            out["__side"] = pa.array(np.full(n, side, np.int8))
+            return pa.table(out)
+        return fn
+
+    lt = left.map_batches(tag(0, left_cols, right_cols),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag(1, right_cols, left_cols),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    both = lt.union(rt)
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy()
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        nl, nr = len(li), len(ri)
+        empty_match = nr == 0
+        if nl == 0 or (empty_match and how == "inner"):
+            cols = {on: g.column(on).slice(0, 0)}
+            for c in left_cols + right_cols:
+                cols[c] = g.column(c).slice(0, 0)
+            return pa.table(cols)
+        key = g.column(on)
+        if empty_match:  # how == 'left': keep left rows, null right
+            take_l = li
+            out = {on: key.take(pa.array(take_l))}
+            for c in left_cols:
+                out[c] = g.column(c).take(pa.array(take_l))
+            for c in right_cols:
+                out[c] = pa.nulls(nl, g.schema.field(c).type)
+            return pa.table(out)
+        take_l = np.repeat(li, nr)
+        take_r = np.tile(ri, nl)
+        out = {on: key.take(pa.array(take_l))}
+        for c in left_cols:
+            out[c] = g.column(c).take(pa.array(take_l))
+        for c in right_cols:
+            out[c] = g.column(c).take(pa.array(take_r))
+        return pa.table(out)
+
+    return both.groupby(on).map_groups(join_group, batch_format="pyarrow")

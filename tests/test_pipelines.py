@@ -444,3 +444,54 @@ def test_update_and_erase_index_keep_knn_exact(ray_session, tmp_path):
         held |= set(pq.read_table(p, columns=["image_id"])
                     .column("image_id").to_pylist())
     assert held == set(left.tolist())
+
+
+def test_shuffle_hash_join_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metric_search_ray.pipelines.joins import shuffle_hash_join
+
+    rng = np.random.default_rng(2)
+    L = pa.table({"k": pa.array(rng.integers(0, 50, 500)),
+                  "lv": pa.array(rng.integers(0, 1000, 500))})
+    R = pa.table({"k": pa.array(rng.integers(0, 60, 300)),
+                  "rv": pa.array([f"s{i}" for i in range(300)])})
+    for how in ("inner", "left"):
+        got = shuffle_hash_join(rd.from_arrow(L).repartition(5),
+                                rd.from_arrow(R).repartition(3),
+                                "k", ["lv"], ["rv"], how=how).to_pandas()
+        con = duckdb.connect()
+        con.register("L", L.to_pandas())
+        con.register("R", R.to_pandas())
+        j = "JOIN" if how == "inner" else "LEFT JOIN"
+        want = con.execute(f"SELECT L.k, lv, rv FROM L {j} R USING (k)").df()
+        gs = got.sort_values(["k", "lv", "rv"], na_position="last",
+                             ).reset_index(drop=True)
+        ws = want.sort_values(["k", "lv", "rv"], na_position="last",
+                              ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(gs, ws, check_dtype=False)
+
+
+def test_shuffle_hash_join_contracts(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from metric_search_ray.pipelines.joins import shuffle_hash_join
+
+    L = rd.from_arrow(pa.table({"k": [1], "v": [2]}))
+    R = rd.from_arrow(pa.table({"k": [1], "v": [3]}))
+    with pytest.raises(ValueError, match="overlapping"):
+        shuffle_hash_join(L, R, "k", ["v"], ["v"])
+    with pytest.raises(ValueError, match="unsupported"):
+        shuffle_hash_join(L, R, "k", ["v"], [], how="full")
+    # no matching keys: inner empty, left keeps all with nulls
+    R2 = rd.from_arrow(pa.table({"k": [9], "rv": ["x"]}))
+    assert shuffle_hash_join(L, R2, "k", ["v"], ["rv"], how="inner").count() == 0
+    left = shuffle_hash_join(L, R2, "k", ["v"], ["rv"], how="left").to_pandas()
+    assert len(left[left["k"] == 1]) == 1
+    assert left[left["k"] == 1]["rv"].isna().all()
