@@ -100,6 +100,8 @@ HAV_RADIUS_KM = 400.0  # great-circle radius for the geodesic suite
 MOSAIC_RES = 4         # tile resolution for the image mosaic (256 tiles)
 DP_EPS = 8.0           # Douglas-Peucker epsilon (degrees)
 DP_CUST_MOD = 5        # track sample: customers with custkey % 5 == 0
+CHUNK_MAX = 32         # chunker window (tokens)
+CHUNK_OV = 8           # chunker overlap
 
 HLL_P = 12  # HyperLogLog precision for events_hll_registers (4096 registers)
 PACK_BUDGET = 256  # token budget per training sequence for doc_pack
@@ -587,6 +589,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import tiles
         pts = _orders_points(sf_dir)
         return tiles.zonal_stats(pts, _rect_layer(), TILE_RES, "phash")
+
+    def doc_chunks(sf_dir: str):
+        """Fixed-token-window document chunking with overlap
+        (text.chunk_documents) — the long-doc splitter for
+        context-window-bounded training."""
+        from metric_search_ray.pipelines import text as textops
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return textops.chunk_documents(ds, CHUNK_MAX, CHUNK_OV).to_pandas()
 
     def orders_lineitem_join(sf_dir: str):
         """Generic large x large shuffle hash join (joins.
@@ -1738,6 +1749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hav_knn": geo_hav_knn,
         "geo_hav_radius": geo_hav_radius,
         "geo_zonal": geo_zonal,
+        "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
         "geo_track_dp": geo_track_dp,
@@ -2319,6 +2331,20 @@ SELECT t.polygon_id, t.n_tiles,
        COALESCE(s.n_points, 0) AS n_points,
        COALESCE(s.sum_val, 0) AS sum_val
 FROM tp t LEFT JOIN st s USING (polygon_id)
+""",
+        "doc_chunks": """
+WITH t AS (SELECT doc_id,
+    string_split_regex(trim(text), '\\s+') AS toks,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+  FROM documents),
+c AS (SELECT doc_id, toks, n,
+    unnest(generate_series(0, (GREATEST(n - 8, 1) - 1) // 24)) AS ci
+  FROM t)
+SELECT doc_id, ci * 24 AS start_tok,
+  array_to_string(list_slice(toks, ci * 24 + 1,
+                             LEAST(ci * 24 + 32, n)), ' ') AS chunk_text
+FROM c
 """,
         "orders_lineitem_join": """
 SELECT o_orderkey, l_linenumber, o_totalprice
@@ -3427,6 +3453,9 @@ def _suite_specs() -> dict:
                  {"doc_id": "doc_id", "s1": "norm", "i1": _L(0)}),
                 ("token_count", "doc_token_count",
                  {"doc_id": "doc_id", "s1": _L(""), "i1": "n_tokens"}),
+                ("chunk", "doc_chunks",
+                 {"doc_id": "doc_id", "s1": "chunk_text",
+                  "i1": "start_tok"}),
             ]),
         # ---- corpus-level quality filters
         "doc_filter_suite": dict(

@@ -655,3 +655,56 @@ def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id",
         n = pc.utf8_lower(pc.utf8_trim(s, " "))
         return pa.table({id_col: batch.column(id_col), out: n})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(ds, max_tokens: int, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed-token windows with ``overlap`` shared
+    tokens between consecutive chunks (stride = max_tokens - overlap) —
+    the long-document splitter that feeds context-window-bounded
+    training.  Output: one row per chunk (doc_id, start_tok, n_toks,
+    chunk_text); a doc with <= max_tokens tokens (including empty)
+    emits exactly one chunk; every token is covered and chunk
+    boundaries are deterministic functions of the token count, so the
+    SQL oracle replays them with generate_series.
+
+    Fully vectorized flat-map: shared Arrow tokenizer, numpy range
+    arithmetic for the (possibly overlapping) token windows, one
+    pc.take gather + pc.binary_join to materialize chunk texts.  Rows
+    multiply by ~n/stride — size downstream batches accordingly."""
+    stride = max_tokens - overlap
+    if max_tokens <= 0 or overlap < 0 or stride <= 0:
+        raise ValueError("need max_tokens > overlap >= 0")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        flat, _row, lens = _tok_flat(batch.column(text_col))
+        nd = len(lens)
+        doc_off = np.zeros(nd + 1, np.int64)
+        np.cumsum(lens, out=doc_off[1:])
+        n_chunks = (np.maximum(lens - overlap, 1) + stride - 1) // stride
+        total_c = int(n_chunks.sum())
+        doc_idx = np.repeat(np.arange(nd, dtype=np.int64), n_chunks)
+        coff = np.zeros(nd + 1, np.int64)
+        np.cumsum(n_chunks, out=coff[1:])
+        chunk_no = np.arange(total_c, dtype=np.int64) - coff[doc_idx]
+        starts = chunk_no * stride
+        clen = np.maximum(np.minimum(max_tokens, lens[doc_idx] - starts), 0)
+        first = doc_off[doc_idx] + starts
+        toff = np.zeros(total_c + 1, np.int64)
+        np.cumsum(clen, out=toff[1:])
+        take = (np.repeat(first, clen)
+                + np.arange(int(toff[-1]), dtype=np.int64)
+                - np.repeat(toff[:-1], clen))
+        toks = flat.take(pa.array(take, pa.int64()))
+        lists = pa.ListArray.from_arrays(
+            pa.array(toff, pa.int64()).cast(pa.int32()), toks)
+        txt = pc.binary_join(lists, " ")
+        return pa.table({
+            id_col: ids.take(pa.array(doc_idx, pa.int64())),
+            "start_tok": pa.array(starts, pa.int64()),
+            "n_toks": pa.array(clen, pa.int64()),
+            "chunk_text": txt,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -483,3 +483,37 @@ def test_audio_video_fixtures_and_stages(ray_session):
     # frame phash kernel consistency
     ph = phash.phash64_batch(pix[None].astype(np.float64))
     assert int(ph[0]) == phash.phash64(pix)
+
+
+def test_chunk_documents_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from metric_search_ray.pipelines import text as textops
+
+    docs = pa.table({"doc_id": [1, 2, 3, 4],
+                     "text": ["a b c d e f g h i j", "", "  x  ",
+                              " ".join(f"t{i}" for i in range(100))]})
+    out = (textops.chunk_documents(rd.from_arrow(docs), 4, 1)
+           .to_pandas().sort_values(["doc_id", "start_tok"])
+           .reset_index(drop=True))
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["start_tok"]) == [0, 3, 6]
+    assert list(d1["chunk_text"]) == ["a b c d", "d e f g", "g h i j"]
+    # consecutive chunks share exactly `overlap` tokens
+    assert d1["chunk_text"].iloc[0].split()[-1] == \
+        d1["chunk_text"].iloc[1].split()[0]
+    # empty doc -> one empty chunk; whitespace-only -> its one token
+    assert list(out[out["doc_id"] == 2]["chunk_text"]) == [""]
+    assert list(out[out["doc_id"] == 3]["chunk_text"]) == ["x"]
+    # every token covered exactly: reconstruct doc 4 from stride spans
+    d4 = out[out["doc_id"] == 4]
+    toks = []
+    for _, r in d4.iterrows():
+        chunk = r["chunk_text"].split()
+        toks.extend(chunk if r["start_tok"] == 0 else chunk[1:])
+    assert toks == [f"t{i}" for i in range(100)]
+    with pytest.raises(ValueError, match="max_tokens"):
+        textops.chunk_documents(rd.from_arrow(docs), 4, 4)
