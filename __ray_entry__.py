@@ -95,6 +95,8 @@ def _geo_query_points() -> list[tuple[str, int, int]]:
 
 
 GEO_KNN_K = 5
+IDW_K = 8              # neighbors for inverse-distance interpolation
+IDW_W_SCALE = 1_000_000_000  # fixed-point IDW weight scale
 RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
 HAV_RADIUS_KM = 400.0  # great-circle radius for the geodesic suite
 MOSAIC_RES = 4         # tile resolution for the image mosaic (256 tiles)
@@ -582,6 +584,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             radius_km=HAV_RADIUS_KM, id_col="o_orderkey").to_pandas()
         out["dist_km_r"] = geodesic.round_km(out["dist_km"].to_numpy())
         return out[["query_id", "o_orderkey", "dist_km_r"]]
+
+    def geo_idw(sf_dir: str):
+        """Inverse-distance-weighted interpolation (Shepard's method)
+        of the per-point value field at the query points, from the
+        IDW_K great-circle-nearest points (geodesic.idw_interpolate;
+        fixed-point integer weights for order-independent sums)."""
+        from metric_search_ray import geodesic
+        pts = _orders_points(sf_dir)
+        qpts = _geo_query_points()
+        return geodesic.idw_interpolate(
+            pts, [q[0] for q in qpts],
+            [q[1] / 1e6 for q in qpts], [q[2] / 1e6 for q in qpts],
+            k=IDW_K, value_col="phash", id_col="o_orderkey",
+            w_scale=IDW_W_SCALE).to_pandas()
 
     def geo_zonal(sf_dir: str):
         """Zonal statistics: per-polygon count/sum of point values over
@@ -1748,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_polygon_cover": geo_tile_polygon_cover,
         "geo_hav_knn": geo_hav_knn,
         "geo_hav_radius": geo_hav_radius,
+        "geo_idw": geo_idw,
         "geo_zonal": geo_zonal,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
@@ -2308,6 +2325,22 @@ d AS (SELECT q.query_id, p.okey AS o_orderkey, {_hav_sql_expr()} AS dkm
       FROM q CROSS JOIN pts p)
 SELECT query_id, o_orderkey, floor(dkm * 1000 + 0.5) / 1000 AS dist_km_r
 FROM d WHERE dkm < {HAV_RADIUS_KM!r}
+""",
+        "geo_idw": f"""
+WITH {_pts_cte()},
+q(query_id, qlat_u, qlon_u) AS (VALUES {qpt_values}),
+d AS (SELECT q.query_id, p.okey AS o_orderkey, (p.s1 % 65536) AS val,
+             {_hav_sql_expr()} AS dkm
+      FROM q CROSS JOIN pts p),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dkm, o_orderkey) AS rank
+      FROM d),
+w AS (SELECT query_id, val,
+             CAST(floor({float(IDW_W_SCALE)!r} / (dkm * dkm + 1.0)) AS BIGINT) AS w
+      FROM r WHERE rank <= {IDW_K})
+SELECT query_id, count(*) AS n_neighbors, sum(w) AS wsum,
+       sum(w * val) AS wvsum, (sum(w * val) * 1000) // sum(w) AS est_mu
+FROM w GROUP BY query_id
 """,
         "geo_zonal": f"""
 WITH {_pts_cte()},
@@ -3255,6 +3288,9 @@ def _suite_specs() -> dict:
                 ("zonal", "geo_zonal",
                  {"query_id": "polygon_id", "o_orderkey": "n_points",
                   "rank": "n_tiles", "v": "sum_val"}),
+                ("idw", "geo_idw",
+                 {"query_id": "query_id", "o_orderkey": "wsum",
+                  "rank": "est_mu", "v": "wvsum"}),
                 ("dp", "geo_track_dp",
                  {"query_id": "o_custkey", "o_orderkey": "o_orderkey",
                   "rank": "pos", "v": _L(0.0)}),

@@ -100,6 +100,67 @@ def test_round_km_matches_sql_floor_expression():
                                   np.floor(d * 1000 + 0.5) / 1000)
 
 
+def test_haversine_knn_carry_cols(ray_session):
+    import ray.data as rd
+    ids, lat, lon = _random_points(1000)
+    val = rng.integers(0, 65536, 1000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array(ids), "lat": pa.array(lat),
+        "lon": pa.array(lon), "val": pa.array(val)})).repartition(4)
+    _, qlat, qlon = _random_points(3)
+    out = geodesic.haversine_knn(ds, ["a", "b", "c"], qlat, qlon, k=6,
+                                 carry_cols=("val",)).to_pandas()
+    assert len(out) == 18
+    # carried values line up with their ids row-for-row
+    vmap = dict(zip(ids.tolist(), val.tolist()))
+    assert all(vmap[i] == v for i, v in zip(out["image_id"], out["val"]))
+
+
+def test_idw_interpolate_matches_brute_force(ray_session):
+    import ray.data as rd
+    n, k, scale = 2500, 7, 1_000_000_000
+    ids, lat, lon = _random_points(n)
+    val = rng.integers(0, 65536, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array(ids), "lat": pa.array(lat),
+        "lon": pa.array(lon), "val": pa.array(val)})).repartition(6)
+    qids = [f"q{i}" for i in range(4)]
+    _, qlat, qlon = _random_points(4)
+    out = (geodesic.idw_interpolate(ds, qids, qlat, qlon, k=k,
+                                    value_col="val", w_scale=scale)
+           .to_pandas().set_index("query_id"))
+    assert len(out) == 4
+    for i, q in enumerate(qids):
+        nbr_ids, nbr_d = _brute_knn(qlat[i], qlon[i], ids, lat, lon, k)
+        w = np.floor(scale / (nbr_d * nbr_d + 1.0)).astype(np.int64)
+        v = val[np.searchsorted(ids, nbr_ids)]
+        wsum, wvsum = int(w.sum()), int((w * v).sum())
+        assert out.loc[q, "n_neighbors"] == k
+        assert out.loc[q, "wsum"] == wsum
+        assert out.loc[q, "wvsum"] == wvsum
+        assert out.loc[q, "est_mu"] == (wvsum * 1000) // wsum
+        # the estimate is a convex combination of neighbor values
+        assert v.min() * 1000 <= out.loc[q, "est_mu"] <= v.max() * 1000
+
+
+def test_idw_weights_are_integer_and_order_free(ray_session):
+    # two different partitionings must give bit-identical aggregates
+    import ray.data as rd
+    n = 800
+    ids, lat, lon = _random_points(n)
+    val = rng.integers(0, 100, n).astype(np.int64)
+    t = pa.table({"image_id": pa.array(ids), "lat": pa.array(lat),
+                  "lon": pa.array(lon), "val": pa.array(val)})
+    _, qlat, qlon = _random_points(2)
+    res = []
+    for parts in (2, 11):
+        ds = rd.from_arrow(t).repartition(parts)
+        res.append(geodesic.idw_interpolate(
+            ds, ["x", "y"], qlat, qlon, k=9, value_col="val")
+            .to_pandas().sort_values("query_id").reset_index(drop=True))
+    assert res[0].equals(res[1])
+
+
 def test_zonal_stats_matches_brute_force(ray_session):
     import ray.data as rd
     from metric_search_ray import cell
