@@ -97,6 +97,7 @@ def _geo_query_points() -> list[tuple[str, int, int]]:
 GEO_KNN_K = 5
 IDW_K = 8              # neighbors for inverse-distance interpolation
 IDW_W_SCALE = 1_000_000_000  # fixed-point IDW weight scale
+NEAREST_MOD = 5        # nearest-polygon sample: okey % 5 == 0
 RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
 HAV_RADIUS_KM = 400.0  # great-circle radius for the geodesic suite
 MOSAIC_RES = 4         # tile resolution for the image mosaic (256 tiles)
@@ -598,6 +599,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [q[1] / 1e6 for q in qpts], [q[2] / 1e6 for q in qpts],
             k=IDW_K, value_col="phash", id_col="o_orderkey",
             w_scale=IDW_W_SCALE).to_pandas()
+
+    def geo_nearest_poly(sf_dir: str):
+        """Nearest-geometry join (joins.nearest_rect_join): each
+        sampled point's closest rectangle + exact integer squared
+        clamp distance — the 'nearest zone' enrichment assignment."""
+        from metric_search_ray.pipelines import joins
+
+        pts = _orders_points(sf_dir)
+
+        def keep(b: pa.Table) -> pa.Table:
+            sel = (b.column("o_orderkey").to_numpy() % NEAREST_MOD) == 0
+            return b.filter(pa.array(sel))
+
+        sampled = pts.map_batches(keep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return joins.nearest_rect_join(
+            sampled, _oracle_rects(), id_col="o_orderkey").to_pandas()
 
     def geo_zonal(sf_dir: str):
         """Zonal statistics: per-polygon count/sum of point values over
@@ -1765,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hav_knn": geo_hav_knn,
         "geo_hav_radius": geo_hav_radius,
         "geo_idw": geo_idw,
+        "geo_nearest_poly": geo_nearest_poly,
         "geo_zonal": geo_zonal,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
@@ -2341,6 +2360,20 @@ w AS (SELECT query_id, val,
 SELECT query_id, count(*) AS n_neighbors, sum(w) AS wsum,
        sum(w * val) AS wvsum, (sum(w * val) * 1000) // sum(w) AS est_mu
 FROM w GROUP BY query_id
+""",
+        "geo_nearest_poly": f"""
+WITH {_pts_cte()},
+rects(polygon_id, rx0, rx1, ry0, ry1) AS (VALUES {rect_values}),
+s AS (SELECT okey, lat_u, lon_u FROM pts WHERE okey % {NEAREST_MOD} = 0),
+d AS (SELECT s.okey, r.polygon_id,
+        GREATEST(0, r.rx0::BIGINT - s.lon_u, s.lon_u - r.rx1::BIGINT) AS dx,
+        GREATEST(0, r.ry0::BIGINT - s.lat_u, s.lat_u - r.ry1::BIGINT) AS dy
+      FROM s CROSS JOIN rects r),
+rk AS (SELECT okey, polygon_id, dx * dx + dy * dy AS d2_u,
+         row_number() OVER (PARTITION BY okey
+                            ORDER BY dx * dx + dy * dy, polygon_id) AS rn
+       FROM d)
+SELECT okey AS o_orderkey, polygon_id, d2_u FROM rk WHERE rn = 1
 """,
         "geo_zonal": f"""
 WITH {_pts_cte()},
@@ -3291,6 +3324,9 @@ def _suite_specs() -> dict:
                 ("idw", "geo_idw",
                  {"query_id": "query_id", "o_orderkey": "wsum",
                   "rank": "est_mu", "v": "wvsum"}),
+                ("nearest", "geo_nearest_poly",
+                 {"query_id": "polygon_id", "o_orderkey": "o_orderkey",
+                  "rank": "d2_u", "v": _L(0.0)}),
                 ("dp", "geo_track_dp",
                  {"query_id": "o_custkey", "o_orderkey": "o_orderkey",
                   "rank": "pos", "v": _L(0.0)}),

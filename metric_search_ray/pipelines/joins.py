@@ -83,6 +83,53 @@ def point_in_polygon_join(points_ds, polygon_layer: dict, how: str = "inner",
         concurrency=concurrency, num_cpus=1)
 
 
+def nearest_rect_join(points_ds, rects: list[dict],
+                      id_col: str = "image_id",
+                      lat_col: str = "lat_u", lon_col: str = "lon_u",
+                      batch_size: int = 16384):
+    """Nearest-geometry join: for each point, the closest axis-aligned
+    rectangle and the exact squared clamp distance to it, all in int64
+    microdegrees (dx = max(0, x0-x, x-x1); d2 = dx*dx + dy*dy) — pure
+    integer arithmetic, so results are bit-reproducible and directly
+    SQL-checkable.  Points inside a rectangle get d2_u = 0.  Ties
+    (including multi-rect containment) break by polygon_id ascending.
+
+    Unlike point_in_polygon_join (membership), this answers "which
+    geometry is CLOSEST" — the nearest-road/nearest-zone assignment of
+    a geospatial enrichment stage.  The layer is the broadcast small
+    side (numpy closure, a few KB); the points stream through
+    map_batches, so no shuffle at any scale.
+
+    Returns (id_col, polygon_id, d2_u) with one row per point.
+    """
+    pids = np.asarray([r["polygon_id"] for r in rects])
+    order = np.argsort(pids, kind="stable")  # tie-break by polygon_id
+    pids = pids[order]
+    x0 = np.asarray([r["x0"] for r in rects], np.int64)[order]
+    x1 = np.asarray([r["x1"] for r in rects], np.int64)[order]
+    y0 = np.asarray([r["y0"] for r in rects], np.int64)[order]
+    y1 = np.asarray([r["y1"] for r in rects], np.int64)[order]
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        x = batch.column(lon_col).to_numpy().astype(np.int64)
+        y = batch.column(lat_col).to_numpy().astype(np.int64)
+        # (n_pts, n_rects) clamp distances; rect count is small by contract
+        dx = np.maximum(0, np.maximum(x0[None, :] - x[:, None],
+                                      x[:, None] - x1[None, :]))
+        dy = np.maximum(0, np.maximum(y0[None, :] - y[:, None],
+                                      y[:, None] - y1[None, :]))
+        d2 = dx * dx + dy * dy
+        best = np.argmin(d2, axis=1)  # first minimum = smallest polygon_id
+        return pa.table({
+            id_col: batch.column(id_col),
+            "polygon_id": pa.array(pids[best], pa.string()),
+            "d2_u": pa.array(d2[np.arange(len(x)), best], pa.int64()),
+        })
+
+    return points_ds.map_batches(nearest, batch_format="pyarrow",
+                                 batch_size=batch_size, zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- radius join
 
 

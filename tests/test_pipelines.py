@@ -1,6 +1,7 @@
 """End-to-end Ray Data pipeline tests with brute-force oracles (sf-tiny)."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -113,6 +114,49 @@ def test_pip_join_matches_numpy_oracle(ray_session, tiny_images, geo_points):
     anti = joins.point_in_polygon_join(ds, layer, how="anti", concurrency=2).count()
     assert semi + anti == 1000
     assert semi == len(set(geo_points["image_id"][pi]))
+
+
+def test_nearest_rect_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(21)
+    n = 3000
+    lat_u = rng.integers(-89_000_000, 89_000_000, n)
+    lon_u = rng.integers(-179_000_000, 179_000_000, n)
+    ids = np.arange(n, dtype=np.int64)
+    rects = []
+    for i in range(9):
+        cx = int(rng.integers(-150_000_000, 150_000_000))
+        cy = int(rng.integers(-70_000_000, 70_000_000))
+        w = int(rng.integers(1_000_000, 20_000_000))
+        h = int(rng.integers(1_000_000, 20_000_000))
+        rects.append({"polygon_id": f"r{i}", "x0": cx - w, "x1": cx + w,
+                      "y0": cy - h, "y1": cy + h})
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array(ids), "lat_u": pa.array(lat_u),
+        "lon_u": pa.array(lon_u)})).repartition(5)
+    out = (joins.nearest_rect_join(ds, rects)
+           .to_pandas().set_index("image_id").sort_index())
+    assert len(out) == n
+    # brute force: (n, 9) clamp distance matrix, argmin with id tie-break
+    x0 = np.array([r["x0"] for r in rects]); x1 = np.array([r["x1"] for r in rects])
+    y0 = np.array([r["y0"] for r in rects]); y1 = np.array([r["y1"] for r in rects])
+    dx = np.maximum(0, np.maximum(x0[None] - lon_u[:, None], lon_u[:, None] - x1[None]))
+    dy = np.maximum(0, np.maximum(y0[None] - lat_u[:, None], lat_u[:, None] - y1[None]))
+    d2 = dx * dx + dy * dy
+    for i in ids:
+        row = out.loc[i]
+        j = [r["polygon_id"] for r in rects].index(row["polygon_id"])
+        assert d2[i, j] == row["d2_u"] == d2[i].min()
+        # tie-break: no smaller polygon_id at the same distance
+        mins = [rects[m]["polygon_id"] for m in np.flatnonzero(d2[i] == d2[i].min())]
+        assert row["polygon_id"] == min(mins)
+    # a point inside a rect scores 0
+    inside = (joins.nearest_rect_join(
+        rd.from_arrow(pa.table({
+            "image_id": pa.array([0], pa.int64()),
+            "lat_u": pa.array([(rects[0]["y0"] + rects[0]["y1"]) // 2], pa.int64()),
+            "lon_u": pa.array([(rects[0]["x0"] + rects[0]["x1"]) // 2], pa.int64()),
+        })), rects).to_pandas())
+    assert inside["d2_u"].iloc[0] == 0
 
 
 def test_tile_assignment_and_cover(ray_session, tiny_images, geo_points):
