@@ -98,6 +98,7 @@ GEO_KNN_K = 5
 IDW_K = 8              # neighbors for inverse-distance interpolation
 IDW_W_SCALE = 1_000_000_000  # fixed-point IDW weight scale
 NEAREST_MOD = 5        # nearest-polygon sample: okey % 5 == 0
+QK_RES = 6             # quadkey pyramid depth (levels 1..6)
 RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
 HAV_RADIUS_KM = 400.0  # great-circle radius for the geodesic suite
 MOSAIC_RES = 4         # tile resolution for the image mosaic (256 tiles)
@@ -616,6 +617,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   zero_copy_batch=True)
         return joins.nearest_rect_join(
             sampled, _oracle_rects(), id_col="o_orderkey").to_pandas()
+
+    def geo_quadkey_pyramid(sf_dir: str):
+        """Multi-resolution quadkey count pyramid
+        (tiles.quadkey_pyramid): point counts at every prefix level
+        1..QK_RES — the map-dashboard drill-down aggregation."""
+        from metric_search_ray.pipelines import tiles as tilesmod
+        pts = _orders_points(sf_dir)
+        return tilesmod.quadkey_pyramid(pts, QK_RES).to_pandas()
 
     def geo_zonal(sf_dir: str):
         """Zonal statistics: per-polygon count/sum of point values over
@@ -1784,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hav_radius": geo_hav_radius,
         "geo_idw": geo_idw,
         "geo_nearest_poly": geo_nearest_poly,
+        "geo_quadkey_pyramid": geo_quadkey_pyramid,
         "geo_zonal": geo_zonal,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
@@ -2374,6 +2384,23 @@ rk AS (SELECT okey, polygon_id, dx * dx + dy * dy AS d2_u,
                             ORDER BY dx * dx + dy * dy, polygon_id) AS rn
        FROM d)
 SELECT okey AS o_orderkey, polygon_id, d2_u FROM rk WHERE rn = 1
+""",
+        "geo_quadkey_pyramid": f"""
+WITH {_pts_cte()},
+xy AS (SELECT
+  LEAST(((lon_u + 180000000) * {1 << QK_RES}) // 360000000, {(1 << QK_RES) - 1}) AS ix,
+  LEAST(((lat_u + 90000000) * {1 << QK_RES}) // 180000000, {(1 << QK_RES) - 1}) AS iy
+  FROM pts),
+qk AS (SELECT {' + '.join(
+    f"(((ix // {1 << (QK_RES - 1 - p)}) % 2)"
+    f" + 2 * ((iy // {1 << (QK_RES - 1 - p)}) % 2)) * {10 ** (QK_RES - 1 - p)}"
+    for p in range(QK_RES))} AS qnum
+  FROM xy),
+lv AS (SELECT qnum, unnest(generate_series(1, {QK_RES})) AS level FROM qk)
+SELECT level, lpad(CAST(qnum // CAST(power(10, {QK_RES} - level) AS BIGINT)
+                        AS VARCHAR), CAST(level AS INTEGER), '0') AS quadkey,
+       count(*) AS n
+FROM lv GROUP BY 1, 2
 """,
         "geo_zonal": f"""
 WITH {_pts_cte()},
@@ -3327,6 +3354,9 @@ def _suite_specs() -> dict:
                 ("nearest", "geo_nearest_poly",
                  {"query_id": "polygon_id", "o_orderkey": "o_orderkey",
                   "rank": "d2_u", "v": _L(0.0)}),
+                ("quadkey", "geo_quadkey_pyramid",
+                 {"query_id": "quadkey", "o_orderkey": "n",
+                  "rank": "level", "v": _L(0.0)}),
                 ("dp", "geo_track_dp",
                  {"query_id": "o_custkey", "o_orderkey": "o_orderkey",
                   "rank": "pos", "v": _L(0.0)}),

@@ -133,6 +133,30 @@ def tile_of(lat_u: np.ndarray, lon_u: np.ndarray, res: int) -> np.ndarray:
     return tile_id_from_xy(ix, iy, res)
 
 
+def quadkey_num(lat_u: np.ndarray, lon_u: np.ndarray, res: int) -> np.ndarray:
+    """Quadkey at resolution ``res``, packed as a base-10 int64: digit p
+    (most significant first) is ``bit(res-1-p, ix) + 2*bit(res-1-p, iy)``
+    — the standard quadtree child index, so the decimal representation
+    zero-padded to ``res`` chars IS the quadkey string, and truncating
+    digits (integer-dividing by 10^k) gives the ancestor's quadkey.
+    Pure int64 arithmetic for exact SQL parity; res <= 18 keeps the
+    packed value < 10^18 inside int64."""
+    if not 1 <= res <= 18:
+        raise ValueError("quadkey res must be in [1, 18]")
+    ix, iy = cell_xy(lat_u, lon_u, res)
+    q = np.zeros(np.shape(ix), np.int64)
+    for p in range(res):
+        shift = np.int64(res - 1 - p)
+        digit = ((ix >> shift) & 1) + 2 * ((iy >> shift) & 1)
+        q = q * 10 + digit
+    return q
+
+
+def quadkey_str(qnum: np.ndarray, level: int) -> np.ndarray:
+    """Decimal zero-pad of a packed quadkey to its string form."""
+    return np.char.zfill(np.asarray(qnum, np.int64).astype("U"), level)
+
+
 def parent(cell: np.ndarray, parent_res: int | None = None) -> np.ndarray:
     """Parent cell (default: one level up) — a 2-bit Morton shift."""
     ix, iy, res = cell_to_xy(cell)

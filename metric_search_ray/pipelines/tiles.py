@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .. import cell as cellmod
 from .. import geom
 from ..stages import assign
 
@@ -111,6 +112,76 @@ def tiles_with_images(points_ds, res: int, driver_combine: bool | None = None):
     from .fastagg import sort_block_aggregate
     return sort_block_aggregate(partials, "tile_id",
                                 {"count()": ("partial_n", "sum")})
+
+
+def quadkey_pyramid(points_ds, res: int, driver_combine: bool | None = None):
+    """Multi-resolution tile-count pyramid: point counts aggregated at
+    EVERY quadkey prefix level 1..res — the hierarchical drill-down a
+    map dashboard reads (zoom L shows the level-L counts).
+
+    One pass computes the full-resolution quadkey per point
+    (cell.quadkey_num, pure int64), then each batch emits partial
+    counts per (level, prefix) — prefixes are integer digit
+    truncations (qnum // 10^(res-L)), so no strings exist until the
+    final bounded result.  Output size is bounded by
+    sum_L min(4^L, #occupied tiles), independent of point count; for
+    res <= 8 the partials combine on the driver with one vectorized
+    pass (no shuffle), finer resolutions fall back to the distributed
+    sort-block aggregate.
+
+    Returns rows (level, quadkey VARCHAR, n).
+    """
+    pow10 = np.array([10**k for k in range(res + 1)], np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat_u = batch.column("lat_u").to_numpy()
+        lon_u = batch.column("lon_u").to_numpy()
+        q = cellmod.quadkey_num(lat_u, lon_u, res)
+        keys, counts = [], []
+        for lvl in range(1, res + 1):
+            pref = q // pow10[res - lvl]
+            vals, cnt = np.unique(pref, return_counts=True)
+            # pack (level, prefix) in one int64: level * 10^res + prefix
+            keys.append(np.int64(lvl) * pow10[res] + vals)
+            counts.append(cnt)
+        return pa.table({
+            "lk": pa.array(np.concatenate(keys), pa.int64()),
+            "partial_n": pa.array(np.concatenate(counts), pa.int64()),
+        })
+
+    partials = points_ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    if driver_combine is None:
+        driver_combine = res <= 8
+
+    def unpack(lk: np.ndarray, n: np.ndarray) -> pa.Table:
+        lvl = lk // pow10[res]
+        pref = lk % pow10[res]
+        qk = [str(p).zfill(int(l)) for p, l in zip(pref, lvl)]
+        return pa.table({
+            "level": pa.array(lvl, pa.int64()),
+            "quadkey": pa.array(qk, pa.string()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    if driver_combine:
+        import ray.data as rd
+        lks, cnts = [], []
+        for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+            lks.append(b.column("lk").to_numpy())
+            cnts.append(b.column("partial_n").to_numpy())
+        lks = np.concatenate(lks) if lks else np.empty(0, np.int64)
+        cnts = np.concatenate(cnts) if cnts else np.empty(0, np.int64)
+        keys, inv = np.unique(lks, return_inverse=True)
+        sums = np.zeros(len(keys), np.int64)
+        np.add.at(sums, inv, cnts)
+        return rd.from_arrow(unpack(keys, sums))
+
+    from .fastagg import sort_block_aggregate
+    combined = sort_block_aggregate(partials, "lk", {"n": ("partial_n", "sum")})
+    return combined.map_batches(
+        lambda b: unpack(b.column("lk").to_numpy(), b.column("n").to_numpy()),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def raster_vector_assignment(points_ds, polygon_layer: dict, res: int):

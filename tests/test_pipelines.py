@@ -159,6 +159,54 @@ def test_nearest_rect_join_matches_bruteforce(ray_session):
     assert inside["d2_u"].iloc[0] == 0
 
 
+def test_quadkey_num_prefix_is_ancestor():
+    rng = np.random.default_rng(33)
+    lat_u = rng.integers(-89_999_999, 89_999_999, 500)
+    lon_u = rng.integers(-179_999_999, 179_999_999, 500)
+    q6 = cell.quadkey_num(lat_u, lon_u, 6)
+    # digit truncation equals the coarser-resolution quadkey
+    for res in (1, 3, 5):
+        np.testing.assert_array_equal(q6 // 10 ** (6 - res),
+                                      cell.quadkey_num(lat_u, lon_u, res))
+    # digits reconstruct the tile coordinates
+    ix, iy = cell.cell_xy(lat_u, lon_u, 6)
+    rx = np.zeros_like(ix)
+    ry = np.zeros_like(iy)
+    for p in range(6):
+        d = (q6 // 10 ** (6 - 1 - p)) % 10
+        assert d.max() <= 3
+        rx = (rx << 1) | (d & 1)
+        ry = (ry << 1) | (d >> 1)
+    np.testing.assert_array_equal(rx, ix)
+    np.testing.assert_array_equal(ry, iy)
+    # string form zero-pads: a point in the SW-most tile
+    assert cell.quadkey_str(np.array([1]), 4)[0] == "0001"
+
+
+def test_quadkey_pyramid_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(34)
+    n, res = 5000, 5
+    lat_u = rng.integers(-89_000_000, 89_000_000, n)
+    lon_u = rng.integers(-179_000_000, 179_000_000, n)
+    ds = rd.from_arrow(pa.table({
+        "lat_u": pa.array(lat_u), "lon_u": pa.array(lon_u)})).repartition(7)
+    for combine in (True, False):
+        out = (tiles.quadkey_pyramid(ds, res, driver_combine=combine)
+               .to_pandas())
+        q = cell.quadkey_num(lat_u, lon_u, res)
+        want = {}
+        for lvl in range(1, res + 1):
+            vals, cnt = np.unique(q // 10 ** (res - lvl), return_counts=True)
+            for v, c in zip(vals, cnt):
+                want[(lvl, str(v).zfill(lvl))] = int(c)
+        got = {(int(l), k): int(c) for l, k, c in
+               zip(out["level"], out["quadkey"], out["n"])}
+        assert got == want
+        # every level partitions the full point set
+        assert all(out[out["level"] == L]["n"].sum() == n
+                   for L in range(1, res + 1))
+
+
 def test_tile_assignment_and_cover(ray_session, tiny_images, geo_points):
     res = 5
     ds = (rd.read_parquet(tiny_images, columns=["image_id"])
