@@ -99,6 +99,7 @@ IDW_K = 8              # neighbors for inverse-distance interpolation
 IDW_W_SCALE = 1_000_000_000  # fixed-point IDW weight scale
 NEAREST_MOD = 5        # nearest-polygon sample: okey % 5 == 0
 QK_RES = 6             # quadkey pyramid depth (levels 1..6)
+GAP2_U = 50_000_000**2  # track split threshold: 50-degree squared step
 RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
 HAV_RADIUS_KM = 400.0  # great-circle radius for the geodesic suite
 MOSAIC_RES = 4         # tile resolution for the image mosaic (256 tiles)
@@ -704,6 +705,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              zero_copy_batch=True)
         return tracks.simplify_tracks(
             pts, eps=DP_EPS, track_col="o_custkey",
+            order_col="o_orderkey").to_pandas()
+
+    def geo_track_segments(sf_dir: str):
+        """Teleport-split track segmentation (tracks.segment_tracks):
+        per-customer traces split where the squared planar step exceeds
+        GAP2_U; exact int64 arithmetic, lag+cumsum window semantics."""
+        from metric_search_ray.pipelines import tracks
+        from metric_search_ray.stages import assign
+        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            keep = (b.column("o_custkey").to_numpy() % DP_CUST_MOD) == 0
+            return assign.geotag_from_key(b.filter(pa.array(keep)),
+                                          "o_orderkey")
+
+        pts = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        return tracks.segment_tracks(
+            pts, GAP2_U, track_col="o_custkey",
             order_col="o_orderkey").to_pandas()
 
     def img_mosaic(sf_dir: str):
@@ -1794,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_idw": geo_idw,
         "geo_nearest_poly": geo_nearest_poly,
         "geo_quadkey_pyramid": geo_quadkey_pyramid,
+        "geo_track_segments": geo_track_segments,
         "geo_zonal": geo_zonal,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
@@ -2401,6 +2423,23 @@ SELECT level, lpad(CAST(qnum // CAST(power(10, {QK_RES} - level) AS BIGINT)
                         AS VARCHAR), CAST(level AS INTEGER), '0') AS quadkey,
        count(*) AS n
 FROM lv GROUP BY 1, 2
+""",
+        "geo_track_segments": f"""
+WITH {_pts_cte()},
+s AS (SELECT p.okey, o.o_custkey, p.lat_u, p.lon_u
+      FROM pts p JOIN orders o ON o.o_orderkey = p.okey
+      WHERE o.o_custkey % {DP_CUST_MOD} = 0),
+st AS (SELECT o_custkey, okey,
+         COALESCE((lat_u - lag(lat_u) OVER w) * (lat_u - lag(lat_u) OVER w)
+                + (lon_u - lag(lon_u) OVER w) * (lon_u - lag(lon_u) OVER w),
+                  0) AS step2_u
+       FROM s WINDOW w AS (PARTITION BY o_custkey ORDER BY okey))
+SELECT o_custkey, okey AS o_orderkey, step2_u,
+       1 + sum(CASE WHEN step2_u > {GAP2_U} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY o_custkey ORDER BY okey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS segment_id
+FROM st
 """,
         "geo_zonal": f"""
 WITH {_pts_cte()},
@@ -3357,6 +3396,9 @@ def _suite_specs() -> dict:
                 ("quadkey", "geo_quadkey_pyramid",
                  {"query_id": "quadkey", "o_orderkey": "n",
                   "rank": "level", "v": _L(0.0)}),
+                ("segments", "geo_track_segments",
+                 {"query_id": "o_custkey", "o_orderkey": "o_orderkey",
+                  "rank": "step2_u", "v": "segment_id"}),
                 ("dp", "geo_track_dp",
                  {"query_id": "o_custkey", "o_orderkey": "o_orderkey",
                   "rank": "pos", "v": _L(0.0)}),

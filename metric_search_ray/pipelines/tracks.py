@@ -84,3 +84,46 @@ def simplify_tracks(ds, eps: float, track_col: str = "track_id",
 
     return ds.groupby(track_col).map_groups(per_track,
                                             batch_format="pyarrow")
+
+
+def segment_tracks(ds, gap2_u: int, track_col: str = "track_id",
+                   order_col: str = "seq", lat_col: str = "lat_u",
+                   lon_col: str = "lon_u"):
+    """Split each track into contiguous segments wherever consecutive
+    points jump further than the gap threshold — the GPS-trace
+    "teleport split" that precedes any per-trip analysis.
+
+    All arithmetic is int64 microdegrees: a split happens when the
+    squared planar step distance ``dlat^2 + dlon^2 > gap2_u``; the
+    segment id is the running count of splits (cumulative sum), so the
+    result is exactly the SQL ``lag() ... sum() OVER`` window form and
+    hash-reproducible.  Same partitioning contract as simplify_tracks:
+    one track per task.
+
+    Output: (track_id, <order_col>, segment_id, step2_u) per point,
+    ordered by ``order_col`` within each track; the first point of a
+    track has step2_u = 0 and opens segment 1.
+    """
+    gap2 = np.int64(gap2_u)
+
+    def per_track(g: pa.Table) -> pa.Table:
+        okeys = g.column(order_col).to_numpy()
+        order = np.argsort(okeys, kind="stable")
+        lat = g.column(lat_col).to_numpy()[order].astype(np.int64)
+        lon = g.column(lon_col).to_numpy()[order].astype(np.int64)
+        dlat = np.diff(lat)
+        dlon = np.diff(lon)
+        step2 = np.concatenate([[np.int64(0)], dlat * dlat + dlon * dlon])
+        seg = 1 + np.cumsum(step2 > gap2)  # step2[0]=0 opens segment 1
+        tid = g.column(track_col)[0].as_py()
+        return pa.table({
+            track_col: pa.array([tid] * len(seg),
+                                g.schema.field(track_col).type),
+            order_col: pa.array(okeys[order],
+                                g.schema.field(order_col).type),
+            "segment_id": pa.array(seg, pa.int64()),
+            "step2_u": pa.array(step2, pa.int64()),
+        })
+
+    return ds.groupby(track_col).map_groups(per_track,
+                                            batch_format="pyarrow")

@@ -4,7 +4,8 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from metric_search_ray.pipelines.tracks import (simplify_polyline,
+from metric_search_ray.pipelines.tracks import (segment_tracks,
+                                                simplify_polyline,
                                                 simplify_tracks)
 
 rng = np.random.default_rng(23)
@@ -95,6 +96,47 @@ def test_simplify_tracks_distributed_layout_independent(ray_session):
 
 
 # ------------------------------------------------------------------ mosaic
+
+def test_segment_tracks_matches_window_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+    n_tracks, pts_per = 40, 25
+    tid = np.repeat(np.arange(n_tracks, dtype=np.int64), pts_per)
+    seq = np.tile(np.arange(pts_per, dtype=np.int64), n_tracks)
+    lat_u = rng.integers(-89_000_000, 89_000_000, n_tracks * pts_per)
+    lon_u = rng.integers(-179_000_000, 179_000_000, n_tracks * pts_per)
+    gap2 = int(80_000_000) ** 2
+    t = pa.table({"track_id": pa.array(tid), "seq": pa.array(seq),
+                  "lat_u": pa.array(lat_u), "lon_u": pa.array(lon_u)})
+    # shuffle row order so the sort inside the group is what fixes it
+    perm = rng.permutation(len(tid))
+    ds = rd.from_arrow(t.take(pa.array(perm))).repartition(6)
+    out = (segment_tracks(ds, gap2).to_pandas()
+           .sort_values(["track_id", "seq"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("pts", t.to_pandas())
+    want = con.execute(f"""
+        WITH st AS (SELECT track_id, seq,
+            COALESCE((lat_u - lag(lat_u) OVER w) * (lat_u - lag(lat_u) OVER w)
+                   + (lon_u - lag(lon_u) OVER w) * (lon_u - lag(lon_u) OVER w),
+                     0) AS step2_u
+            FROM pts WINDOW w AS (PARTITION BY track_id ORDER BY seq))
+        SELECT track_id, seq, step2_u,
+               1 + sum(CASE WHEN step2_u > {gap2} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY track_id ORDER BY seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS segment_id
+        FROM st ORDER BY track_id, seq
+    """).df()
+    np.testing.assert_array_equal(out["segment_id"].to_numpy(),
+                                  want["segment_id"].to_numpy())
+    np.testing.assert_array_equal(out["step2_u"].to_numpy(),
+                                  want["step2_u"].to_numpy())
+    # every track opens with segment 1, and segments are contiguous
+    firsts = out.groupby("track_id").first()
+    assert (firsts["segment_id"] == 1).all()
+    assert (firsts["step2_u"] == 0).all()
+
 
 def test_tile_mosaic_matches_serial_replay(ray_session):
     import ray.data as rd
