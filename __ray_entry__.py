@@ -100,6 +100,7 @@ IDW_W_SCALE = 1_000_000_000  # fixed-point IDW weight scale
 NEAREST_MOD = 5        # nearest-polygon sample: okey % 5 == 0
 QK_RES = 6             # quadkey pyramid depth (levels 1..6)
 GAP2_U = 50_000_000**2  # track split threshold: 50-degree squared step
+FOCAL_RES = 5          # focal-statistics raster resolution (32x32 grid)
 RADIUS2_U = 3_000_000**2  # 3 degrees in microdegrees, squared
 HAV_RADIUS_KM = 400.0  # great-circle radius for the geodesic suite
 MOSAIC_RES = 4         # tile resolution for the image mosaic (256 tiles)
@@ -626,6 +627,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import tiles as tilesmod
         pts = _orders_points(sf_dir)
         return tilesmod.quadkey_pyramid(pts, QK_RES).to_pandas()
+
+    def geo_focal(sf_dir: str):
+        """Focal (3x3 neighborhood) statistics over the tile-count
+        raster (tiles.focal_sum) — map-algebra density smoothing."""
+        from metric_search_ray.pipelines import tiles as tilesmod
+        pts = _orders_points(sf_dir)
+        return tilesmod.focal_sum(pts, FOCAL_RES).to_pandas()
 
     def geo_zonal(sf_dir: str):
         """Zonal statistics: per-polygon count/sum of point values over
@@ -1816,6 +1824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_nearest_poly": geo_nearest_poly,
         "geo_quadkey_pyramid": geo_quadkey_pyramid,
         "geo_track_segments": geo_track_segments,
+        "geo_focal": geo_focal,
         "geo_zonal": geo_zonal,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
@@ -2440,6 +2449,21 @@ SELECT o_custkey, okey AS o_orderkey, step2_u,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        AS segment_id
 FROM st
+""",
+        "geo_focal": f"""
+WITH {_pts_cte()},
+xy AS (SELECT
+  LEAST(((lon_u + 180000000) * {1 << FOCAL_RES}) // 360000000, {(1 << FOCAL_RES) - 1}) AS ix,
+  LEAST(((lat_u + 90000000) * {1 << FOCAL_RES}) // 180000000, {(1 << FOCAL_RES) - 1}) AS iy
+  FROM pts),
+counts AS (SELECT ix, iy, count(*) AS n FROM xy GROUP BY 1, 2),
+d(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+sh AS (SELECT ix + dx AS ix, iy + dy AS iy, n FROM counts CROSS JOIN d
+       WHERE ix + dx BETWEEN 0 AND {(1 << FOCAL_RES) - 1}
+         AND iy + dy BETWEEN 0 AND {(1 << FOCAL_RES) - 1}),
+focal AS (SELECT ix, iy, sum(n) AS focal_n FROM sh GROUP BY 1, 2)
+SELECT c.iy * {1 << FOCAL_RES} + c.ix AS tile_id, c.n, f.focal_n
+FROM counts c JOIN focal f ON c.ix = f.ix AND c.iy = f.iy
 """,
         "geo_zonal": f"""
 WITH {_pts_cte()},
@@ -3399,6 +3423,9 @@ def _suite_specs() -> dict:
                 ("segments", "geo_track_segments",
                  {"query_id": "o_custkey", "o_orderkey": "o_orderkey",
                   "rank": "step2_u", "v": "segment_id"}),
+                ("focal", "geo_focal",
+                 {"query_id": "tile_id", "o_orderkey": "n",
+                  "rank": "focal_n", "v": _L(0.0)}),
                 ("dp", "geo_track_dp",
                  {"query_id": "o_custkey", "o_orderkey": "o_orderkey",
                   "rank": "pos", "v": _L(0.0)}),

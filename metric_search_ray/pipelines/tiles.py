@@ -184,6 +184,81 @@ def quadkey_pyramid(points_ds, res: int, driver_combine: bool | None = None):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def focal_sum(points_ds, res: int, driver_combine: bool | None = None):
+    """Focal (neighborhood) statistics over the tile-count raster: for
+    every occupied tile, the sum of point counts in its 3x3 tile
+    neighborhood (edge tiles see a clipped window, no wraparound) —
+    the raster map-algebra smoothing that density/hotspot maps read.
+
+    Counts are map-side partials bounded by occupied tiles.  For
+    res <= 8 the stencil runs on the driver over a dense 2^res x 2^res
+    int64 grid (<= 65k cells — one vectorized pad+shift pass); finer
+    resolutions use the distributed form: each tile emits its count
+    under its 9 neighbor keys, a sort-block aggregate sums them, and a
+    hash join restricts to occupied tiles.  Both paths are pure int64
+    and return identical rows.
+
+    Returns (tile_id, n, focal_n) for occupied tiles.
+    """
+    m = 1 << res
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = cellmod.tile_of(batch.column("lat_u").to_numpy(),
+                            batch.column("lon_u").to_numpy(), res)
+        vals, cnt = np.unique(t, return_counts=True)
+        return pa.table({"tile_id": pa.array(vals, pa.int64()),
+                         "partial_n": pa.array(cnt, pa.int64())})
+
+    partials = points_ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    if driver_combine is None:
+        driver_combine = res <= 8
+
+    if driver_combine:
+        import ray.data as rd
+        grid = np.zeros((m, m), np.int64)
+        for b in partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=None):
+            t = b.column("tile_id").to_numpy()
+            c = b.column("partial_n").to_numpy()
+            np.add.at(grid, (t // m, t % m), c)
+        pad = np.pad(grid, 1)
+        focal = sum(pad[1 + dy:1 + dy + m, 1 + dx:1 + dx + m]
+                    for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+        iy, ix = np.nonzero(grid)
+        return rd.from_arrow(pa.table({
+            "tile_id": pa.array(iy * m + ix, pa.int64()),
+            "n": pa.array(grid[iy, ix], pa.int64()),
+            "focal_n": pa.array(focal[iy, ix], pa.int64()),
+        }))
+
+    from .fastagg import sort_block_aggregate
+    from .joins import shuffle_hash_join
+    counts = sort_block_aggregate(partials, "tile_id",
+                                  {"n": ("partial_n", "sum")})
+
+    def shift9(b: pa.Table) -> pa.Table:
+        t = b.column("tile_id").to_numpy()
+        n = b.column("n").to_numpy()
+        ix, iy = t % m, t // m
+        out_t, out_n = [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < m) & (jy >= 0) & (jy < m)
+                out_t.append(jy[ok] * m + jx[ok])
+                out_n.append(n[ok])
+        return pa.table({"tile_id": pa.array(np.concatenate(out_t), pa.int64()),
+                         "sh_n": pa.array(np.concatenate(out_n), pa.int64())})
+
+    shifted = counts.map_batches(shift9, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    focal = sort_block_aggregate(shifted, "tile_id",
+                                 {"focal_n": ("sh_n", "sum")})
+    return shuffle_hash_join(counts, focal, "tile_id", ["n"], ["focal_n"],
+                             how="inner")
+
+
 def raster_vector_assignment(points_ds, polygon_layer: dict, res: int):
     """Join images -> tiles -> covering polygons.
 

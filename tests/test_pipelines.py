@@ -207,6 +207,36 @@ def test_quadkey_pyramid_matches_bruteforce(ray_session):
                    for L in range(1, res + 1))
 
 
+def test_focal_sum_matches_bruteforce_both_paths(ray_session):
+    rng = np.random.default_rng(35)
+    n, res = 4000, 5
+    m = 1 << res
+    lat_u = rng.integers(-89_000_000, 89_000_000, n)
+    lon_u = rng.integers(-179_000_000, 179_000_000, n)
+    ds = rd.from_arrow(pa.table({
+        "lat_u": pa.array(lat_u), "lon_u": pa.array(lon_u)})).repartition(6)
+    t = cell.tile_of(lat_u, lon_u, res)
+    grid = np.zeros((m, m), np.int64)
+    np.add.at(grid, (t // m, t % m), 1)
+    pad = np.pad(grid, 1)
+    want_focal = sum(pad[1 + dy:1 + dy + m, 1 + dx:1 + dx + m]
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    results = []
+    for combine in (True, False):
+        out = (tiles.focal_sum(ds, res, driver_combine=combine)
+               .to_pandas().sort_values("tile_id").reset_index(drop=True))
+        for _, r in out.iterrows():
+            iy, ix = divmod(int(r["tile_id"]), m)
+            assert grid[iy, ix] == r["n"]
+            assert want_focal[iy, ix] == r["focal_n"]
+        assert len(out) == int((grid > 0).sum())
+        results.append(out)
+    # distributed shifted-key path is row-identical to the driver stencil
+    assert results[0].equals(results[1])
+    # focal >= own count always; a lone corner point sums only itself
+    assert (results[0]["focal_n"] >= results[0]["n"]).all()
+
+
 def test_tile_assignment_and_cover(ray_session, tiny_images, geo_points):
     res = 5
     ds = (rd.read_parquet(tiny_images, columns=["image_id"])
