@@ -106,6 +106,8 @@ HAV_RADIUS_KM = 400.0  # great-circle radius for the geodesic suite
 MOSAIC_RES = 4         # tile resolution for the image mosaic (256 tiles)
 DP_EPS = 8.0           # Douglas-Peucker epsilon (degrees)
 DP_CUST_MOD = 5        # track sample: customers with custkey % 5 == 0
+KNNJ_K = 5             # bounded kNN self-join: neighbors per point
+KNNJ_R_U = 2_000_000   # kNN self-join radius (2 degrees, microdegrees)
 CHUNK_MAX = 32         # chunker window (tokens)
 CHUNK_OV = 8           # chunker overlap
 
@@ -641,6 +643,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from metric_search_ray.pipelines import tiles
         pts = _orders_points(sf_dir)
         return tiles.zonal_stats(pts, _rect_layer(), TILE_RES, "phash")
+
+    def geo_knn_join(sf_dir: str):
+        """Bounded kNN SELF-join (joins.knn_self_join): every point's
+        KNNJ_K nearest other points within KNNJ_R_U, via halo-cell
+        replication + one groupby(cell) exchange — the no-broadcast
+        form of the reference's knn (details/tree.cpp:635-690) where
+        both sides are the full corpus."""
+        from metric_search_ray.pipelines import joins as joinsmod
+        pts = _orders_points(sf_dir)
+        return joinsmod.knn_self_join(
+            pts, k=KNNJ_K, radius_u=KNNJ_R_U,
+            id_col="o_orderkey").to_pandas()
 
     def doc_chunks(sf_dir: str):
         """Fixed-token-window document chunking with overlap
@@ -1826,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_segments": geo_track_segments,
         "geo_focal": geo_focal,
         "geo_zonal": geo_zonal,
+        "geo_knn_join": geo_knn_join,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2415,6 +2430,21 @@ rk AS (SELECT okey, polygon_id, dx * dx + dy * dy AS d2_u,
                             ORDER BY dx * dx + dy * dy, polygon_id) AS rn
        FROM d)
 SELECT okey AS o_orderkey, polygon_id, d2_u FROM rk WHERE rn = 1
+""",
+        "geo_knn_join": f"""
+WITH {_pts_cte()},
+pr AS (SELECT a.okey AS o_orderkey, b.okey AS neighbor_id,
+         (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+         + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS d2_u
+       FROM pts a JOIN pts b
+         ON a.okey <> b.okey
+        AND b.lon_u BETWEEN a.lon_u - {KNNJ_R_U} AND a.lon_u + {KNNJ_R_U}
+        AND b.lat_u BETWEEN a.lat_u - {KNNJ_R_U} AND a.lat_u + {KNNJ_R_U}),
+rk AS (SELECT o_orderkey, neighbor_id, d2_u,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY d2_u, neighbor_id) AS rank
+       FROM pr WHERE d2_u <= {KNNJ_R_U}::BIGINT * {KNNJ_R_U}::BIGINT)
+SELECT o_orderkey, neighbor_id, rank, d2_u FROM rk WHERE rank <= {KNNJ_K}
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3432,6 +3462,9 @@ def _suite_specs() -> dict:
                 ("cover_area", "geo_cover_area",
                  {"query_id": "polygon_id", "o_orderkey": "tile_id",
                   "rank": _L(0), "v": "area_u2"}),
+                ("knn_join", "geo_knn_join",
+                 {"query_id": "o_orderkey", "o_orderkey": "neighbor_id",
+                  "rank": "rank", "v": "d2_u"}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

@@ -427,3 +427,118 @@ def shuffle_hash_join(left, right, on: str, left_cols: list[str],
         return pa.table(out)
 
     return both.groupby(on).map_groups(join_group, batch_format="pyarrow")
+
+
+def _halo_res(radius_u: int) -> int:
+    """Finest grid resolution whose cell side is >= radius_u in BOTH
+    axes, so every neighbor within the radius lies in the 3x3 cell
+    neighborhood (the ghost/halo-cell guarantee) with the smallest
+    possible candidate groups."""
+    if radius_u <= 0:
+        raise ValueError("radius_u must be positive")
+    res = 0
+    while (res < cellmod.MAX_RES
+           and (cellmod.LON_SPAN_U >> (res + 1)) >= radius_u
+           and (cellmod.LAT_SPAN_U >> (res + 1)) >= radius_u):
+        res += 1
+    return res
+
+
+def knn_self_join(ds, k: int, radius_u: int, id_col: str = "o_orderkey",
+                  lat_col: str = "lat_u", lon_col: str = "lon_u",
+                  chunk: int = 1024):
+    """Bounded kNN self-join: for EVERY point, its k nearest OTHER
+    points within planar distance ``radius_u`` (int64-exact squared
+    microdegree arithmetic; ties broken by neighbor id).
+
+    This is the self-join form of the reference's knn/rnn
+    (details/tree.cpp:635-735) with no query side — the pattern a
+    broadcast cannot express because both sides are the full corpus.
+    Distribution shape (halo / ghost cells): points land in the
+    finest grid whose cell side >= radius_u; each point emits one
+    HOME row in its own cell plus <=8 HALO copies into adjacent cells
+    (<=9x replication, bounded, no all-pairs anywhere).  ONE
+    groupby(cell) exchange then co-locates every point with its full
+    candidate set, and the per-group kernel is a chunked vectorized
+    distance matrix with a stable top-k cut.  Output is <= k rows per
+    point.
+
+    Scale contract: replication is <=9x the (projected!) point stream;
+    a dense cell costs O(m^2) distance evaluations — inherent to an
+    exact bounded join — but peak memory stays O(chunk x m) via home-
+    row chunking.  Distances are planar (no +-180 wraparound), matching
+    the SQL band-join formulation.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    radius_u = int(radius_u)
+    r2 = np.int64(radius_u) * np.int64(radius_u)
+    res = _halo_res(radius_u)
+    n_side = np.int64(1) << np.int64(res)
+
+    def expand(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy()
+        x = b.column(lon_col).to_numpy().astype(np.int64, copy=False)
+        y = b.column(lat_col).to_numpy().astype(np.int64, copy=False)
+        ix, iy = cellmod.cell_xy(y, x, res)
+        gid, gx, gy, gg, gh = [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < n_side) & (jy >= 0) & (jy < n_side)
+                gid.append(ids[ok])
+                gx.append(x[ok])
+                gy.append(y[ok])
+                gg.append(jy[ok] * n_side + jx[ok])
+                gh.append(np.full(int(ok.sum()),
+                                  1 if dx == 0 and dy == 0 else 0, np.int8))
+        return pa.table({
+            "gcell": pa.array(np.concatenate(gg), pa.int64()),
+            "__home": pa.array(np.concatenate(gh), pa.int8()),
+            id_col: pa.array(np.concatenate(gid)),
+            "__x": pa.array(np.concatenate(gx), pa.int64()),
+            "__y": pa.array(np.concatenate(gy), pa.int64()),
+        })
+
+    halo = ds.select_columns([id_col, lat_col, lon_col]).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True)
+
+    sentinel = np.iinfo(np.int64).max
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        x = g.column("__x").to_numpy()
+        y = g.column("__y").to_numpy()
+        home = g.column("__home").to_numpy()
+        # candidates sorted by id once: a later STABLE argsort on d2
+        # then breaks distance ties by neighbor id ascending
+        order = np.argsort(ids, kind="stable")
+        ids, x, y, home = ids[order], x[order], y[order], home[order]
+        hsel = np.flatnonzero(home == 1)
+        out_id, out_nb, out_rk, out_d2 = [], [], [], []
+        for s in range(0, len(hsel), chunk):
+            hi = hsel[s:s + chunk]
+            dx = x[hi][:, None] - x[None, :]
+            dy = y[hi][:, None] - y[None, :]
+            d2 = dx * dx + dy * dy
+            bad = (d2 > r2) | (ids[hi][:, None] == ids[None, :])
+            np.copyto(d2, sentinel, where=bad)
+            kk = min(k, d2.shape[1])
+            top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            dtop = np.take_along_axis(d2, top, axis=1)
+            valid = dtop < sentinel
+            ii, jj = np.nonzero(valid)
+            out_id.append(ids[hi][ii])
+            out_nb.append(ids[top[ii, jj]])
+            out_rk.append(jj.astype(np.int64) + 1)
+            out_d2.append(dtop[ii, jj])
+        cat = (lambda a: np.concatenate(a) if a
+               else np.empty(0, np.int64))
+        return pa.table({
+            id_col: pa.array(cat(out_id)),
+            "neighbor_id": pa.array(cat(out_nb)),
+            "rank": pa.array(cat(out_rk), pa.int64()),
+            "d2_u": pa.array(cat(out_d2), pa.int64()),
+        })
+
+    return halo.groupby("gcell").map_groups(per_cell, batch_format="pyarrow")
