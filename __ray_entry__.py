@@ -749,6 +749,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pts, GAP2_U, track_col="o_custkey",
             order_col="o_orderkey").to_pandas()
 
+    def geo_zone_transitions(sf_dir: str):
+        """Geofence enter/exit detection (tracks.zone_transitions):
+        per-customer GPS tracks against the rectangle zone layer;
+        a +1/-1 event wherever consecutive points change membership
+        of a zone (bitmask XOR, PIP-rect predicate)."""
+        from metric_search_ray.pipelines import tracks
+        from metric_search_ray.stages import assign
+        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            keep = (b.column("o_custkey").to_numpy() % DP_CUST_MOD) == 0
+            return assign.geotag_from_key(b.filter(pa.array(keep)),
+                                          "o_orderkey")
+
+        pts = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        out = tracks.zone_transitions(
+            pts, _oracle_rects(), track_col="o_custkey",
+            order_col="o_orderkey").to_pandas()
+        if len(out) == 0:
+            return pd.DataFrame({"o_custkey": [], "o_orderkey": [],
+                                 "polygon_id": [], "delta": []})
+        return out
+
     def img_mosaic(sf_dir: str):
         """Per-tile mean-thumbnail mosaic over the geotagged image
         table (tiles.tile_mosaic), melted to one row per (tile, pixel)
@@ -1841,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_focal": geo_focal,
         "geo_zonal": geo_zonal,
         "geo_knn_join": geo_knn_join,
+        "geo_zone_transitions": geo_zone_transitions,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2445,6 +2471,24 @@ rk AS (SELECT o_orderkey, neighbor_id, d2_u,
                             ORDER BY d2_u, neighbor_id) AS rank
        FROM pr WHERE d2_u <= {KNNJ_R_U}::BIGINT * {KNNJ_R_U}::BIGINT)
 SELECT o_orderkey, neighbor_id, rank, d2_u FROM rk WHERE rank <= {KNNJ_K}
+""",
+        "geo_zone_transitions": f"""
+WITH {_pts_cte()},
+rects(polygon_id, x0, x1, y0, y1) AS (VALUES {rect_values}),
+s AS (SELECT p.okey, o.o_custkey, p.lat_u, p.lon_u
+      FROM pts p JOIN orders o ON o.o_orderkey = p.okey
+      WHERE o.o_custkey % {DP_CUST_MOD} = 0),
+m AS (SELECT s.o_custkey, s.okey, r.polygon_id,
+        CASE WHEN s.lon_u > r.x0 AND s.lon_u <= r.x1
+              AND s.lat_u > r.y0 AND s.lat_u <= r.y1
+             THEN 1 ELSE 0 END AS ins
+      FROM s CROSS JOIN rects r),
+t AS (SELECT o_custkey, okey, polygon_id, ins,
+        COALESCE(lag(ins) OVER (PARTITION BY o_custkey, polygon_id
+                                ORDER BY okey), 0) AS prev
+      FROM m)
+SELECT o_custkey, okey AS o_orderkey, polygon_id, ins - prev AS delta
+FROM t WHERE ins <> prev
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3465,6 +3509,9 @@ def _suite_specs() -> dict:
                 ("knn_join", "geo_knn_join",
                  {"query_id": "o_orderkey", "o_orderkey": "neighbor_id",
                   "rank": "rank", "v": "d2_u"}),
+                ("fence", "geo_zone_transitions",
+                 {"query_id": "polygon_id", "o_orderkey": "o_orderkey",
+                  "rank": "delta", "v": "o_custkey"}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

@@ -127,3 +127,93 @@ def segment_tracks(ds, gap2_u: int, track_col: str = "track_id",
 
     return ds.groupby(track_col).map_groups(per_track,
                                             batch_format="pyarrow")
+
+
+def zone_transitions(ds, rects: list[dict], track_col: str = "track_id",
+                     order_col: str = "seq", lat_col: str = "lat_u",
+                     lon_col: str = "lon_u"):
+    """Geofence enter/exit detection: for each track, the points where
+    membership of any zone changes — the alerting primitive behind
+    "vehicle entered region R" / "camera left the survey area".
+
+    Zones are axis-aligned rectangles (the PIP-rect predicate:
+    ``x0 < lon_u <= x1 AND y0 < lat_u <= y1``, exact int64 integer
+    comparisons).  The layer is the broadcast small side (<= 64 zones:
+    membership packs into ONE uint64 bitmask per point).  Shape:
+
+      1. streaming ``map_batches`` computes the per-point zone bitmask
+         (vectorized (n_points x n_zones) compare, no shuffle);
+      2. ``groupby(track)`` orders each track and XORs consecutive
+         masks — a changed bit is an enter (now inside) or exit (now
+         outside).  Same one-track-per-task contract as
+         simplify_tracks.
+
+    A track's first point inside a zone emits an enter (previous state
+    defaults to outside, the SQL ``COALESCE(lag(..), 0)`` convention).
+    Exits at the end of a track (track never leaves) emit nothing.
+
+    Output: (track_col, order_col, polygon_id, delta) with delta = +1
+    for enter, -1 for exit, ordered deterministically by the caller's
+    downstream sort.
+    """
+    if len(rects) > 64:
+        raise ValueError("zone_transitions packs zone membership into "
+                         "one uint64 word; pass <= 64 zones (chunk the "
+                         "layer and union the outputs for more)")
+    order0 = sorted(range(len(rects)), key=lambda i: rects[i]["polygon_id"])
+    pids = [rects[i]["polygon_id"] for i in order0]
+    x0 = np.asarray([rects[i]["x0"] for i in order0], np.int64)
+    x1 = np.asarray([rects[i]["x1"] for i in order0], np.int64)
+    y0 = np.asarray([rects[i]["y0"] for i in order0], np.int64)
+    y1 = np.asarray([rects[i]["y1"] for i in order0], np.int64)
+    nz = len(pids)
+
+    def mask_stage(b: pa.Table) -> pa.Table:
+        x = b.column(lon_col).to_numpy().astype(np.int64, copy=False)
+        y = b.column(lat_col).to_numpy().astype(np.int64, copy=False)
+        inside = ((x[:, None] > x0[None, :]) & (x[:, None] <= x1[None, :])
+                  & (y[:, None] > y0[None, :]) & (y[:, None] <= y1[None, :]))
+        mask = (inside.astype(np.uint64)
+                << np.arange(nz, dtype=np.uint64)[None, :]).sum(axis=1)
+        return pa.table({
+            track_col: b.column(track_col),
+            order_col: b.column(order_col),
+            "__mask": pa.array(mask.astype(np.int64), pa.int64()),
+        })
+
+    masked = ds.select_columns(
+        [track_col, order_col, lat_col, lon_col]).map_batches(
+        mask_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_track(g: pa.Table) -> pa.Table:
+        okeys = g.column(order_col).to_numpy()
+        order = np.argsort(okeys, kind="stable")
+        okeys = okeys[order]
+        mask = g.column("__mask").to_numpy()[order].astype(np.uint64)
+        prev = np.concatenate([[np.uint64(0)], mask[:-1]])
+        diff = mask ^ prev
+        out_ok, out_pid, out_delta = [], [], []
+        for bit in range(nz):
+            b = np.uint64(1) << np.uint64(bit)
+            hit = np.flatnonzero(diff & b)
+            if len(hit) == 0:
+                continue
+            out_ok.append(okeys[hit])
+            out_pid.extend([pids[bit]] * len(hit))
+            out_delta.append(np.where(mask[hit] & b, 1, -1).astype(np.int64))
+        n = sum(len(a) for a in out_ok)
+        tid = g.column(track_col)[0].as_py()
+        return pa.table({
+            track_col: pa.array([tid] * n, g.schema.field(track_col).type),
+            order_col: pa.array(
+                np.concatenate(out_ok) if out_ok
+                else np.empty(0, okeys.dtype),
+                g.schema.field(order_col).type),
+            "polygon_id": pa.array(out_pid, pa.string()),
+            "delta": pa.array(
+                np.concatenate(out_delta) if out_delta
+                else np.empty(0, np.int64), pa.int64()),
+        })
+
+    return masked.groupby(track_col).map_groups(per_track,
+                                                batch_format="pyarrow")
