@@ -106,6 +106,7 @@ HAV_RADIUS_KM = 400.0  # great-circle radius for the geodesic suite
 MOSAIC_RES = 4         # tile resolution for the image mosaic (256 tiles)
 DP_EPS = 8.0           # Douglas-Peucker epsilon (degrees)
 DP_CUST_MOD = 5        # track sample: customers with custkey % 5 == 0
+HAUS_MOD = 25          # Hausdorff pair sample: custkey % 25 == 0
 KNNJ_K = 5             # bounded kNN self-join: neighbors per point
 KNNJ_R_U = 2_000_000   # kNN self-join radius (2 degrees, microdegrees)
 CHUNK_MAX = 32         # chunker window (tokens)
@@ -773,6 +774,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pd.DataFrame({"o_custkey": [], "o_orderkey": [],
                                  "polygon_id": [], "delta": []})
         return out
+
+    def geo_hausdorff(sf_dir: str):
+        """Symmetric discrete Hausdorff distance between every pair of
+        sampled customer tracks (tracks.hausdorff_pairs): trajectory
+        similarity under the reference's metric-library semantics,
+        exact int64 squared microdegrees."""
+        from metric_search_ray.pipelines import tracks
+        from metric_search_ray.stages import assign
+        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            keep = (b.column("o_custkey").to_numpy() % HAUS_MOD) == 0
+            return assign.geotag_from_key(b.filter(pa.array(keep)),
+                                          "o_orderkey")
+
+        pts = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        custs = sorted(set(
+            pts.select_columns(["o_custkey"]).to_pandas()["o_custkey"]))
+        pairs = [(a, b) for i, a in enumerate(custs)
+                 for b in custs[i + 1:]]
+        out = tracks.hausdorff_pairs(
+            pts, pairs, track_col="o_custkey").to_pandas()
+        out["nab"] = out["n_a"] * 100000 + out["n_b"]
+        return out[["track_a", "track_b", "nab", "h2_u"]]
 
     def img_mosaic(sf_dir: str):
         """Per-tile mean-thumbnail mosaic over the geotagged image
@@ -1867,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_zonal": geo_zonal,
         "geo_knn_join": geo_knn_join,
         "geo_zone_transitions": geo_zone_transitions,
+        "geo_hausdorff": geo_hausdorff,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2489,6 +2517,35 @@ t AS (SELECT o_custkey, okey, polygon_id, ins,
       FROM m)
 SELECT o_custkey, okey AS o_orderkey, polygon_id, ins - prev AS delta
 FROM t WHERE ins <> prev
+""",
+        "geo_hausdorff": f"""
+WITH {_pts_cte()},
+s AS (SELECT p.okey, o.o_custkey, p.lat_u, p.lon_u
+      FROM pts p JOIN orders o ON o.o_orderkey = p.okey
+      WHERE o.o_custkey % {HAUS_MOD} = 0),
+tk AS (SELECT DISTINCT o_custkey FROM s),
+cnt AS (SELECT o_custkey, count(*) AS n FROM s GROUP BY 1),
+prs AS (SELECT t1.o_custkey AS a, t2.o_custkey AS b
+        FROM tk t1 JOIN tk t2 ON t1.o_custkey < t2.o_custkey),
+dab AS (SELECT pr.a, pr.b, sa.okey AS pk,
+          min((sa.lat_u - sb.lat_u) * (sa.lat_u - sb.lat_u)
+              + (sa.lon_u - sb.lon_u) * (sa.lon_u - sb.lon_u)) AS md
+        FROM prs pr JOIN s sa ON sa.o_custkey = pr.a
+                    JOIN s sb ON sb.o_custkey = pr.b
+        GROUP BY 1, 2, 3),
+hab AS (SELECT a, b, max(md) AS h FROM dab GROUP BY 1, 2),
+dba AS (SELECT pr.a, pr.b, sb.okey AS pk,
+          min((sa.lat_u - sb.lat_u) * (sa.lat_u - sb.lat_u)
+              + (sa.lon_u - sb.lon_u) * (sa.lon_u - sb.lon_u)) AS md
+        FROM prs pr JOIN s sa ON sa.o_custkey = pr.a
+                    JOIN s sb ON sb.o_custkey = pr.b
+        GROUP BY 1, 2, 3),
+hba AS (SELECT a, b, max(md) AS h FROM dba GROUP BY 1, 2)
+SELECT CAST(hab.a AS VARCHAR) AS track_a, CAST(hab.b AS VARCHAR) AS track_b,
+       ca.n * 100000 + cb.n AS nab, GREATEST(hab.h, hba.h) AS h2_u
+FROM hab JOIN hba ON hab.a = hba.a AND hab.b = hba.b
+JOIN cnt ca ON ca.o_custkey = hab.a
+JOIN cnt cb ON cb.o_custkey = hab.b
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3512,6 +3569,9 @@ def _suite_specs() -> dict:
                 ("fence", "geo_zone_transitions",
                  {"query_id": "polygon_id", "o_orderkey": "o_orderkey",
                   "rank": "delta", "v": "o_custkey"}),
+                ("hausdorff", "geo_hausdorff",
+                 {"query_id": "track_a", "o_orderkey": "track_b",
+                  "rank": "nab", "v": "h2_u"}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

@@ -217,3 +217,97 @@ def zone_transitions(ds, rects: list[dict], track_col: str = "track_id",
 
     return masked.groupby(track_col).map_groups(per_track,
                                                 batch_format="pyarrow")
+
+
+def hausdorff_pairs(ds, pairs: list[tuple], track_col: str = "track_id",
+                    lat_col: str = "lat_u", lon_col: str = "lon_u"):
+    """Symmetric discrete Hausdorff distance between track pairs — the
+    trajectory-similarity measure: H(A,B) = max(h(A,B), h(B,A)) with
+    h(A,B) = max over a in A of min over b in B of d2(a,b), all in
+    exact int64 squared microdegrees (order-free, so no within-track
+    sort is needed).
+
+    ``pairs`` is the (bounded, broadcast) list of (track_a, track_b)
+    to score — the candidate pairs from a coarse prefilter (shared
+    cells, LSH, same route id), never all-pairs of the corpus.  Shape:
+    each point replicates once per pair containing its track (a flat
+    map against the broadcast membership dict), ONE groupby(pair)
+    exchange co-locates both tracks, and the per-pair kernel is a
+    single vectorized |A| x |B| distance matrix (tracks are small by
+    the per-task track contract, so the matrix is too).
+
+    Pairs where either track has no points emit nothing (Hausdorff is
+    undefined on an empty set).  Output: (track_a, track_b, n_a, n_b,
+    h2_u) — one row per scored pair.
+    """
+    pairs = [(a, b) for a, b in pairs]
+    membership: dict = {}
+    for idx, (a, b) in enumerate(pairs):
+        membership.setdefault(a, []).append((idx, 0))
+        membership.setdefault(b, []).append((idx, 1))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tr = batch.column(track_col).to_numpy(zero_copy_only=False)
+        x = batch.column(lon_col).to_numpy().astype(np.int64, copy=False)
+        y = batch.column(lat_col).to_numpy().astype(np.int64, copy=False)
+        op, os_, ox, oy = [], [], [], []
+        for t in pd_unique_sorted(tr):
+            mem = membership.get(t)
+            if not mem:
+                continue
+            sel = np.flatnonzero(tr == t)
+            for idx, side in mem:
+                op.append(np.full(len(sel), idx, np.int64))
+                os_.append(np.full(len(sel), side, np.int8))
+                ox.append(x[sel])
+                oy.append(y[sel])
+        cat = (lambda a, dt: np.concatenate(a) if a else np.empty(0, dt))
+        return pa.table({
+            "__pair": pa.array(cat(op, np.int64), pa.int64()),
+            "__side": pa.array(cat(os_, np.int8), pa.int8()),
+            "__x": pa.array(cat(ox, np.int64), pa.int64()),
+            "__y": pa.array(cat(oy, np.int64), pa.int64()),
+        })
+
+    halo = ds.select_columns([track_col, lat_col, lon_col]).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_pair(g: pa.Table) -> pa.Table:
+        idx = int(g.column("__pair")[0].as_py())
+        a, b = pairs[idx]
+        side = g.column("__side").to_numpy()
+        x = g.column("__x").to_numpy()
+        y = g.column("__y").to_numpy()
+        ai = np.flatnonzero(side == 0)
+        bi = np.flatnonzero(side == 1)
+        empty = pa.table({
+            "track_a": pa.array([], pa.string()),
+            "track_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "h2_u": pa.array([], pa.int64()),
+        })
+        if len(ai) == 0 or len(bi) == 0:
+            return empty
+        dx = x[ai][:, None] - x[bi][None, :]
+        dy = y[ai][:, None] - y[bi][None, :]
+        d2 = dx * dx + dy * dy
+        h = max(int(d2.min(axis=1).max()), int(d2.min(axis=0).max()))
+        return pa.table({
+            "track_a": pa.array([str(a)], pa.string()),
+            "track_b": pa.array([str(b)], pa.string()),
+            "n_a": pa.array([len(ai)], pa.int64()),
+            "n_b": pa.array([len(bi)], pa.int64()),
+            "h2_u": pa.array([h], pa.int64()),
+        })
+
+    return halo.groupby("__pair").map_groups(per_pair,
+                                             batch_format="pyarrow")
+
+
+def pd_unique_sorted(arr: np.ndarray) -> np.ndarray:
+    """np.unique that tolerates object (string) track ids."""
+    try:
+        return np.unique(arr)
+    except TypeError:
+        return np.asarray(sorted(set(arr.tolist())))
