@@ -107,6 +107,9 @@ MOSAIC_RES = 4         # tile resolution for the image mosaic (256 tiles)
 DP_EPS = 8.0           # Douglas-Peucker epsilon (degrees)
 DP_CUST_MOD = 5        # track sample: customers with custkey % 5 == 0
 HAUS_MOD = 25          # Hausdorff pair sample: custkey % 25 == 0
+COVIS_RES = 5          # co-visitation cell resolution (32x32 grid)
+COVIS_MIN = 2          # co-visitation: min shared distinct cells
+COVIS_CAP = 64         # co-visitation: drop cells hotter than this
 KNNJ_K = 5             # bounded kNN self-join: neighbors per point
 KNNJ_R_U = 2_000_000   # kNN self-join radius (2 degrees, microdegrees)
 CHUNK_MAX = 32         # chunker window (tokens)
@@ -800,6 +803,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pts, pairs, track_col="o_custkey").to_pandas()
         out["nab"] = out["n_a"] * 100000 + out["n_b"]
         return out[["track_a", "track_b", "nab", "h2_u"]]
+
+    def geo_covisit(sf_dir: str):
+        """Co-visitation pair mining (tracks.covisit_pairs): customer
+        tracks sharing >= COVIS_MIN distinct grid cells, hot cells
+        dropped at COVIS_CAP — bucketed pair generation, one grouped
+        count, no all-pairs."""
+        from metric_search_ray.pipelines import tracks
+        from metric_search_ray.stages import assign
+        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+        pts = ds.map_batches(
+            lambda b: assign.geotag_from_key(b, "o_orderkey"),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return tracks.covisit_pairs(
+            pts, res=COVIS_RES, min_shared=COVIS_MIN, cell_cap=COVIS_CAP,
+            track_col="o_custkey").to_pandas()
 
     def img_mosaic(sf_dir: str):
         """Per-tile mean-thumbnail mosaic over the geotagged image
@@ -1895,6 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn_join": geo_knn_join,
         "geo_zone_transitions": geo_zone_transitions,
         "geo_hausdorff": geo_hausdorff,
+        "geo_covisit": geo_covisit,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2546,6 +2566,25 @@ SELECT CAST(hab.a AS VARCHAR) AS track_a, CAST(hab.b AS VARCHAR) AS track_b,
 FROM hab JOIN hba ON hab.a = hba.a AND hab.b = hba.b
 JOIN cnt ca ON ca.o_custkey = hab.a
 JOIN cnt cb ON cb.o_custkey = hab.b
+""",
+        "geo_covisit": f"""
+WITH {_pts_cte()},
+s AS (SELECT o.o_custkey AS t, p.lat_u, p.lon_u
+      FROM pts p JOIN orders o ON o.o_orderkey = p.okey),
+xy AS (SELECT t,
+  LEAST(((lon_u + 180000000) * {1 << COVIS_RES}) // 360000000,
+        {(1 << COVIS_RES) - 1}) AS ix,
+  LEAST(((lat_u + 90000000) * {1 << COVIS_RES}) // 180000000,
+        {(1 << COVIS_RES) - 1}) AS iy
+  FROM s),
+tt AS (SELECT DISTINCT t, iy * {1 << COVIS_RES} + ix AS tile FROM xy),
+okc AS (SELECT tile FROM tt GROUP BY tile
+        HAVING count(*) <= {COVIS_CAP} AND count(*) >= 2),
+pr AS (SELECT a.t AS a, b.t AS b, count(*) AS n_shared
+       FROM tt a JOIN tt b ON a.tile = b.tile AND a.t < b.t
+       WHERE a.tile IN (SELECT tile FROM okc)
+       GROUP BY 1, 2)
+SELECT a, b, n_shared FROM pr WHERE n_shared >= {COVIS_MIN}
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3572,6 +3611,9 @@ def _suite_specs() -> dict:
                 ("hausdorff", "geo_hausdorff",
                  {"query_id": "track_a", "o_orderkey": "track_b",
                   "rank": "nab", "v": "h2_u"}),
+                ("covisit", "geo_covisit",
+                 {"query_id": "a", "o_orderkey": "b",
+                  "rank": "n_shared", "v": _L(0.0)}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

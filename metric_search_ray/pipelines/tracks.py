@@ -311,3 +311,63 @@ def pd_unique_sorted(arr: np.ndarray) -> np.ndarray:
         return np.unique(arr)
     except TypeError:
         return np.asarray(sorted(set(arr.tolist())))
+
+
+def covisit_pairs(ds, res: int, min_shared: int = 2, cell_cap: int = 256,
+                  track_col: str = "track_id", lat_col: str = "lat_u",
+                  lon_col: str = "lon_u"):
+    """Co-visitation mining: pairs of tracks that visited at least
+    ``min_shared`` DISTINCT grid cells in common — the "traveled
+    together" / co-occurrence join behind contact graphs and convoy
+    detection.
+
+    Shape (the bucketed pair-generation pattern, same family as the
+    LSH dedup buckets):
+
+      1. streaming tile assignment (``tile_of`` at ``res``, no shuffle);
+      2. ``groupby(tile)``: per-cell UNIQUE track set (within-cell
+         repeat visits collapse here, giving distinct-cell semantics);
+         cells hotter than ``cell_cap`` tracks are DROPPED — an
+         everyone-visits cell (airport, downtown) carries no pair
+         signal and would emit O(m^2) pairs (the df-cap / stop-shingle
+         rule, applied identically in the SQL form via HAVING);
+      3. pair emission a < b (bounded by cell_cap^2/2 per cell);
+      4. ONE grouped count over (a, b) + threshold filter.
+
+    Output: (a, b, n_shared) with a < b by track id.
+    """
+    from . import fastagg
+
+    def tile_stage(b: pa.Table) -> pa.Table:
+        lat = b.column(lat_col).to_numpy().astype(np.int64, copy=False)
+        lon = b.column(lon_col).to_numpy().astype(np.int64, copy=False)
+        from .. import cell as cellmod
+        return pa.table({
+            "tile": pa.array(cellmod.tile_of(lat, lon, res), pa.int64()),
+            track_col: b.column(track_col),
+        })
+
+    tiled = ds.select_columns([track_col, lat_col, lon_col]).map_batches(
+        tile_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        u = np.unique(g.column(track_col).to_numpy(zero_copy_only=False))
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if len(u) < 2 or len(u) > cell_cap:
+            return empty
+        ia, ib = np.triu_indices(len(u), 1)
+        return pa.table({"a": pa.array(u[ia].astype(np.int64)),
+                         "b": pa.array(u[ib].astype(np.int64))})
+
+    pairs = tiled.groupby("tile").map_groups(per_cell,
+                                             batch_format="pyarrow")
+    counted = fastagg.sort_block_aggregate(
+        pairs, ["a", "b"], {"n_shared": (None, "count")})
+
+    def thresh(b: pa.Table) -> pa.Table:
+        keep = b.column("n_shared").to_numpy() >= min_shared
+        return b.filter(pa.array(keep))
+
+    return counted.map_batches(thresh, batch_format="pyarrow",
+                               zero_copy_batch=True)
