@@ -820,6 +820,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pts, res=COVIS_RES, min_shared=COVIS_MIN, cell_cap=COVIS_CAP,
             track_col="o_custkey").to_pandas()
 
+    def geo_od_matrix(sf_dir: str):
+        """Origin-destination flow matrix (tracks.od_matrix): each
+        customer track's first->last cell trip at COVIS_RES, counted
+        per cell pair — output bounded by track count."""
+        from metric_search_ray.pipelines import tracks
+        from metric_search_ray.stages import assign
+        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+        pts = ds.map_batches(
+            lambda b: assign.geotag_from_key(b, "o_orderkey"),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return tracks.od_matrix(
+            pts, res=COVIS_RES, track_col="o_custkey",
+            order_col="o_orderkey").to_pandas()
+
     def img_mosaic(sf_dir: str):
         """Per-tile mean-thumbnail mosaic over the geotagged image
         table (tiles.tile_mosaic), melted to one row per (tile, pixel)
@@ -1915,6 +1930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_zone_transitions": geo_zone_transitions,
         "geo_hausdorff": geo_hausdorff,
         "geo_covisit": geo_covisit,
+        "geo_od_matrix": geo_od_matrix,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2585,6 +2601,30 @@ pr AS (SELECT a.t AS a, b.t AS b, count(*) AS n_shared
        WHERE a.tile IN (SELECT tile FROM okc)
        GROUP BY 1, 2)
 SELECT a, b, n_shared FROM pr WHERE n_shared >= {COVIS_MIN}
+""",
+        "geo_od_matrix": f"""
+WITH {_pts_cte()},
+s AS (SELECT p.okey, o.o_custkey, p.lat_u, p.lon_u
+      FROM pts p JOIN orders o ON o.o_orderkey = p.okey),
+r AS (SELECT o_custkey, lat_u, lon_u,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY okey) AS rn_a,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY okey DESC) AS rn_d
+      FROM s),
+og AS (SELECT o_custkey,
+  LEAST(((lon_u + 180000000) * {1 << COVIS_RES}) // 360000000,
+        {(1 << COVIS_RES) - 1})
+  + {1 << COVIS_RES} * LEAST(((lat_u + 90000000) * {1 << COVIS_RES}) // 180000000,
+        {(1 << COVIS_RES) - 1}) AS o_tile
+  FROM r WHERE rn_a = 1),
+dg AS (SELECT o_custkey,
+  LEAST(((lon_u + 180000000) * {1 << COVIS_RES}) // 360000000,
+        {(1 << COVIS_RES) - 1})
+  + {1 << COVIS_RES} * LEAST(((lat_u + 90000000) * {1 << COVIS_RES}) // 180000000,
+        {(1 << COVIS_RES) - 1}) AS d_tile
+  FROM r WHERE rn_d = 1)
+SELECT og.o_tile, dg.d_tile, count(*) AS n_tracks
+FROM og JOIN dg ON og.o_custkey = dg.o_custkey
+GROUP BY 1, 2
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3614,6 +3654,9 @@ def _suite_specs() -> dict:
                 ("covisit", "geo_covisit",
                  {"query_id": "a", "o_orderkey": "b",
                   "rank": "n_shared", "v": _L(0.0)}),
+                ("od", "geo_od_matrix",
+                 {"query_id": "o_tile", "o_orderkey": "d_tile",
+                  "rank": "n_tracks", "v": _L(0.0)}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

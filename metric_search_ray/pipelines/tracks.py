@@ -371,3 +371,40 @@ def covisit_pairs(ds, res: int, min_shared: int = 2, cell_cap: int = 256,
 
     return counted.map_batches(thresh, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def od_matrix(ds, res: int, track_col: str = "track_id",
+              order_col: str = "seq", lat_col: str = "lat_u",
+              lon_col: str = "lon_u"):
+    """Origin-destination flow matrix: each track contributes one
+    (first-point cell -> last-point cell) trip at resolution ``res``;
+    flows are counted per cell pair — the classic mobility aggregation
+    behind commute maps and demand matrices.
+
+    Shape: one ``groupby(track)`` picks each track's endpoint
+    coordinates (ordered by ``order_col``, exact integer tile
+    assignment), then ONE grouped count over (o_tile, d_tile) via
+    sort_block_aggregate.  Output is bounded by the number of tracks,
+    never the number of points.
+
+    Output: (o_tile, d_tile, n_tracks).
+    """
+    from . import fastagg
+    from .. import cell as cellmod
+
+    def per_track(g: pa.Table) -> pa.Table:
+        okeys = g.column(order_col).to_numpy()
+        first = int(np.argmin(okeys))
+        last = int(np.argmax(okeys))
+        lat = g.column(lat_col).to_numpy().astype(np.int64)
+        lon = g.column(lon_col).to_numpy().astype(np.int64)
+        ot = cellmod.tile_of(lat[first:first + 1], lon[first:first + 1], res)
+        dt = cellmod.tile_of(lat[last:last + 1], lon[last:last + 1], res)
+        return pa.table({"o_tile": pa.array(ot, pa.int64()),
+                         "d_tile": pa.array(dt, pa.int64())})
+
+    trips = ds.select_columns(
+        [track_col, order_col, lat_col, lon_col]).groupby(
+        track_col).map_groups(per_track, batch_format="pyarrow")
+    return fastagg.sort_block_aggregate(
+        trips, ["o_tile", "d_tile"], {"n_tracks": (None, "count")})
