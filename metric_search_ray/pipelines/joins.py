@@ -444,6 +444,161 @@ def _halo_res(radius_u: int) -> int:
     return res
 
 
+# direct-matrix budget per group: above this many home x candidate
+# products, the per-cell kernel switches to the two-level fine-binned
+# path (a dense city cell would otherwise cost O(m^2) on all homes)
+_DENSE_LIMIT = 4_000_000
+
+
+def _matrix_topk(hpos: np.ndarray, cpos: np.ndarray, ids: np.ndarray,
+                 x: np.ndarray, y: np.ndarray, k: int, r2,
+                 chunk: int) -> tuple[tuple, np.ndarray]:
+    """Exact top-k scan: for each home row (``hpos`` indexes into the
+    id-sorted group arrays), the k nearest candidate rows (``cpos``,
+    MUST be ascending so candidate position order == id order and
+    distance ties break by neighbor id) with d2 <= r2, self-id
+    excluded.
+
+    (d2, candidate-position) packs into ONE int64 whenever r2*m + m
+    fits, so per home row the cut is argpartition (O(m)) + a k-wide
+    sort instead of a full-row argsort — the difference between 3s and
+    36s on a dense cell.  Falls back to the O(m log m) stable argsort
+    for huge radii.
+
+    Returns ((home_row_idx, nb_global_pos, rank, d2), counts) where
+    home_row_idx indexes into ``hpos`` and counts[i] is the number of
+    emitted neighbors for hpos[i].
+    """
+    sentinel = np.iinfo(np.int64).max
+    m = len(cpos)
+    cx, cy, cid = x[cpos], y[cpos], ids[cpos]
+    pos = np.arange(m, dtype=np.int64)[None, :]
+    r2 = np.int64(r2)
+    packable = m > 0 and r2 <= (sentinel - m) // max(m, 1)
+    counts = np.zeros(len(hpos), np.int64)
+    out_hr, out_nb, out_rk, out_d2 = [], [], [], []
+    kk = min(k, m)
+    for s in range(0, len(hpos), chunk):
+        hp = hpos[s:s + chunk]
+        dx = x[hp][:, None] - cx[None, :]
+        dy = y[hp][:, None] - cy[None, :]
+        d2 = dx * dx + dy * dy
+        bad = (d2 > r2) | (ids[hp][:, None] == cid[None, :])
+        if packable:
+            key = d2 * m + pos
+            np.copyto(key, sentinel, where=bad)
+            if kk < m:
+                part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+                pkey = np.take_along_axis(key, part, axis=1)
+            else:
+                part = np.broadcast_to(pos, key.shape)
+                pkey = key
+            ord_k = np.argsort(pkey, axis=1, kind="stable")
+            top = np.take_along_axis(part, ord_k, axis=1)
+            valid = np.take_along_axis(pkey, ord_k, axis=1) < sentinel
+            dtop = np.take_along_axis(d2, top, axis=1)
+        else:  # huge-radius degenerate cell: exact but O(m log m)
+            np.copyto(d2, sentinel, where=bad)
+            top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            dtop = np.take_along_axis(d2, top, axis=1)
+            valid = dtop < sentinel
+        ii, jj = np.nonzero(valid)
+        counts[s:s + len(hp)] = valid.sum(axis=1)
+        out_hr.append(s + ii)
+        out_nb.append(cpos[top[ii, jj]])
+        out_rk.append(jj.astype(np.int64) + 1)
+        out_d2.append(dtop[ii, jj])
+    cat = (lambda a: np.concatenate(a) if a else np.empty(0, np.int64))
+    return (cat(out_hr), cat(out_nb), cat(out_rk), cat(out_d2)), counts
+
+
+
+_MAX_DEPTH = 10
+_BIN_AXIS = 8
+
+
+def _local_knn(hpos: np.ndarray, cpos: np.ndarray, ids: np.ndarray,
+               x: np.ndarray, y: np.ndarray, k: int, r2, chunk: int,
+               depth: int = 0) -> tuple[tuple, np.ndarray]:
+    """Exact top-k within r2 for home rows ``hpos`` among candidate
+    rows ``cpos`` (both ascending position arrays into the id-sorted
+    group; hpos must be a subset of cpos).
+
+    Recursive grid refinement: bin the candidate extent into
+    _BIN_AXIS-per-side tiles; a home that finds k neighbors within ONE
+    tile side (all such neighbors lie in its 3x3 tile block — the halo
+    argument, one level down) is exactly resolved; unresolved homes
+    fall back to a full matrix scan at this level.  Dense
+    concentrations (a city inside one coarse cell) keep subdividing
+    until leaf matrices fit _DENSE_LIMIT, so per-home work is
+    O(local density) instead of O(cell population).
+
+    Returns ((home_global_pos, nb_global_pos, rank, d2), counts) with
+    counts aligned to ``hpos``.
+    """
+    m = len(cpos)
+    empty = tuple(np.empty(0, np.int64) for _ in range(4))
+    if len(hpos) == 0:
+        return empty, np.zeros(0, np.int64)
+    if len(hpos) * m <= _DENSE_LIMIT or m <= 4 * k or depth >= _MAX_DEPTH:
+        r, counts = _matrix_topk(hpos, cpos, ids, x, y, k, r2, chunk)
+        return (cpos_take(hpos, r[0]), r[1], r[2], r[3]), counts
+    cx, cy = x[cpos], y[cpos]
+    x0, y0 = int(cx.min()), int(cy.min())
+    ext = max(int(cx.max()) - x0, int(cy.max()) - y0, 1)
+    side = ext // _BIN_AXIS + 1
+    nby = _BIN_AXIS + 1
+    cbid = ((cx - x0) // side) * nby + (cy - y0) // side
+    if cbid.min() == cbid.max():  # co-located mass: cannot shrink
+        r, counts = _matrix_topk(hpos, cpos, ids, x, y, k, r2, chunk)
+        return (cpos_take(hpos, r[0]), r[1], r[2], r[3]), counts
+    r1_2 = min(int(r2), side * side)
+    corder = np.argsort(cbid, kind="stable")
+    sb = cbid[corder]
+    ub, ust = np.unique(sb, return_index=True)
+    uen = np.append(ust[1:], m)
+    slot = {int(b): (int(s0), int(s1))
+            for b, s0, s1 in zip(ub, ust, uen)}
+    hbid = ((x[hpos] - x0) // side) * nby + (y[hpos] - y0) // side
+    counts = np.zeros(len(hpos), np.int64)
+    rows, un_list, unsel_list = [], [], []
+    for b in np.unique(hbid):
+        sel = np.flatnonzero(hbid == b)
+        hp = hpos[sel]
+        bi, bj = divmod(int(b), nby)
+        cps = []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                s01 = slot.get((bi + di) * nby + (bj + dj))
+                if s01 is not None:
+                    cps.append(corder[s01[0]:s01[1]])
+        cp = cpos[np.sort(np.concatenate(cps))]
+        subrows, subcounts = _local_knn(hp, cp, ids, x, y, k, r1_2,
+                                        chunk, depth + 1)
+        ok = subcounts >= k
+        if subrows[0].size:
+            keep = ok[np.searchsorted(hp, subrows[0])]
+            rows.append(tuple(a[keep] for a in subrows))
+        counts[sel[ok]] = subcounts[ok]
+        un_list.append(hp[~ok])
+        unsel_list.append(sel[~ok])
+    un = np.concatenate(un_list)
+    if len(un):
+        unsel = np.concatenate(unsel_list)
+        uo = np.argsort(un, kind="stable")  # _matrix_topk wants ascending
+        r, c2 = _matrix_topk(un[uo], cpos, ids, x, y, k, r2, chunk)
+        rows.append((un[uo][r[0]], r[1], r[2], r[3]))
+        counts[unsel[uo]] = c2
+    cat = (lambda i: np.concatenate([rr[i] for rr in rows])
+           if rows else np.empty(0, np.int64))
+    return (cat(0), cat(1), cat(2), cat(3)), counts
+
+
+def cpos_take(hpos: np.ndarray, hrow: np.ndarray) -> np.ndarray:
+    """hrow (indices into hpos) -> global positions; empty-safe."""
+    return hpos[hrow] if len(hrow) else np.empty(0, np.int64)
+
+
 def knn_self_join(ds, k: int, radius_u: int, id_col: str = "o_orderkey",
                   lat_col: str = "lat_u", lon_col: str = "lon_u",
                   chunk: int = 1024):
@@ -503,42 +658,27 @@ def knn_self_join(ds, k: int, radius_u: int, id_col: str = "o_orderkey",
     halo = ds.select_columns([id_col, lat_col, lon_col]).map_batches(
         expand, batch_format="pyarrow", zero_copy_batch=True)
 
-    sentinel = np.iinfo(np.int64).max
-
     def per_cell(g: pa.Table) -> pa.Table:
         ids = g.column(id_col).to_numpy(zero_copy_only=False)
         x = g.column("__x").to_numpy()
         y = g.column("__y").to_numpy()
         home = g.column("__home").to_numpy()
-        # candidates sorted by id once: a later STABLE argsort on d2
-        # then breaks distance ties by neighbor id ascending
+        # candidates sorted by id once: everywhere below, candidate
+        # POSITION order == id order, so distance ties break by
+        # neighbor id ascending without any per-row lexsort
         order = np.argsort(ids, kind="stable")
         ids, x, y, home = ids[order], x[order], y[order], home[order]
         hsel = np.flatnonzero(home == 1)
-        out_id, out_nb, out_rk, out_d2 = [], [], [], []
-        for s in range(0, len(hsel), chunk):
-            hi = hsel[s:s + chunk]
-            dx = x[hi][:, None] - x[None, :]
-            dy = y[hi][:, None] - y[None, :]
-            d2 = dx * dx + dy * dy
-            bad = (d2 > r2) | (ids[hi][:, None] == ids[None, :])
-            np.copyto(d2, sentinel, where=bad)
-            kk = min(k, d2.shape[1])
-            top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
-            dtop = np.take_along_axis(d2, top, axis=1)
-            valid = dtop < sentinel
-            ii, jj = np.nonzero(valid)
-            out_id.append(ids[hi][ii])
-            out_nb.append(ids[top[ii, jj]])
-            out_rk.append(jj.astype(np.int64) + 1)
-            out_d2.append(dtop[ii, jj])
-        cat = (lambda a: np.concatenate(a) if a
-               else np.empty(0, np.int64))
+        allpos = np.arange(len(ids), dtype=np.int64)
+        (hrow, nbpos, rk, d2v), _ = _local_knn(hsel, allpos, ids, x, y,
+                                               k, r2, chunk)
         return pa.table({
-            id_col: pa.array(cat(out_id)),
-            "neighbor_id": pa.array(cat(out_nb)),
-            "rank": pa.array(cat(out_rk), pa.int64()),
-            "d2_u": pa.array(cat(out_d2), pa.int64()),
+            id_col: pa.array(ids[hrow] if len(hrow)
+                             else np.empty(0, np.int64)),
+            "neighbor_id": pa.array(ids[nbpos] if len(nbpos)
+                                    else np.empty(0, np.int64)),
+            "rank": pa.array(rk, pa.int64()),
+            "d2_u": pa.array(d2v, pa.int64()),
         })
 
     return halo.groupby("gcell").map_groups(per_cell, batch_format="pyarrow")

@@ -102,3 +102,22 @@ def test_knn_self_join_bad_args():
         _halo_res(0)
     with pytest.raises(ValueError):
         knn_self_join(None, k=0, radius_u=10)
+
+
+def test_hot_cell_two_level_kernel(ray_session):
+    # a dense "city" cluster big enough to cross _DENSE_LIMIT plus
+    # sparse outliers and co-located ties: exercises the fine-binned
+    # level-1 resolve + unresolved fallback, must stay brute-exact
+    rng = np.random.default_rng(9)
+    n_city = 2500
+    ids = np.arange(n_city + 60, dtype=np.int64) * 3 + 1
+    x = np.concatenate([
+        rng.integers(0, 3_000_000, n_city),      # dense cluster
+        rng.integers(-60_000_000, 60_000_000, 60)]).astype(np.int64)
+    y = np.concatenate([
+        rng.integers(0, 3_000_000, n_city),
+        rng.integers(-30_000_000, 30_000_000, 60)]).astype(np.int64)
+    x[10:20] = x[10]  # co-located block inside the hot cell
+    y[10:20] = y[10]
+    got = _run(ids, x, y, k=4, radius_u=2_000_000)
+    assert got == _brute(ids, x, y, 4, 2_000_000)
