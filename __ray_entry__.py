@@ -108,6 +108,7 @@ DP_EPS = 8.0           # Douglas-Peucker epsilon (degrees)
 DP_CUST_MOD = 5        # track sample: customers with custkey % 5 == 0
 HAUS_MOD = 25          # Hausdorff pair sample: custkey % 25 == 0
 COVIS_RES = 5          # co-visitation cell resolution (32x32 grid)
+GEONEAR_RES = 6        # tile-scoped near-dup: tile resolution
 COVIS_MIN = 2          # co-visitation: min shared distinct cells
 COVIS_CAP = 64         # co-visitation: drop cells hotter than this
 KNNJ_K = 5             # bounded kNN self-join: neighbors per point
@@ -834,6 +835,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tracks.od_matrix(
             pts, res=COVIS_RES, track_col="o_custkey",
             order_col="o_orderkey").to_pandas()
+
+    def geo_neardup(sf_dir: str):
+        """Tile-scoped perceptual near-dup (dedup.hamming_pairs with
+        scope_col): pairs in the SAME geo tile with phash hamming <= 2
+        — 'same place AND looks alike', the geo x image composition;
+        the tile folds into the LSH bucket key so cross-tile rows
+        never meet (no post-filter join)."""
+        from metric_search_ray.pipelines import dedup
+        from metric_search_ray import cell as cellmod
+        pts = _orders_points(sf_dir)
+
+        def add_tile(b: pa.Table) -> pa.Table:
+            lat = b.column("lat_u").to_numpy()
+            lon = b.column("lon_u").to_numpy()
+            return b.append_column(
+                "tile", pa.array(cellmod.tile_of(lat, lon, GEONEAR_RES),
+                                 pa.int64()))
+
+        tiled = pts.map_batches(add_tile, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        out = dedup.hamming_pairs(
+            tiled, hash_col="phash", id_col="o_orderkey",
+            max_hamming=2, bit_width=16, scope_col="tile").to_pandas()
+        if len(out) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        return out
 
     def img_mosaic(sf_dir: str):
         """Per-tile mean-thumbnail mosaic over the geotagged image
@@ -1931,6 +1958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hausdorff": geo_hausdorff,
         "geo_covisit": geo_covisit,
         "geo_od_matrix": geo_od_matrix,
+        "geo_neardup": geo_neardup,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2625,6 +2653,19 @@ dg AS (SELECT o_custkey,
 SELECT og.o_tile, dg.d_tile, count(*) AS n_tracks
 FROM og JOIN dg ON og.o_custkey = dg.o_custkey
 GROUP BY 1, 2
+""",
+        "geo_neardup": f"""
+WITH {_pts_cte()},
+ph AS (SELECT okey, (s1 % 65536) AS phash,
+  LEAST(((lon_u + 180000000) * {1 << GEONEAR_RES}) // 360000000,
+        {(1 << GEONEAR_RES) - 1})
+  + {1 << GEONEAR_RES} * LEAST(((lat_u + 90000000) * {1 << GEONEAR_RES}) // 180000000,
+        {(1 << GEONEAR_RES) - 1}) AS tile
+  FROM pts)
+SELECT a.okey AS id_a, b.okey AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM ph a JOIN ph b ON a.tile = b.tile AND a.okey < b.okey
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3657,6 +3698,9 @@ def _suite_specs() -> dict:
                 ("od", "geo_od_matrix",
                  {"query_id": "o_tile", "o_orderkey": "d_tile",
                   "rank": "n_tracks", "v": _L(0.0)}),
+                ("neardup", "geo_neardup",
+                 {"query_id": "id_a", "o_orderkey": "id_b",
+                  "rank": "hamming", "v": _L(0.0)}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

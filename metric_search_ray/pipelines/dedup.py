@@ -439,7 +439,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
                   max_hamming: int = 3, bit_width: int = 64,
-                  warn_bucket_rows: int = 20_000):
+                  warn_bucket_rows: int = 20_000, scope_col: str | None = None):
     """All pairs with Hamming(hash) <= max_hamming over any int64 hash
     column (phash near-dup dedup).  Exact by pigeonhole banding.
 
@@ -449,25 +449,44 @@ def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
     bits=0) bucket for each all-zero band, degenerating into a serial
     O(n^2) scan; callers with narrow hashes must pass their width.
     Buckets larger than ``warn_bucket_rows`` log a skew warning (the
-    pairwise scan inside a bucket is O(n^2))."""
+    pairwise scan inside a bucket is O(n^2)).
+
+    ``scope_col``: optional non-negative int64 partition column (e.g.
+    a geo tile id).  Only pairs WITHIN the same scope are emitted: the
+    scope folds into the bucket key, so cross-scope rows never meet —
+    the "same place AND looks alike" composition, with no post-filter
+    join and a pair stream bounded per scope.
+    """
     import logging
 
     n_bands = max_hamming + 1
     if bit_width < n_bands:
         raise ValueError(f"bit_width {bit_width} < {n_bands} bands")
     width = bit_width // n_bands
+    # widest band (the last absorbs the remainder) -> scope shift
+    shift = max(width, bit_width - (n_bands - 1) * width)
     log = logging.getLogger(__name__)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         h = batch.column(hash_col).to_numpy().astype(np.uint64)
         n = len(ids)
+        if scope_col is not None:
+            s = batch.column(scope_col).to_numpy().astype(np.int64)
+            if len(s) and (int(s.min()) < 0
+                           or int(s.max()) >= (1 << (62 - shift))):
+                raise ValueError(
+                    f"hamming_pairs: scope values must be in "
+                    f"[0, 2^{62 - shift}) to fold beside {shift} band bits")
         bits_parts = []
         for bi in range(n_bands):
             lo = bi * width
             hi = bit_width if bi == n_bands - 1 else lo + width
             mask = (np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)
-            bits_parts.append(((h >> np.uint64(lo)) & mask).astype(np.int64))
+            bits = ((h >> np.uint64(lo)) & mask).astype(np.int64)
+            if scope_col is not None:
+                bits = (s << shift) | bits
+            bits_parts.append(bits)
         return pa.table({
             id_col: pa.array(np.tile(ids, n_bands)),
             hash_col: pa.array(np.tile(h.astype(np.int64), n_bands), pa.int64()),
@@ -475,7 +494,8 @@ def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
             "band_bits": pa.array(np.concatenate(bits_parts), pa.int64()),
         })
 
-    exploded = ds.select_columns([id_col, hash_col]).map_batches(
+    proj = [id_col, hash_col] + ([scope_col] if scope_col else [])
+    exploded = ds.select_columns(proj).map_batches(
         explode, batch_format="pyarrow")
 
     # Two regimes, two mechanisms (both exact):
