@@ -109,6 +109,7 @@ DP_CUST_MOD = 5        # track sample: customers with custkey % 5 == 0
 HAUS_MOD = 25          # Hausdorff pair sample: custkey % 25 == 0
 COVIS_RES = 5          # co-visitation cell resolution (32x32 grid)
 GEONEAR_RES = 6        # tile-scoped near-dup: tile resolution
+RADJ_R_U = 200_000     # bipartite radius join: 0.2 degrees
 COVIS_MIN = 2          # co-visitation: min shared distinct cells
 COVIS_CAP = 64         # co-visitation: drop cells hotter than this
 KNNJ_K = 5             # bounded kNN self-join: neighbors per point
@@ -860,6 +861,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_hamming=2, bit_width=16, scope_col="tile").to_pandas()
         if len(out) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        return out
+
+    def geo_radius_pairs(sf_dir: str):
+        """Bipartite within-distance join (joins.radius_pairs_join):
+        even-key points x odd-key points within RADJ_R_U — both sides
+        full corpora, neither broadcast; halo replication + one
+        groupby(cell) exchange."""
+        from metric_search_ray.pipelines import joins as joinsmod
+        pts = _orders_points(sf_dir)
+
+        def split(par: int, idc: str):
+            def fn(b: pa.Table) -> pa.Table:
+                key = b.column("o_orderkey").to_numpy()
+                sub = b.filter(pa.array(key % 2 == par))
+                return pa.table({
+                    idc: sub.column("o_orderkey"),
+                    "lat_u": sub.column("lat_u"),
+                    "lon_u": sub.column("lon_u"),
+                })
+            return fn
+
+        left = pts.map_batches(split(0, "id_a"), batch_format="pyarrow",
+                               zero_copy_batch=True)
+        right = pts.map_batches(split(1, "id_b"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+        out = joinsmod.radius_pairs_join(
+            left, right, radius_u=RADJ_R_U).to_pandas()
+        if len(out) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "d2_u": []})
         return out
 
     def img_mosaic(sf_dir: str):
@@ -1959,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_covisit": geo_covisit,
         "geo_od_matrix": geo_od_matrix,
         "geo_neardup": geo_neardup,
+        "geo_radius_pairs": geo_radius_pairs,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2666,6 +2697,20 @@ SELECT a.okey AS id_a, b.okey AS id_b,
        bit_count(xor(a.phash, b.phash)) AS hamming
 FROM ph a JOIN ph b ON a.tile = b.tile AND a.okey < b.okey
 WHERE bit_count(xor(a.phash, b.phash)) <= 2
+""",
+        "geo_radius_pairs": f"""
+WITH {_pts_cte()},
+pa_ AS (SELECT okey, lat_u, lon_u FROM pts WHERE okey % 2 = 0),
+pb_ AS (SELECT okey, lat_u, lon_u FROM pts WHERE okey % 2 = 1)
+SELECT a.okey AS id_a, b.okey AS id_b,
+       (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+       + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS d2_u
+FROM pa_ a JOIN pb_ b
+  ON b.lon_u BETWEEN a.lon_u - {RADJ_R_U} AND a.lon_u + {RADJ_R_U}
+ AND b.lat_u BETWEEN a.lat_u - {RADJ_R_U} AND a.lat_u + {RADJ_R_U}
+WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+      + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
+      <= {RADJ_R_U}::BIGINT * {RADJ_R_U}::BIGINT
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3701,6 +3746,9 @@ def _suite_specs() -> dict:
                 ("neardup", "geo_neardup",
                  {"query_id": "id_a", "o_orderkey": "id_b",
                   "rank": "hamming", "v": _L(0.0)}),
+                ("radius_pairs", "geo_radius_pairs",
+                 {"query_id": "id_a", "o_orderkey": "id_b",
+                  "rank": _L(0), "v": "d2_u"}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

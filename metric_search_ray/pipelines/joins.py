@@ -682,3 +682,101 @@ def knn_self_join(ds, k: int, radius_u: int, id_col: str = "o_orderkey",
         })
 
     return halo.groupby("gcell").map_groups(per_cell, batch_format="pyarrow")
+
+
+def radius_pairs_join(left, right, radius_u: int,
+                      left_id: str = "id_a", right_id: str = "id_b",
+                      lat_col: str = "lat_u", lon_col: str = "lon_u",
+                      chunk: int = 2048):
+    """Bipartite within-distance join: ALL (left, right) pairs with
+    planar distance <= radius_u, where BOTH sides are full corpora —
+    the spatial equi-join neither a broadcast (small-side) nor an
+    index lookup (bounded query set) can express.
+
+    Same halo shape as knn_self_join: left rows land home-only in the
+    finest grid whose cell side >= radius_u, right rows replicate into
+    <=9 adjacent cells, ONE groupby(cell) exchange co-locates every
+    left row with every right row it could pair with, and the per-cell
+    kernel is a chunked vectorized distance filter (exact int64).
+
+    Output is the TRUE pair set (left_id, right_id, d2_u): on dense
+    data its size is inherently quadratic in local density — size the
+    radius to the question, not the other way around.  Rows of the two
+    sides are never compared within a side, and equal ids across sides
+    are paired (the sides are different tables by contract).
+    """
+    radius_u = int(radius_u)
+    r2 = np.int64(radius_u) * np.int64(radius_u)
+    res = _halo_res(radius_u)
+    n_side = np.int64(1) << np.int64(res)
+
+    def tag(side: int, idc: str):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column(idc).to_numpy()
+            x = b.column(lon_col).to_numpy().astype(np.int64, copy=False)
+            y = b.column(lat_col).to_numpy().astype(np.int64, copy=False)
+            ix, iy = cellmod.cell_xy(y, x, res)
+            if side == 0:  # left: home cell only
+                return pa.table({
+                    "gcell": pa.array(iy * n_side + ix, pa.int64()),
+                    "__side": pa.array(np.zeros(len(ids), np.int8)),
+                    "__id": pa.array(ids),
+                    "__x": pa.array(x, pa.int64()),
+                    "__y": pa.array(y, pa.int64()),
+                })
+            gid, gx, gy, gg = [], [], [], []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    jx, jy = ix + dx, iy + dy
+                    ok = ((jx >= 0) & (jx < n_side)
+                          & (jy >= 0) & (jy < n_side))
+                    gid.append(ids[ok])
+                    gx.append(x[ok])
+                    gy.append(y[ok])
+                    gg.append(jy[ok] * n_side + jx[ok])
+            return pa.table({
+                "gcell": pa.array(np.concatenate(gg), pa.int64()),
+                "__side": pa.array(np.ones(sum(len(a) for a in gid),
+                                           np.int8)),
+                "__id": pa.array(np.concatenate(gid)),
+                "__x": pa.array(np.concatenate(gx), pa.int64()),
+                "__y": pa.array(np.concatenate(gy), pa.int64()),
+            })
+        return fn
+
+    lt = left.select_columns([left_id, lat_col, lon_col]).map_batches(
+        tag(0, left_id), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.select_columns([right_id, lat_col, lon_col]).map_batches(
+        tag(1, right_id), batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy()
+        ids = g.column("__id").to_numpy(zero_copy_only=False)
+        x = g.column("__x").to_numpy()
+        y = g.column("__y").to_numpy()
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        empty = pa.table({left_id: pa.array([], pa.int64()),
+                          right_id: pa.array([], pa.int64()),
+                          "d2_u": pa.array([], pa.int64())})
+        if len(li) == 0 or len(ri) == 0:
+            return empty
+        rx, ry, rid = x[ri], y[ri], ids[ri]
+        out_a, out_b, out_d = [], [], []
+        for s in range(0, len(li), chunk):
+            ls = li[s:s + chunk]
+            dx = x[ls][:, None] - rx[None, :]
+            dy = y[ls][:, None] - ry[None, :]
+            d2 = dx * dx + dy * dy
+            ii, jj = np.nonzero(d2 <= r2)
+            out_a.append(ids[ls][ii])
+            out_b.append(rid[jj])
+            out_d.append(d2[ii, jj])
+        cat = (lambda a: np.concatenate(a) if a
+               else np.empty(0, np.int64))
+        return pa.table({left_id: pa.array(cat(out_a)),
+                         right_id: pa.array(cat(out_b)),
+                         "d2_u": pa.array(cat(out_d), pa.int64())})
+
+    return lt.union(rt).groupby("gcell").map_groups(
+        per_cell, batch_format="pyarrow")
