@@ -110,6 +110,11 @@ HAUS_MOD = 25          # Hausdorff pair sample: custkey % 25 == 0
 COVIS_RES = 5          # co-visitation cell resolution (32x32 grid)
 GEONEAR_RES = 6        # tile-scoped near-dup: tile resolution
 RADJ_R_U = 200_000     # bipartite radius join: 0.2 degrees
+DBSCAN_RES = 5         # grid-density clustering: raster resolution
+DBSCAN_MIN = 13        # grid-density clustering: core-cell threshold
+#   13 at sf0.01's ~10.2 points/cell mean leaves ~15% of cells core —
+#   enough adjacency that the CC merge path is actually exercised
+#   (~100+ core cells, multi-cell clusters), not just city singletons
 COVIS_MIN = 2          # co-visitation: min shared distinct cells
 COVIS_CAP = 64         # co-visitation: drop cells hotter than this
 KNNJ_K = 5             # bounded kNN self-join: neighbors per point
@@ -890,6 +895,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left, right, radius_u=RADJ_R_U).to_pandas()
         if len(out) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "d2_u": []})
+        return out
+
+    def geo_dbscan(sf_dir: str):
+        """Grid-density clustering (cluster.grid_density_clusters):
+        DBSCAN over the tile raster — core cells (>= DBSCAN_MIN
+        points) merged by 8-adjacency into min-tile-id clusters via
+        distributed connected components."""
+        from metric_search_ray.pipelines import cluster as clustermod
+        pts = _orders_points(sf_dir)
+        out = clustermod.grid_density_clusters(
+            pts, res=DBSCAN_RES, min_pts=DBSCAN_MIN).to_pandas()
+        if len(out) == 0:
+            return pd.DataFrame({"tile_id": [], "cluster_id": [],
+                                 "n_points": []})
         return out
 
     def img_mosaic(sf_dir: str):
@@ -1990,6 +2009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_od_matrix": geo_od_matrix,
         "geo_neardup": geo_neardup,
         "geo_radius_pairs": geo_radius_pairs,
+        "geo_dbscan": geo_dbscan,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2711,6 +2731,29 @@ FROM pa_ a JOIN pb_ b
 WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
       + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
       <= {RADJ_R_U}::BIGINT * {RADJ_R_U}::BIGINT
+""",
+        "geo_dbscan": f"""
+WITH RECURSIVE
+{_pts_cte()},
+xy AS (SELECT
+  LEAST(((lon_u + 180000000) * {1 << DBSCAN_RES}) // 360000000,
+        {(1 << DBSCAN_RES) - 1}) AS ix,
+  LEAST(((lat_u + 90000000) * {1 << DBSCAN_RES}) // 180000000,
+        {(1 << DBSCAN_RES) - 1}) AS iy
+  FROM pts),
+cnts AS (SELECT iy * {1 << DBSCAN_RES} + ix AS tile, ix, iy, count(*) AS n
+         FROM xy GROUP BY 1, 2, 3),
+core AS (SELECT * FROM cnts WHERE n >= {DBSCAN_MIN}),
+e AS (SELECT a.tile AS ta, b.tile AS tb FROM core a JOIN core b
+      ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+     AND a.tile <> b.tile),
+reach(t, root) AS (
+  SELECT tile, tile FROM core
+  UNION
+  SELECT e.tb, r.root FROM reach r JOIN e ON e.ta = r.t)
+SELECT c.tile AS tile_id, m.root AS cluster_id, c.n AS n_points
+FROM core c JOIN (SELECT t, min(root) AS root FROM reach GROUP BY t) m
+  ON m.t = c.tile
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3749,6 +3792,9 @@ def _suite_specs() -> dict:
                 ("radius_pairs", "geo_radius_pairs",
                  {"query_id": "id_a", "o_orderkey": "id_b",
                   "rank": _L(0), "v": "d2_u"}),
+                ("dbscan", "geo_dbscan",
+                 {"query_id": "tile_id", "o_orderkey": "cluster_id",
+                  "rank": "n_points", "v": _L(0.0)}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

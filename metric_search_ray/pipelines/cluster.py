@@ -121,3 +121,117 @@ def cluster_all_partitions(ckpt_dir: str, distribution):
         })
 
     return parts.map_batches(one, batch_format="pyarrow", batch_size=4)
+
+
+def grid_density_clusters(ds, res: int, min_pts: int,
+                          lat_col: str = "lat_u", lon_col: str = "lon_u",
+                          num_partitions: int = 8):
+    """Grid-density clustering (DBSCAN over the tile raster): cells
+    holding >= min_pts points are CORE; core cells that touch
+    (8-adjacency) merge into one cluster; the cluster id is the MIN
+    tile id of the component (deterministic, partitioning-free).
+    Sub-threshold cells are noise and appear in no cluster — the grid
+    variant of DBSCAN's border-point simplification, documented.
+
+    Shape (every step bounded by OCCUPIED cells <= 4^res, never by
+    points):
+      1. map-side tile counts (one grouped aggregate);
+      2. core filter;
+      3. adjacency WITHOUT broadcasting the cell set: every core cell
+         emits (key=neighbor, src=self) probes plus one (key=self)
+         anchor row; a groupby(key) turns probe+anchor co-presence
+         into an edge — cells are their own hash index;
+      4. distributed min-label connected components
+         (graph.connected_components_ray, label-of-label squaring);
+      5. one grouped (min label, sum n) merge that also restores
+         isolated core cells as singleton clusters.
+
+    Output: (tile_id, cluster_id, n_points) per core cell.
+    """
+    import pyarrow.compute as pc
+    from .fastagg import sort_block_aggregate
+    from ..graph import connected_components_ray
+    from .. import cell as cellmod
+
+    n_side = np.int64(1) << np.int64(res)
+
+    def tile_stage(b: pa.Table) -> pa.Table:
+        lat = b.column(lat_col).to_numpy().astype(np.int64, copy=False)
+        lon = b.column(lon_col).to_numpy().astype(np.int64, copy=False)
+        return pa.table({
+            "tile": pa.array(cellmod.tile_of(lat, lon, res), pa.int64()),
+        })
+
+    counts = sort_block_aggregate(
+        ds.select_columns([lat_col, lon_col]).map_batches(
+            tile_stage, batch_format="pyarrow", zero_copy_batch=True),
+        "tile", {"n": (None, "count")})
+    core = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"),
+                                            pa.scalar(min_pts))),
+        batch_format="pyarrow").materialize()
+
+    def probes(b: pa.Table) -> pa.Table:
+        t = b.column("tile").to_numpy()
+        ix = t % n_side
+        iy = t // n_side
+        keys, srcs, anch = [t], [t], [np.ones(len(t), np.int8)]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                jx, jy = ix + dx, iy + dy
+                ok = ((jx >= 0) & (jx < n_side)
+                      & (jy >= 0) & (jy < n_side))
+                keys.append(jy[ok] * n_side + jx[ok])
+                srcs.append(t[ok])
+                anch.append(np.zeros(int(ok.sum()), np.int8))
+        return pa.table({
+            "key": pa.array(np.concatenate(keys), pa.int64()),
+            "src": pa.array(np.concatenate(srcs), pa.int64()),
+            "anchor": pa.array(np.concatenate(anch), pa.int8()),
+        })
+
+    def edges_of_key(g: pa.Table) -> pa.Table:
+        anchor = g.column("anchor").to_numpy()
+        if not (anchor == 1).any():  # key is not a core cell
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        key = g.column("key")[0].as_py()
+        srcs = g.column("src").to_numpy()[anchor == 0]
+        return pa.table({
+            "src": pa.array(np.full(len(srcs), key, np.int64)),
+            "dst": pa.array(srcs, pa.int64()),
+        })
+
+    edges = core.map_batches(probes, batch_format="pyarrow").groupby(
+        "key").map_groups(edges_of_key, batch_format="pyarrow")
+    edges = edges.materialize()
+    has_edges = edges.count() > 0
+    if has_edges:
+        labels = connected_components_ray(edges,
+                                          num_partitions=num_partitions)
+        lbl_rows = labels.map_batches(
+            lambda b: pa.table({
+                "tile": b.column("node"),
+                "lbl": b.column("component"),
+                "nn": pa.array(np.zeros(len(b), np.int64)),
+            }), batch_format="pyarrow")
+    # merge pass: labelled rows (n=0) + core rows (label=self, real n);
+    # min(label) resolves the cluster id, sum(n) restores the count —
+    # isolated cells simply keep label=self
+    self_rows = core.map_batches(
+        lambda b: pa.table({
+            "tile": b.column("tile"),
+            "lbl": b.column("tile"),
+            "nn": b.column("n"),
+        }), batch_format="pyarrow")
+    allrows = self_rows.union(lbl_rows) if has_edges else self_rows
+    out = sort_block_aggregate(
+        allrows, "tile", {"cluster_id": ("lbl", "min"),
+                          "n_points": ("nn", "sum")})
+    return out.map_batches(
+        lambda b: pa.table({"tile_id": b.column("tile"),
+                            "cluster_id": b.column("cluster_id"),
+                            "n_points": b.column("n_points")}),
+        batch_format="pyarrow")
