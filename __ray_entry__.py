@@ -911,6 +911,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "n_points": []})
         return out
 
+    def geo_bbox_overlap(sf_dir: str):
+        """Spatial overlap join over track bounding boxes
+        (joins.rect_overlap_join): PBSM grid partitioning with the
+        reference-point dedup rule — all intersecting bbox pairs of
+        the sampled customer tracks + exact overlap areas."""
+        from metric_search_ray.pipelines import joins as joinsmod
+        from metric_search_ray.pipelines.fastagg import sort_block_aggregate
+        from metric_search_ray.stages import assign
+        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            keep = (b.column("o_custkey").to_numpy() % HAUS_MOD) == 0
+            return assign.geotag_from_key(b.filter(pa.array(keep)),
+                                          "o_orderkey")
+
+        pts = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        bb = sort_block_aggregate(
+            pts, "o_custkey", {"x0": ("lon_u", "min"),
+                               "x1": ("lon_u", "max"),
+                               "y0": ("lat_u", "min"),
+                               "y1": ("lat_u", "max")})
+        rects = bb.map_batches(
+            lambda b: pa.table({"rect_id": b.column("o_custkey"),
+                                "x0": b.column("x0"), "x1": b.column("x1"),
+                                "y0": b.column("y0"), "y1": b.column("y1")}),
+            batch_format="pyarrow")
+        out = joinsmod.rect_overlap_join(rects, res=2).to_pandas()
+        if len(out) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "area_u2": []})
+        return out
+
     def img_mosaic(sf_dir: str):
         """Per-tile mean-thumbnail mosaic over the geotagged image
         table (tiles.tile_mosaic), melted to one row per (tile, pixel)
@@ -2010,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_neardup": geo_neardup,
         "geo_radius_pairs": geo_radius_pairs,
         "geo_dbscan": geo_dbscan,
+        "geo_bbox_overlap": geo_bbox_overlap,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2754,6 +2788,21 @@ reach(t, root) AS (
 SELECT c.tile AS tile_id, m.root AS cluster_id, c.n AS n_points
 FROM core c JOIN (SELECT t, min(root) AS root FROM reach GROUP BY t) m
   ON m.t = c.tile
+""",
+        "geo_bbox_overlap": f"""
+WITH {_pts_cte()},
+s AS (SELECT p.okey, o.o_custkey, p.lat_u, p.lon_u
+      FROM pts p JOIN orders o ON o.o_orderkey = p.okey
+      WHERE o.o_custkey % {HAUS_MOD} = 0),
+bb AS (SELECT o_custkey AS rect_id, min(lon_u) AS x0, max(lon_u) AS x1,
+              min(lat_u) AS y0, max(lat_u) AS y1
+       FROM s GROUP BY 1)
+SELECT a.rect_id AS id_a, b.rect_id AS id_b,
+       (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+       * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)) AS area_u2
+FROM bb a JOIN bb b
+  ON a.rect_id < b.rect_id
+ AND a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3795,6 +3844,9 @@ def _suite_specs() -> dict:
                 ("dbscan", "geo_dbscan",
                  {"query_id": "tile_id", "o_orderkey": "cluster_id",
                   "rank": "n_points", "v": _L(0.0)}),
+                ("bbox_overlap", "geo_bbox_overlap",
+                 {"query_id": "id_a", "o_orderkey": "id_b",
+                  "rank": _L(0), "v": "area_u2"}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

@@ -780,3 +780,102 @@ def radius_pairs_join(left, right, radius_u: int,
 
     return lt.union(rt).groupby("gcell").map_groups(
         per_cell, batch_format="pyarrow")
+
+
+def rect_overlap_join(rects, res: int, id_col: str = "rect_id",
+                      chunk: int = 2048):
+    """Spatial overlap self-join over a set of axis-aligned rectangles
+    (id, x0, x1, y0, y1 in int64 microdegrees): all pairs whose CLOSED
+    boxes intersect (touching edges count, overlap area may be 0),
+    plus the exact int64 intersection area.
+
+    This is the textbook PBSM (partition-based spatial merge) join:
+    every rectangle replicates to each grid cell its box overlaps at
+    resolution ``res``; candidate pairs meet inside a cell; and the
+    classic REFERENCE-POINT rule deduplicates globally without any
+    shuffle — a pair is emitted only by the cell containing the
+    intersection's lower-left corner (max(x0), max(y0)), which lies in
+    exactly one cell.  Pick ``res`` so a typical rectangle spans a few
+    cells: replication is O(box area / cell area) per rectangle.
+
+    Output: (id_a, id_b, area_u2) with id_a < id_b.
+    """
+    n_side = np.int64(1) << np.int64(res)
+
+    def expand(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy()
+        x0 = b.column("x0").to_numpy().astype(np.int64, copy=False)
+        x1 = b.column("x1").to_numpy().astype(np.int64, copy=False)
+        y0 = b.column("y0").to_numpy().astype(np.int64, copy=False)
+        y1 = b.column("y1").to_numpy().astype(np.int64, copy=False)
+        ix0, iy0 = cellmod.cell_xy(y0, x0, res)
+        ix1, iy1 = cellmod.cell_xy(y1, x1, res)
+        w = ix1 - ix0 + 1
+        h = iy1 - iy0 + 1
+        ncells = (w * h).astype(np.int64)
+        total = int(ncells.sum())
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), ncells)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(ncells)[:-1]]), ncells)
+        dx = offs % w[idx]
+        dy = offs // w[idx]
+        cell = (iy0[idx] + dy) * n_side + (ix0[idx] + dx)
+        return pa.table({
+            "gcell": pa.array(cell, pa.int64()),
+            id_col: pa.array(ids[idx]),
+            "__x0": pa.array(x0[idx], pa.int64()),
+            "__x1": pa.array(x1[idx], pa.int64()),
+            "__y0": pa.array(y0[idx], pa.int64()),
+            "__y1": pa.array(y1[idx], pa.int64()),
+        })
+
+    halo = rects.select_columns(
+        [id_col, "x0", "x1", "y0", "y1"]).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        cell = int(g.column("gcell")[0].as_py())
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        x0 = g.column("__x0").to_numpy()
+        x1 = g.column("__x1").to_numpy()
+        y0 = g.column("__y0").to_numpy()
+        y1 = g.column("__y1").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x0, x1, y0, y1 = x0[order], x1[order], y0[order], y1[order]
+        m = len(ids)
+        out_a, out_b, out_ar = [], [], []
+        for s in range(0, m, chunk):
+            sl = slice(s, min(s + chunk, m))
+            rx0 = np.maximum(x0[sl][:, None], x0[None, :])
+            rx1 = np.minimum(x1[sl][:, None], x1[None, :])
+            ry0 = np.maximum(y0[sl][:, None], y0[None, :])
+            ry1 = np.minimum(y1[sl][:, None], y1[None, :])
+            hit = (rx0 <= rx1) & (ry0 <= ry1) \
+                & (ids[sl][:, None] < ids[None, :])
+            if not hit.any():
+                continue
+            # reference-point dedup: the pair belongs to the cell
+            # holding the intersection's lower-left corner
+            rix, riy = cellmod.cell_xy(ry0[hit], rx0[hit], res)
+            mine = (riy * n_side + rix) == cell
+            ii, jj = np.nonzero(hit)
+            ii, jj = ii[mine], jj[mine]
+            if len(ii) == 0:
+                continue
+            out_a.append(ids[sl][ii])
+            out_b.append(ids[jj])
+            out_ar.append(((rx1 - rx0)[hit][mine]
+                           * (ry1 - ry0)[hit][mine]).astype(np.int64))
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "area_u2": pa.array([], pa.int64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a)),
+            "id_b": pa.array(np.concatenate(out_b)),
+            "area_u2": pa.array(np.concatenate(out_ar), pa.int64()),
+        })
+
+    return halo.groupby("gcell").map_groups(per_cell,
+                                            batch_format="pyarrow")
