@@ -944,6 +944,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pd.DataFrame({"id_a": [], "id_b": [], "area_u2": []})
         return out
 
+    def geo_visual_knn(sf_dir: str):
+        """Spatial visual search — the flagship composition: for each
+        query point, the GEO_KNN_K images within RADIUS2_U whose phash
+        is hamming-closest to the query's probe hash (broadcast query
+        list -> streaming radius+hamming scan -> grouped_top_k).
+        Exercises the geo prefilter and the perceptual rank in ONE
+        pipeline, exactly the 'find similar images near here' query of
+        the north rule."""
+        from metric_search_ray.pipelines.topk import grouped_top_k
+        from metric_search_ray.phash import popcount64
+        pts = _orders_points(sf_dir)
+        qpts = _geo_query_points()
+        qlat = np.asarray([q[1] for q in qpts], np.int64)
+        qlon = np.asarray([q[2] for q in qpts], np.int64)
+        qids = [q[0] for q in qpts]
+        # deterministic probe hash per query (the 'query image')
+        qhash = (np.arange(len(qpts), dtype=np.int64) * 2654435761
+                 ) % 65536
+
+        def scan(b: pa.Table) -> pa.Table:
+            lat = b.column("lat_u").to_numpy()
+            lon = b.column("lon_u").to_numpy()
+            key = b.column("o_orderkey").to_numpy()
+            ph = b.column("phash").to_numpy()
+            oq, ok, oh = [], [], []
+            for qi in range(len(qids)):
+                d2 = (lat - qlat[qi]) ** 2 + (lon - qlon[qi]) ** 2
+                sel = np.flatnonzero(d2 < RADIUS2_U)
+                if len(sel) == 0:
+                    continue
+                ham = popcount64((ph[sel] ^ qhash[qi]).astype(np.uint64))
+                oq.extend([qids[qi]] * len(sel))
+                ok.append(key[sel])
+                oh.append(ham.astype(np.int64))
+            return pa.table({
+                "query_id": pa.array(oq, pa.string()),
+                "o_orderkey": pa.array(
+                    np.concatenate(ok) if ok else np.empty(0, np.int64)),
+                "hamming": pa.array(
+                    np.concatenate(oh) if oh else np.empty(0, np.int64)),
+            })
+
+        cand = pts.map_batches(scan, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        out = grouped_top_k(cand, "query_id", "hamming", GEO_KNN_K,
+                            id_col="o_orderkey",
+                            descending=False).to_pandas()
+        return out[["query_id", "o_orderkey", "hamming", "rank"]]
+
     def img_mosaic(sf_dir: str):
         """Per-tile mean-thumbnail mosaic over the geotagged image
         table (tiles.tile_mosaic), melted to one row per (tile, pixel)
@@ -2044,6 +2093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_radius_pairs": geo_radius_pairs,
         "geo_dbscan": geo_dbscan,
         "geo_bbox_overlap": geo_bbox_overlap,
+        "geo_visual_knn": geo_visual_knn,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2531,6 +2581,9 @@ def oracle_sql() -> dict[str, str]:
         f"('{r['polygon_id']}', {r['x0']}, {r['x1']}, {r['y0']}, {r['y1']})"
         for r in _oracle_rects())
     qpt_values = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in _geo_query_points())
+    qpt_hash_values = ", ".join(
+        f"('{q}', {la}, {lo}, {(i * 2654435761) % 65536})"
+        for i, (q, la, lo) in enumerate(_geo_query_points()))
     img_qpt_values = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in _img_query_points())
     stop_list = "'the', 'a', 'of', 'and', 'to'"
     band_values = ", ".join(
@@ -2803,6 +2856,20 @@ SELECT a.rect_id AS id_a, b.rect_id AS id_b,
 FROM bb a JOIN bb b
   ON a.rect_id < b.rect_id
  AND a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+""",
+        "geo_visual_knn": f"""
+WITH {_pts_cte()},
+q(query_id, qlat_u, qlon_u, qh) AS (VALUES {qpt_hash_values}),
+c AS (SELECT q.query_id, p.okey,
+        bit_count(xor((p.s1 % 65536), q.qh)) AS hamming
+      FROM q CROSS JOIN pts p
+      WHERE (p.lat_u - q.qlat_u) * (p.lat_u - q.qlat_u)
+            + (p.lon_u - q.qlon_u) * (p.lon_u - q.qlon_u) < {RADIUS2_U})
+SELECT query_id, okey AS o_orderkey, hamming,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming, okey) AS rank
+FROM c
+QUALIFY rank <= {GEO_KNN_K}
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3847,6 +3914,9 @@ def _suite_specs() -> dict:
                 ("bbox_overlap", "geo_bbox_overlap",
                  {"query_id": "id_a", "o_orderkey": "id_b",
                   "rank": _L(0), "v": "area_u2"}),
+                ("visual_knn", "geo_visual_knn",
+                 {"query_id": "query_id", "o_orderkey": "o_orderkey",
+                  "rank": "rank", "v": "hamming"}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(
