@@ -368,10 +368,25 @@ pts AS (SELECT okey, s1, s2, s3,
   FROM g3)"""
 
 
+def _ix_sql(res: int, col: str = "lon_u") -> str:
+    """SQL x-axis tile index at ``res`` — MUST stay the exact integer
+    form of cell.cell_xy (offset, multiply, floor-div, edge clamp)."""
+    n = 1 << res
+    return f"LEAST((({col} + 180000000) * {n}) // 360000000, {n - 1})"
+
+
+def _iy_sql(res: int, col: str = "lat_u") -> str:
+    n = 1 << res
+    return f"LEAST((({col} + 90000000) * {n}) // 180000000, {n - 1})"
+
+
+def _tile_sql(res: int) -> str:
+    """SQL row-major tile id (iy * 2^res + ix), matching cell.tile_of."""
+    return f"{_iy_sql(res)} * {1 << res} + {_ix_sql(res)}"
+
+
 def _tile_sql_cols() -> str:
-    n = 1 << TILE_RES
-    return (f"LEAST(((lon_u + 180000000) * {n}) // 360000000, {n - 1}) AS ix, "
-            f"LEAST(((lat_u + 90000000) * {n}) // 180000000, {n - 1}) AS iy")
+    return f"{_ix_sql(TILE_RES)} AS ix, {_iy_sql(TILE_RES)} AS iy"
 
 
 def _hav_sql_expr() -> str:
@@ -721,21 +736,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tilesmod.tile_cover_areas(
             layer, TILE_RES, rings_in_microdegrees=True).to_pandas()
 
-    def geo_track_dp(sf_dir: str):
-        """Douglas-Peucker trajectory simplification, one track per
-        customer, ordered by orderkey (pipelines/tracks.py)."""
-        from metric_search_ray.pipelines import tracks
+    def _sampled_track_points(sf_dir: str, mod: int):
+        """Geotagged per-customer track points for customers with
+        ``custkey % mod == 0`` — the shared prep of every track
+        operator query below."""
         from metric_search_ray.stages import assign
         ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
 
         def prep(b: pa.Table) -> pa.Table:
-            keep = (b.column("o_custkey").to_numpy() % DP_CUST_MOD) == 0
+            keep = (b.column("o_custkey").to_numpy() % mod) == 0
             return assign.geotag_from_key(b.filter(pa.array(keep)),
                                           "o_orderkey")
 
-        pts = ds.map_batches(prep, batch_format="pyarrow",
-                             zero_copy_batch=True)
+        return ds.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def geo_track_dp(sf_dir: str):
+        """Douglas-Peucker trajectory simplification, one track per
+        customer, ordered by orderkey (pipelines/tracks.py)."""
+        from metric_search_ray.pipelines import tracks
+        pts = _sampled_track_points(sf_dir, DP_CUST_MOD)
         return tracks.simplify_tracks(
             pts, eps=DP_EPS, track_col="o_custkey",
             order_col="o_orderkey").to_pandas()
@@ -745,17 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         per-customer traces split where the squared planar step exceeds
         GAP2_U; exact int64 arithmetic, lag+cumsum window semantics."""
         from metric_search_ray.pipelines import tracks
-        from metric_search_ray.stages import assign
-        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                             columns=["o_orderkey", "o_custkey"])
-
-        def prep(b: pa.Table) -> pa.Table:
-            keep = (b.column("o_custkey").to_numpy() % DP_CUST_MOD) == 0
-            return assign.geotag_from_key(b.filter(pa.array(keep)),
-                                          "o_orderkey")
-
-        pts = ds.map_batches(prep, batch_format="pyarrow",
-                             zero_copy_batch=True)
+        pts = _sampled_track_points(sf_dir, DP_CUST_MOD)
         return tracks.segment_tracks(
             pts, GAP2_U, track_col="o_custkey",
             order_col="o_orderkey").to_pandas()
@@ -766,17 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         a +1/-1 event wherever consecutive points change membership
         of a zone (bitmask XOR, PIP-rect predicate)."""
         from metric_search_ray.pipelines import tracks
-        from metric_search_ray.stages import assign
-        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                             columns=["o_orderkey", "o_custkey"])
-
-        def prep(b: pa.Table) -> pa.Table:
-            keep = (b.column("o_custkey").to_numpy() % DP_CUST_MOD) == 0
-            return assign.geotag_from_key(b.filter(pa.array(keep)),
-                                          "o_orderkey")
-
-        pts = ds.map_batches(prep, batch_format="pyarrow",
-                             zero_copy_batch=True)
+        pts = _sampled_track_points(sf_dir, DP_CUST_MOD)
         out = tracks.zone_transitions(
             pts, _oracle_rects(), track_col="o_custkey",
             order_col="o_orderkey").to_pandas()
@@ -790,20 +791,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sampled customer tracks (tracks.hausdorff_pairs): trajectory
         similarity under the reference's metric-library semantics,
         exact int64 squared microdegrees."""
+        import pyarrow.parquet as _pq
         from metric_search_ray.pipelines import tracks
-        from metric_search_ray.stages import assign
-        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                             columns=["o_orderkey", "o_custkey"])
-
-        def prep(b: pa.Table) -> pa.Table:
-            keep = (b.column("o_custkey").to_numpy() % HAUS_MOD) == 0
-            return assign.geotag_from_key(b.filter(pa.array(keep)),
-                                          "o_orderkey")
-
-        pts = ds.map_batches(prep, batch_format="pyarrow",
-                             zero_copy_batch=True)
-        custs = sorted(set(
-            pts.select_columns(["o_custkey"]).to_pandas()["o_custkey"]))
+        pts = _sampled_track_points(sf_dir, HAUS_MOD)
+        # candidate pair list from ONE narrow column read (bounded by
+        # customer count) — not by materializing the geotag pipeline
+        ck = _pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_custkey"]
+                            ).column("o_custkey").to_numpy()
+        custs = np.unique(ck[ck % HAUS_MOD == 0]).tolist()
         pairs = [(a, b) for i, a in enumerate(custs)
                  for b in custs[i + 1:]]
         out = tracks.hausdorff_pairs(
@@ -918,17 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         the sampled customer tracks + exact overlap areas."""
         from metric_search_ray.pipelines import joins as joinsmod
         from metric_search_ray.pipelines.fastagg import sort_block_aggregate
-        from metric_search_ray.stages import assign
-        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                             columns=["o_orderkey", "o_custkey"])
-
-        def prep(b: pa.Table) -> pa.Table:
-            keep = (b.column("o_custkey").to_numpy() % HAUS_MOD) == 0
-            return assign.geotag_from_key(b.filter(pa.array(keep)),
-                                          "o_orderkey")
-
-        pts = ds.map_batches(prep, batch_format="pyarrow",
-                             zero_copy_batch=True)
+        pts = _sampled_track_points(sf_dir, HAUS_MOD)
         bb = sort_block_aggregate(
             pts, "o_custkey", {"x0": ("lon_u", "min"),
                                "x1": ("lon_u", "max"),
@@ -2753,13 +2739,7 @@ JOIN cnt cb ON cb.o_custkey = hab.b
 WITH {_pts_cte()},
 s AS (SELECT o.o_custkey AS t, p.lat_u, p.lon_u
       FROM pts p JOIN orders o ON o.o_orderkey = p.okey),
-xy AS (SELECT t,
-  LEAST(((lon_u + 180000000) * {1 << COVIS_RES}) // 360000000,
-        {(1 << COVIS_RES) - 1}) AS ix,
-  LEAST(((lat_u + 90000000) * {1 << COVIS_RES}) // 180000000,
-        {(1 << COVIS_RES) - 1}) AS iy
-  FROM s),
-tt AS (SELECT DISTINCT t, iy * {1 << COVIS_RES} + ix AS tile FROM xy),
+tt AS (SELECT DISTINCT t, {_tile_sql(COVIS_RES)} AS tile FROM s),
 okc AS (SELECT tile FROM tt GROUP BY tile
         HAVING count(*) <= {COVIS_CAP} AND count(*) >= 2),
 pr AS (SELECT a.t AS a, b.t AS b, count(*) AS n_shared
@@ -2776,17 +2756,9 @@ r AS (SELECT o_custkey, lat_u, lon_u,
         row_number() OVER (PARTITION BY o_custkey ORDER BY okey) AS rn_a,
         row_number() OVER (PARTITION BY o_custkey ORDER BY okey DESC) AS rn_d
       FROM s),
-og AS (SELECT o_custkey,
-  LEAST(((lon_u + 180000000) * {1 << COVIS_RES}) // 360000000,
-        {(1 << COVIS_RES) - 1})
-  + {1 << COVIS_RES} * LEAST(((lat_u + 90000000) * {1 << COVIS_RES}) // 180000000,
-        {(1 << COVIS_RES) - 1}) AS o_tile
+og AS (SELECT o_custkey, {_tile_sql(COVIS_RES)} AS o_tile
   FROM r WHERE rn_a = 1),
-dg AS (SELECT o_custkey,
-  LEAST(((lon_u + 180000000) * {1 << COVIS_RES}) // 360000000,
-        {(1 << COVIS_RES) - 1})
-  + {1 << COVIS_RES} * LEAST(((lat_u + 90000000) * {1 << COVIS_RES}) // 180000000,
-        {(1 << COVIS_RES) - 1}) AS d_tile
+dg AS (SELECT o_custkey, {_tile_sql(COVIS_RES)} AS d_tile
   FROM r WHERE rn_d = 1)
 SELECT og.o_tile, dg.d_tile, count(*) AS n_tracks
 FROM og JOIN dg ON og.o_custkey = dg.o_custkey
@@ -2794,11 +2766,7 @@ GROUP BY 1, 2
 """,
         "geo_neardup": f"""
 WITH {_pts_cte()},
-ph AS (SELECT okey, (s1 % 65536) AS phash,
-  LEAST(((lon_u + 180000000) * {1 << GEONEAR_RES}) // 360000000,
-        {(1 << GEONEAR_RES) - 1})
-  + {1 << GEONEAR_RES} * LEAST(((lat_u + 90000000) * {1 << GEONEAR_RES}) // 180000000,
-        {(1 << GEONEAR_RES) - 1}) AS tile
+ph AS (SELECT okey, (s1 % 65536) AS phash, {_tile_sql(GEONEAR_RES)} AS tile
   FROM pts)
 SELECT a.okey AS id_a, b.okey AS id_b,
        bit_count(xor(a.phash, b.phash)) AS hamming
@@ -2822,11 +2790,7 @@ WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
         "geo_dbscan": f"""
 WITH RECURSIVE
 {_pts_cte()},
-xy AS (SELECT
-  LEAST(((lon_u + 180000000) * {1 << DBSCAN_RES}) // 360000000,
-        {(1 << DBSCAN_RES) - 1}) AS ix,
-  LEAST(((lat_u + 90000000) * {1 << DBSCAN_RES}) // 180000000,
-        {(1 << DBSCAN_RES) - 1}) AS iy
+xy AS (SELECT {_ix_sql(DBSCAN_RES)} AS ix, {_iy_sql(DBSCAN_RES)} AS iy
   FROM pts),
 cnts AS (SELECT iy * {1 << DBSCAN_RES} + ix AS tile, ix, iy, count(*) AS n
          FROM xy GROUP BY 1, 2, 3),

@@ -465,6 +465,12 @@ def hamming_pairs(ds, hash_col: str = "phash", id_col: str = "image_id",
     width = bit_width // n_bands
     # widest band (the last absorbs the remainder) -> scope shift
     shift = max(width, bit_width - (n_bands - 1) * width)
+    if scope_col is not None and shift >= 62:
+        raise ValueError(
+            f"hamming_pairs: scope_col needs headroom beside the widest "
+            f"band ({shift} bits with max_hamming={max_hamming}, "
+            f"bit_width={bit_width}); raise max_hamming or narrow "
+            f"bit_width so the widest band is < 62 bits")
     log = logging.getLogger(__name__)
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -672,11 +672,12 @@ def knn_self_join(ds, k: int, radius_u: int, id_col: str = "o_orderkey",
         allpos = np.arange(len(ids), dtype=np.int64)
         (hrow, nbpos, rk, d2v), _ = _local_knn(hsel, allpos, ids, x, y,
                                                k, r2, chunk)
+        id_type = g.schema.field(id_col).type
         return pa.table({
-            id_col: pa.array(ids[hrow] if len(hrow)
-                             else np.empty(0, np.int64)),
-            "neighbor_id": pa.array(ids[nbpos] if len(nbpos)
-                                    else np.empty(0, np.int64)),
+            id_col: pa.array(ids[hrow], id_type) if len(hrow)
+            else pa.array([], id_type),
+            "neighbor_id": pa.array(ids[nbpos], id_type) if len(nbpos)
+            else pa.array([], id_type),
             "rank": pa.array(rk, pa.int64()),
             "d2_u": pa.array(d2v, pa.int64()),
         })
@@ -756,8 +757,9 @@ def radius_pairs_join(left, right, radius_u: int,
         y = g.column("__y").to_numpy()
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
-        empty = pa.table({left_id: pa.array([], pa.int64()),
-                          right_id: pa.array([], pa.int64()),
+        id_type = g.schema.field("__id").type
+        empty = pa.table({left_id: pa.array([], id_type),
+                          right_id: pa.array([], id_type),
                           "d2_u": pa.array([], pa.int64())})
         if len(li) == 0 or len(ri) == 0:
             return empty
@@ -772,11 +774,12 @@ def radius_pairs_join(left, right, radius_u: int,
             out_a.append(ids[ls][ii])
             out_b.append(rid[jj])
             out_d.append(d2[ii, jj])
-        cat = (lambda a: np.concatenate(a) if a
-               else np.empty(0, np.int64))
-        return pa.table({left_id: pa.array(cat(out_a)),
-                         right_id: pa.array(cat(out_b)),
-                         "d2_u": pa.array(cat(out_d), pa.int64())})
+        if not out_a or not sum(len(a) for a in out_a):
+            return empty
+        return pa.table({
+            left_id: pa.array(np.concatenate(out_a), id_type),
+            right_id: pa.array(np.concatenate(out_b), id_type),
+            "d2_u": pa.array(np.concatenate(out_d), pa.int64())})
 
     return lt.union(rt).groupby("gcell").map_groups(
         per_cell, batch_format="pyarrow")
@@ -808,6 +811,15 @@ def rect_overlap_join(rects, res: int, id_col: str = "rect_id",
         x1 = b.column("x1").to_numpy().astype(np.int64, copy=False)
         y0 = b.column("y0").to_numpy().astype(np.int64, copy=False)
         y1 = b.column("y1").to_numpy().astype(np.int64, copy=False)
+        if len(ids) == 0:  # np.repeat below cannot broadcast (1,)x(0,)
+            return pa.table({
+                "gcell": pa.array([], pa.int64()),
+                id_col: b.column(id_col),
+                "__x0": pa.array([], pa.int64()),
+                "__x1": pa.array([], pa.int64()),
+                "__y0": pa.array([], pa.int64()),
+                "__y1": pa.array([], pa.int64()),
+            })
         ix0, iy0 = cellmod.cell_xy(y0, x0, res)
         ix1, iy1 = cellmod.cell_xy(y1, x1, res)
         w = ix1 - ix0 + 1
@@ -868,8 +880,9 @@ def rect_overlap_join(rects, res: int, id_col: str = "rect_id",
             out_ar.append(((rx1 - rx0)[hit][mine]
                            * (ry1 - ry0)[hit][mine]).astype(np.int64))
         if not out_a:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
+            id_type = g.schema.field(id_col).type
+            return pa.table({"id_a": pa.array([], id_type),
+                             "id_b": pa.array([], id_type),
                              "area_u2": pa.array([], pa.int64())})
         return pa.table({
             "id_a": pa.array(np.concatenate(out_a)),

@@ -250,12 +250,23 @@ def hausdorff_pairs(ds, pairs: list[tuple], track_col: str = "track_id",
         tr = batch.column(track_col).to_numpy(zero_copy_only=False)
         x = batch.column(lon_col).to_numpy().astype(np.int64, copy=False)
         y = batch.column(lat_col).to_numpy().astype(np.int64, copy=False)
+        # group the batch by track ONCE (argsort + run boundaries)
+        # instead of a full `tr == t` scan per track — the scan was
+        # O(#tracks x batch rows)
+        order = np.argsort(tr, kind="stable")
+        st = tr[order]
+        if len(st):
+            starts = np.flatnonzero(
+                np.concatenate([[True], st[1:] != st[:-1]]))
+            ends = np.append(starts[1:], len(st))
+        else:
+            starts = ends = np.empty(0, np.int64)
         op, os_, ox, oy = [], [], [], []
-        for t in pd_unique_sorted(tr):
-            mem = membership.get(t)
+        for s0, s1 in zip(starts, ends):
+            mem = membership.get(st[s0])
             if not mem:
                 continue
-            sel = np.flatnonzero(tr == t)
+            sel = order[s0:s1]
             for idx, side in mem:
                 op.append(np.full(len(sel), idx, np.int64))
                 os_.append(np.full(len(sel), side, np.int8))
@@ -304,13 +315,6 @@ def hausdorff_pairs(ds, pairs: list[tuple], track_col: str = "track_id",
     return halo.groupby("__pair").map_groups(per_pair,
                                              batch_format="pyarrow")
 
-
-def pd_unique_sorted(arr: np.ndarray) -> np.ndarray:
-    """np.unique that tolerates object (string) track ids."""
-    try:
-        return np.unique(arr)
-    except TypeError:
-        return np.asarray(sorted(set(arr.tolist())))
 
 
 def covisit_pairs(ds, res: int, min_shared: int = 2, cell_cap: int = 256,

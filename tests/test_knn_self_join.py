@@ -121,3 +121,20 @@ def test_hot_cell_two_level_kernel(ray_session):
     y[10:20] = y[10]
     got = _run(ids, x, y, k=4, radius_u=2_000_000)
     assert got == _brute(ids, x, y, 4, 2_000_000)
+
+
+def test_string_ids_supported(ray_session):
+    # id_col is a free parameter: string ids must work, including the
+    # typed empty tables emitted by no-home-row halo groups
+    import ray.data as rd
+    ids, x, y = _points(120, seed=8)
+    sids = np.asarray([f"p-{i:04d}" for i in ids], object)
+    ds = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array(sids, pa.string()),
+        "lat_u": pa.array(y), "lon_u": pa.array(x)}))
+    out = knn_self_join(ds, k=3, radius_u=25_000_000).to_pandas()
+    got = sorted(zip(out["o_orderkey"], out["neighbor_id"],
+                     out["rank"], out["d2_u"]))
+    exp = [(f"p-{a:04d}", f"p-{b:04d}", r, d)
+           for a, b, r, d in _brute(ids, x, y, 3, 25_000_000)]
+    assert got == sorted(exp)

@@ -76,3 +76,12 @@ def test_contained_rect_full_area(ray_session):
     y0 = np.asarray([0, 10], np.int64)
     y1 = np.asarray([1_000_000, 20], np.int64)
     assert _run((ids, x0, x1, y0, y1), 3) == [(3, 9, 100)]
+
+
+def test_empty_rects_dataset(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "rect_id": pa.array([], pa.int64()), "x0": pa.array([], pa.int64()),
+        "x1": pa.array([], pa.int64()), "y0": pa.array([], pa.int64()),
+        "y1": pa.array([], pa.int64())}))
+    assert rect_overlap_join(ds, res=3).count() == 0
