@@ -599,6 +599,33 @@ def cpos_take(hpos: np.ndarray, hrow: np.ndarray) -> np.ndarray:
     return hpos[hrow] if len(hrow) else np.empty(0, np.int64)
 
 
+def _halo_masks(x: np.ndarray, y: np.ndarray, ix: np.ndarray,
+                iy: np.ndarray, res: int, radius_u: int):
+    """Per-axis boundary-gap tests for halo replication: a point needs
+    a copy in a neighbor cell ONLY if that cell's nearest boundary is
+    within the radius (any in-radius home point there is at least that
+    far away).  With cell side in [radius, 2*radius) this cuts mean
+    replication from 9x to ~2-4x.  Returns (need_dx_minus,
+    need_dx_plus, need_dy_minus, need_dy_plus) boolean arrays.
+
+    Cell boundaries follow cell_xy exactly: the first offset
+    coordinate of cell i is ceil(i * SPAN / 2^res).
+    """
+    n = np.int64(1) << np.int64(res)
+    r = np.int64(radius_u)
+    qx = np.asarray(x, np.int64) + cellmod.LON_OFF_U
+    qy = np.asarray(y, np.int64) + cellmod.LAT_OFF_U
+    lon_span = np.int64(cellmod.LON_SPAN_U)
+    lat_span = np.int64(cellmod.LAT_SPAN_U)
+    x_low = (ix * lon_span + n - 1) // n       # first coord of own cell
+    x_next = ((ix + 1) * lon_span + n - 1) // n
+    y_low = (iy * lat_span + n - 1) // n
+    y_next = ((iy + 1) * lat_span + n - 1) // n
+    # nearest coordinate of cell i-1 is x_low - 1; of cell i+1 is x_next
+    return (qx - (x_low - 1) <= r, x_next - qx <= r,
+            qy - (y_low - 1) <= r, y_next - qy <= r)
+
+
 def knn_self_join(ds, k: int, radius_u: int, id_col: str = "o_orderkey",
                   lat_col: str = "lat_u", lon_col: str = "lon_u",
                   chunk: int = 1024):
@@ -636,11 +663,18 @@ def knn_self_join(ds, k: int, radius_u: int, id_col: str = "o_orderkey",
         x = b.column(lon_col).to_numpy().astype(np.int64, copy=False)
         y = b.column(lat_col).to_numpy().astype(np.int64, copy=False)
         ix, iy = cellmod.cell_xy(y, x, res)
+        nxm, nxp, nym, nyp = _halo_masks(x, y, ix, iy, res, radius_u)
+        need_x = {-1: nxm, 0: None, 1: nxp}
+        need_y = {-1: nym, 0: None, 1: nyp}
         gid, gx, gy, gg, gh = [], [], [], [], []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 jx, jy = ix + dx, iy + dy
                 ok = (jx >= 0) & (jx < n_side) & (jy >= 0) & (jy < n_side)
+                if need_x[dx] is not None:
+                    ok &= need_x[dx]
+                if need_y[dy] is not None:
+                    ok &= need_y[dy]
                 gid.append(ids[ok])
                 gx.append(x[ok])
                 gy.append(y[ok])
@@ -725,12 +759,19 @@ def radius_pairs_join(left, right, radius_u: int,
                     "__x": pa.array(x, pa.int64()),
                     "__y": pa.array(y, pa.int64()),
                 })
+            nxm, nxp, nym, nyp = _halo_masks(x, y, ix, iy, res, radius_u)
+            need_x = {-1: nxm, 0: None, 1: nxp}
+            need_y = {-1: nym, 0: None, 1: nyp}
             gid, gx, gy, gg = [], [], [], []
             for dx in (-1, 0, 1):
                 for dy in (-1, 0, 1):
                     jx, jy = ix + dx, iy + dy
                     ok = ((jx >= 0) & (jx < n_side)
                           & (jy >= 0) & (jy < n_side))
+                    if need_x[dx] is not None:
+                        ok &= need_x[dx]
+                    if need_y[dy] is not None:
+                        ok &= need_y[dy]
                     gid.append(ids[ok])
                     gx.append(x[ok])
                     gy.append(y[ok])
