@@ -110,6 +110,7 @@ HAUS_MOD = 25          # Hausdorff pair sample: custkey % 25 == 0
 COVIS_RES = 5          # co-visitation cell resolution (32x32 grid)
 GEONEAR_RES = 6        # tile-scoped near-dup: tile resolution
 RADJ_R_U = 200_000     # bipartite radius join: 0.2 degrees
+CONV_STENCIL = ((1, 2, 1), (2, 4, 2), (1, 2, 1))  # Gaussian-ish 3x3
 DBSCAN_RES = 5         # grid-density clustering: raster resolution
 DBSCAN_MIN = 13        # grid-density clustering: core-cell threshold
 #   13 at sf0.01's ~10.2 points/cell mean leaves ~15% of cells core —
@@ -978,6 +979,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             id_col="o_orderkey",
                             descending=False).to_pandas()
         return out[["query_id", "o_orderkey", "hamming", "rank"]]
+
+    def geo_conv(sf_dir: str):
+        """Weighted raster convolution (tiles.raster_convolve): the
+        Gaussian-ish CONV_STENCIL over the tile-count raster at
+        FOCAL_RES — the KDE-heatmap generalization of focal_sum."""
+        from metric_search_ray.pipelines import tiles as tilesmod
+        pts = _orders_points(sf_dir)
+        return tilesmod.raster_convolve(
+            pts, FOCAL_RES, np.asarray(CONV_STENCIL, np.int64)).to_pandas()
 
     def img_mosaic(sf_dir: str):
         """Per-tile mean-thumbnail mosaic over the geotagged image
@@ -2080,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_dbscan": geo_dbscan,
         "geo_bbox_overlap": geo_bbox_overlap,
         "geo_visual_knn": geo_visual_knn,
+        "geo_conv": geo_conv,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2834,6 +2845,22 @@ SELECT query_id, okey AS o_orderkey, hamming,
                           ORDER BY hamming, okey) AS rank
 FROM c
 QUALIFY rank <= {GEO_KNN_K}
+""",
+        "geo_conv": f"""
+WITH {_pts_cte()},
+xy AS (SELECT {_ix_sql(FOCAL_RES)} AS ix, {_iy_sql(FOCAL_RES)} AS iy
+  FROM pts),
+counts AS (SELECT ix, iy, count(*) AS n FROM xy GROUP BY 1, 2),
+d(dx, dy, w) AS (VALUES {", ".join(
+    f"({dx}, {dy}, {CONV_STENCIL[dy + 1][dx + 1]})"
+    for dy in (-1, 0, 1) for dx in (-1, 0, 1))}),
+sh AS (SELECT ix - dx AS ox, iy - dy AS oy, w * n AS wn
+       FROM counts CROSS JOIN d
+       WHERE ix - dx BETWEEN 0 AND {(1 << FOCAL_RES) - 1}
+         AND iy - dy BETWEEN 0 AND {(1 << FOCAL_RES) - 1}),
+cv AS (SELECT ox, oy, sum(wn) AS conv_n FROM sh GROUP BY 1, 2)
+SELECT c.iy * {1 << FOCAL_RES} + c.ix AS tile_id, c.n, v.conv_n
+FROM counts c JOIN cv v ON v.ox = c.ix AND v.oy = c.iy
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3881,6 +3908,9 @@ def _suite_specs() -> dict:
                 ("visual_knn", "geo_visual_knn",
                  {"query_id": "query_id", "o_orderkey": "o_orderkey",
                   "rank": "rank", "v": "hamming"}),
+                ("conv", "geo_conv",
+                 {"query_id": "tile_id", "o_orderkey": "n",
+                  "rank": "conv_n", "v": _L(0.0)}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

@@ -495,3 +495,98 @@ def tile_cover_areas(polygon_layer: dict, res: int,
         "polygon_id": pa.array(pids, pa.string()),
         "area_u2": pa.array(np.asarray(areas, np.float64), pa.float64()),
     })
+
+
+def raster_convolve(points_ds, res: int, stencil: "np.ndarray",
+                    driver_combine: bool | None = None):
+    """Weighted raster convolution over the tile-count raster — the
+    general map-algebra focal operator (focal_sum is the all-ones 3x3
+    case): for every occupied tile, sum(w[dy, dx] * count[tile+d])
+    over an ODD-sided integer stencil.  Gaussian-ish kernels give KDE
+    heatmaps; difference kernels give edge/gradient maps.
+
+    Same two exact paths as focal_sum: a dense driver pad+shift for
+    res <= 8 (counts are bounded by occupied tiles), else each tile
+    scatters w * n under its shifted neighbor keys and one sort-block
+    aggregate sums them.  Pure int64, identical rows either way.
+
+    Returns (tile_id, n, conv_n) for occupied tiles.
+    """
+    stencil = np.asarray(stencil, np.int64)
+    if stencil.ndim != 2 or stencil.shape[0] % 2 == 0 \
+            or stencil.shape[1] % 2 == 0:
+        raise ValueError("stencil must be 2-D with odd side lengths")
+    ry, rx = stencil.shape[0] // 2, stencil.shape[1] // 2
+    m = 1 << res
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = cellmod.tile_of(batch.column("lat_u").to_numpy(),
+                            batch.column("lon_u").to_numpy(), res)
+        vals, cnt = np.unique(t, return_counts=True)
+        return pa.table({"tile_id": pa.array(vals, pa.int64()),
+                         "partial_n": pa.array(cnt, pa.int64())})
+
+    partials = points_ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    if driver_combine is None:
+        driver_combine = res <= 8
+
+    if driver_combine:
+        import ray.data as rd
+        grid = np.zeros((m, m), np.int64)
+        for b in partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=None):
+            t = b.column("tile_id").to_numpy()
+            c = b.column("partial_n").to_numpy()
+            np.add.at(grid, (t // m, t % m), c)
+        pad = np.pad(grid, (ry, rx) if ry == rx else ((ry, ry), (rx, rx)))
+        conv = np.zeros((m, m), np.int64)
+        for dy in range(-ry, ry + 1):
+            for dx in range(-rx, rx + 1):
+                w = int(stencil[dy + ry, dx + rx])
+                if w == 0:
+                    continue
+                # output[y,x] += w * grid[y+dy, x+dx]
+                conv += w * pad[ry + dy:ry + dy + m, rx + dx:rx + dx + m]
+        iy, ix = np.nonzero(grid)
+        return rd.from_arrow(pa.table({
+            "tile_id": pa.array(iy * m + ix, pa.int64()),
+            "n": pa.array(grid[iy, ix], pa.int64()),
+            "conv_n": pa.array(conv[iy, ix], pa.int64()),
+        }))
+
+    from .fastagg import sort_block_aggregate
+    from .joins import shuffle_hash_join
+    counts = sort_block_aggregate(partials, "tile_id",
+                                  {"n": ("partial_n", "sum")})
+
+    def scatter(b: pa.Table) -> pa.Table:
+        t = b.column("tile_id").to_numpy()
+        n = b.column("n").to_numpy()
+        ix, iy = t % m, t // m
+        out_t, out_n = [], []
+        for dy in range(-ry, ry + 1):
+            for dx in range(-rx, rx + 1):
+                # a source tile at (ix, iy) contributes w[dy,dx] to the
+                # OUTPUT tile at (ix - dx, iy - dy), so output[o] =
+                # sum w[d] * grid[o + d] — the same cross-correlation
+                # the dense driver path computes
+                w = int(stencil[dy + ry, dx + rx])
+                if w == 0:
+                    continue
+                jx, jy = ix - dx, iy - dy
+                ok = (jx >= 0) & (jx < m) & (jy >= 0) & (jy < m)
+                out_t.append(jy[ok] * m + jx[ok])
+                out_n.append(w * n[ok])
+        if not out_t:
+            return pa.table({"tile_id": pa.array([], pa.int64()),
+                             "sh_n": pa.array([], pa.int64())})
+        return pa.table({"tile_id": pa.array(np.concatenate(out_t), pa.int64()),
+                         "sh_n": pa.array(np.concatenate(out_n), pa.int64())})
+
+    shifted = counts.map_batches(scatter, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    conv = sort_block_aggregate(shifted, "tile_id",
+                                {"conv_n": ("sh_n", "sum")})
+    return shuffle_hash_join(counts, conv, "tile_id", ["n"], ["conv_n"],
+                             how="inner")
