@@ -989,6 +989,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tilesmod.raster_convolve(
             pts, FOCAL_RES, np.asarray(CONV_STENCIL, np.int64)).to_pandas()
 
+    def geo_motion_stats(sf_dir: str):
+        """Per-track motion features (tracks.motion_stats): step count,
+        IEEE-deterministic path length, max jump, 8-octant heading
+        histogram — melted to one row per (track, stat) so the hash
+        verifies every feature value."""
+        from metric_search_ray.pipelines import tracks
+        pts = _sampled_track_points(sf_dir, DP_CUST_MOD)
+        out = tracks.motion_stats(
+            pts, track_col="o_custkey", order_col="o_orderkey").to_pandas()
+        stats = (["n_steps", "len_u", "max_step2"]
+                 + [f"oct{i}" for i in range(8)])
+        frames = [pd.DataFrame({
+            "stat_key": out["o_custkey"].astype(str) + ":" + s,
+            "val": out[s].astype("int64")}) for s in stats]
+        return pd.concat(frames, ignore_index=True)
+
     def img_mosaic(sf_dir: str):
         """Per-tile mean-thumbnail mosaic over the geotagged image
         table (tiles.tile_mosaic), melted to one row per (tile, pixel)
@@ -2091,6 +2107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox_overlap": geo_bbox_overlap,
         "geo_visual_knn": geo_visual_knn,
         "geo_conv": geo_conv,
+        "geo_motion_stats": geo_motion_stats,
         "doc_chunks": doc_chunks,
         "orders_lineitem_join": orders_lineitem_join,
         "geo_cover_area": geo_cover_area,
@@ -2861,6 +2878,39 @@ sh AS (SELECT ix - dx AS ox, iy - dy AS oy, w * n AS wn
 cv AS (SELECT ox, oy, sum(wn) AS conv_n FROM sh GROUP BY 1, 2)
 SELECT c.iy * {1 << FOCAL_RES} + c.ix AS tile_id, c.n, v.conv_n
 FROM counts c JOIN cv v ON v.ox = c.ix AND v.oy = c.iy
+""",
+        "geo_motion_stats": f"""
+WITH {_pts_cte()},
+s AS (SELECT p.okey, o.o_custkey, p.lat_u, p.lon_u
+      FROM pts p JOIN orders o ON o.o_orderkey = p.okey
+      WHERE o.o_custkey % {DP_CUST_MOD} = 0),
+st AS (SELECT o_custkey, lat_u, lon_u,
+         lag(lat_u) OVER w AS plat, lag(lon_u) OVER w AS plon
+       FROM s WINDOW w AS (PARTITION BY o_custkey ORDER BY okey)),
+d AS (SELECT o_custkey, lat_u - plat AS dlat, lon_u - plon AS dlon,
+        (CASE WHEN lon_u - plon < 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN lat_u - plat < 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN abs(lon_u - plon) < abs(lat_u - plat)
+                THEN 1 ELSE 0 END) AS oi
+      FROM st WHERE plat IS NOT NULL),
+agg AS (SELECT o_custkey, count(*) AS n_steps,
+    sum(CAST(floor(sqrt(CAST(dlat * dlat + dlon * dlon AS DOUBLE)))
+        AS BIGINT)) AS len_u,
+    max(dlat * dlat + dlon * dlon) AS max_step2,
+    {", ".join(f"sum(CASE WHEN oi = {i} THEN 1 ELSE 0 END) AS oct{i}"
+               for i in range(8))}
+  FROM d GROUP BY 1),
+f AS (SELECT t.o_custkey,
+        COALESCE(a.n_steps, 0) AS n_steps, COALESCE(a.len_u, 0) AS len_u,
+        COALESCE(a.max_step2, 0) AS max_step2,
+        {", ".join(f"COALESCE(a.oct{i}, 0) AS oct{i}" for i in range(8))}
+      FROM (SELECT DISTINCT o_custkey FROM s) t
+      LEFT JOIN agg a ON a.o_custkey = t.o_custkey)
+{" UNION ALL ".join(
+    f"SELECT CAST(o_custkey AS VARCHAR) || ':{st_}' AS stat_key, "
+    f"{st_} AS val FROM f"
+    for st_ in ["n_steps", "len_u", "max_step2"]
+    + [f"oct{i}" for i in range(8)])}
 """,
         "geo_quadkey_pyramid": f"""
 WITH {_pts_cte()},
@@ -3911,6 +3961,9 @@ def _suite_specs() -> dict:
                 ("conv", "geo_conv",
                  {"query_id": "tile_id", "o_orderkey": "n",
                   "rank": "conv_n", "v": _L(0.0)}),
+                ("motion", "geo_motion_stats",
+                 {"query_id": "stat_key", "o_orderkey": "val",
+                  "rank": _L(0), "v": _L(0.0)}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(

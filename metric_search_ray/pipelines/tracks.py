@@ -412,3 +412,54 @@ def od_matrix(ds, res: int, track_col: str = "track_id",
         track_col).map_groups(per_track, batch_format="pyarrow")
     return fastagg.sort_block_aggregate(
         trips, ["o_tile", "d_tile"], {"n_tracks": (None, "count")})
+
+
+def motion_stats(ds, track_col: str = "track_id", order_col: str = "seq",
+                 lat_col: str = "lat_u", lon_col: str = "lon_u"):
+    """Per-track motion feature extraction — the trajectory summary a
+    mobility-ML pipeline consumes: step count, total path length,
+    largest jump, and an 8-bucket heading histogram.
+
+    Determinism contract (everything SQL-replicable):
+      * ``len_u`` = sum over steps of floor(sqrt(step2)) where the
+        int64 step2 first converts to float64 (IEEE nearest) and sqrt
+        is IEEE correctly-rounded — numpy and SQL produce identical
+        values even when step2 > 2^53;
+      * heading octant = pure integer comparisons, no atan2:
+        bit2 = dlon < 0, bit1 = dlat < 0, bit0 = |dlon| < |dlat|
+        (zero steps land in octant 0).
+
+    One ``groupby(track)`` (same one-track-per-task contract as the
+    other track ops).  Output: (track_col, n_steps, len_u, max_step2,
+    oct0..oct7).
+    """
+
+    def per_track(g: pa.Table) -> pa.Table:
+        okeys = g.column(order_col).to_numpy()
+        order = np.argsort(okeys, kind="stable")
+        lat = g.column(lat_col).to_numpy()[order].astype(np.int64)
+        lon = g.column(lon_col).to_numpy()[order].astype(np.int64)
+        dlat = np.diff(lat)
+        dlon = np.diff(lon)
+        step2 = dlat * dlat + dlon * dlon
+        oct_idx = ((dlon < 0).astype(np.int64) << 2
+                   | (dlat < 0).astype(np.int64) << 1
+                   | (np.abs(dlon) < np.abs(dlat)).astype(np.int64))
+        octs = np.bincount(oct_idx, minlength=8).astype(np.int64)
+        tid = g.column(track_col)[0].as_py()
+        cols = {
+            track_col: pa.array([tid], g.schema.field(track_col).type),
+            "n_steps": pa.array([len(step2)], pa.int64()),
+            "len_u": pa.array([int(np.floor(np.sqrt(
+                step2.astype(np.float64))).astype(np.int64).sum())],
+                pa.int64()),
+            "max_step2": pa.array([int(step2.max()) if len(step2) else 0],
+                                  pa.int64()),
+        }
+        for i in range(8):
+            cols[f"oct{i}"] = pa.array([int(octs[i])], pa.int64())
+        return pa.table(cols)
+
+    return ds.select_columns(
+        [track_col, order_col, lat_col, lon_col]).groupby(
+        track_col).map_groups(per_track, batch_format="pyarrow")
