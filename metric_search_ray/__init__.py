@@ -23,7 +23,20 @@ No code is copied from the reference; all citations are file:line pointers
 for semantic parity checks.
 """
 
-from . import cell, codecs, geocode, geom, metrics, phash  # noqa: F401
+from . import (  # noqa: F401
+    cell,
+    codecs,
+    geocode,
+    geodesic,
+    geom,
+    graph,
+    jpegcodec,
+    metrics,
+    phash,
+    pipelines,
+    pngcodec,
+    stages,
+)
 from .covertree import CoverTree  # noqa: F401
 
 __version__ = "0.1.0"
