@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import cell as cellmod
 from .. import geom
@@ -588,5 +589,20 @@ def raster_convolve(points_ds, res: int, stencil: "np.ndarray",
                                  zero_copy_batch=True)
     conv = sort_block_aggregate(shifted, "tile_id",
                                 {"conv_n": ("sh_n", "sum")})
-    return shuffle_hash_join(counts, conv, "tile_id", ["n"], ["conv_n"],
-                             how="inner")
+    # LEFT join: an occupied tile can receive zero stencil contributions
+    # (e.g. a zero-center gradient stencil over an isolated tile) — the
+    # dense driver path emits it with conv_n=0, so the distributed path
+    # must too.  Coalesce the no-match nulls to 0 to keep both paths
+    # row-identical.
+    joined = shuffle_hash_join(counts, conv, "tile_id", ["n"], ["conv_n"],
+                               how="left")
+
+    def fill0(b: pa.Table) -> pa.Table:
+        c = b.column("conv_n")
+        if c.null_count:
+            b = b.set_column(b.schema.get_field_index("conv_n"), "conv_n",
+                             pc.fill_null(c, 0))
+        return b
+
+    return joined.map_batches(fill0, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -355,14 +355,17 @@ def covisit_pairs(ds, res: int, min_shared: int = 2, cell_cap: int = 256,
         tile_stage, batch_format="pyarrow", zero_copy_batch=True)
 
     def per_cell(g: pa.Table) -> pa.Table:
+        # preserve the caller's track-id type (string ids are accepted
+        # by every other track operator via the generic track_col API)
+        id_type = g.schema.field(track_col).type
         u = np.unique(g.column(track_col).to_numpy(zero_copy_only=False))
-        empty = pa.table({"a": pa.array([], pa.int64()),
-                          "b": pa.array([], pa.int64())})
+        empty = pa.table({"a": pa.array([], id_type),
+                          "b": pa.array([], id_type)})
         if len(u) < 2 or len(u) > cell_cap:
             return empty
         ia, ib = np.triu_indices(len(u), 1)
-        return pa.table({"a": pa.array(u[ia].astype(np.int64)),
-                         "b": pa.array(u[ib].astype(np.int64))})
+        return pa.table({"a": pa.array(u[ia], type=id_type),
+                         "b": pa.array(u[ib], type=id_type)})
 
     pairs = tiled.groupby("tile").map_groups(per_cell,
                                              batch_format="pyarrow")

@@ -69,3 +69,25 @@ def test_hot_cell_cap_drops(ray_session):
     assert _run(tid, lat, lon, res=4, min_shared=1, cell_cap=10) == []
     got = _run(tid, lat, lon, res=4, min_shared=1, cell_cap=64)
     assert len(got) == 30 * 29 // 2
+
+
+def test_string_track_ids_preserved(ray_session):
+    # string ids — accepted by the generic track_col API — must come
+    # back as strings, matching the int-id result under the t<NN> map
+    import ray.data as rd
+    rng = np.random.default_rng(13)
+    n = 600
+    tid = rng.integers(0, 20, n)
+    lat = rng.integers(-40_000_000, 40_000_000, n)
+    lon = rng.integers(-40_000_000, 40_000_000, n)
+    exp = _brute(tid, lat, lon, 3, 2, 256)
+    ds = rd.from_arrow(pa.table({
+        "track_id": pa.array([f"t{int(t):02d}" for t in tid], pa.string()),
+        "lat_u": pa.array(np.asarray(lat, np.int64)),
+        "lon_u": pa.array(np.asarray(lon, np.int64)),
+    }))
+    out = covisit_pairs(ds, res=3, min_shared=2, cell_cap=256).to_pandas()
+    assert out["a"].map(type).eq(str).all()
+    got = sorted((int(a[1:]), int(b[1:]), int(k))
+                 for a, b, k in zip(out["a"], out["b"], out["n_shared"]))
+    assert got == exp

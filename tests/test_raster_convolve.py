@@ -72,6 +72,23 @@ def test_edge_kernel_negative_weights(ray_session):
     assert any(v < 0 or v > 0 for _, _, v in got)
 
 
+def test_zero_center_stencil_keeps_isolated_tiles(ray_session):
+    # Zero-center stencil (pure gradient): an isolated occupied tile
+    # receives NO contribution.  The distributed path must still emit
+    # it with conv_n=0, exactly like the dense driver path.
+    st = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]], np.int64)
+    # one isolated point far from a small cluster
+    lat = [0, 0, 0, 40_000_000]
+    lon = [0, 1_000_000, 2_000_000, 40_000_000]
+    exp = _brute(lat, lon, 6, st)
+    dense = _run(lat, lon, 6, st, driver_combine=True)
+    dist = _run(lat, lon, 6, st, driver_combine=False)
+    assert dense == exp
+    assert dist == exp
+    # the isolated tile really is in the output with conv_n == 0
+    assert any(n == 1 and c == 0 for _, n, c in exp)
+
+
 def test_bad_stencil_raises():
     import pytest
     with pytest.raises(ValueError):
