@@ -42,6 +42,48 @@ def _kind_of(value) -> str:
     return "matrix"
 
 
+class _AutoGridEMD:
+    """EMD with the ground-distance grid derived lazily from the first
+    record's shape — the facade convenience the reference documents at
+    EMD.cpp:1108 ("for images: serialize the T typed matricies in a
+    vector and compute the ground distance matrix of the serialized
+    grid with ground_distance_matrix_of_2dgrid(cols, rows)").
+
+    Matrix records are serialized column-major (``ravel(order='F')``)
+    because the reference grid indexes ``j = c*rows + r``
+    (EMD.cpp:79-98); 1-D records get a 1 x n grid.  All records must
+    share the first record's shape.
+    """
+
+    name = "emd"
+
+    def __init__(self, extra_mass_penalty: float = -1.0):
+        self.extra_mass_penalty = extra_mass_penalty
+        self._emd = None
+        self._shape: tuple | None = None
+
+    def _serialize(self, x) -> np.ndarray:
+        arr = np.asarray(x, np.float64)
+        shape = arr.shape if arr.ndim == 2 else (1, arr.size)
+        if self._emd is None:
+            rows, cols = shape
+            C = metmod.EMD.ground_distance_matrix_of_2dgrid(cols, rows)
+            self._emd = metmod.EMD(C, self.extra_mass_penalty)
+            self._shape = shape
+        elif shape != self._shape:
+            raise ValueError(
+                f"EMD record shape {shape} != index grid {self._shape}")
+        return arr.ravel(order="F")
+
+    def __call__(self, a, b) -> float:
+        A = self._serialize(a)
+        B = self._serialize(b)
+        return self._emd(A, B)
+
+    def batch(self, q, X) -> np.ndarray:
+        return np.asarray([self(q, x) for x in X], np.float64)
+
+
 class MetricIndex:
     def __init__(self, metric=0, **metric_kwargs):
         """metric: enum int (reference parity), registry name, or a
@@ -50,10 +92,13 @@ class MetricIndex:
             metric = METRIC_ENUM[metric]
         if isinstance(metric, str):
             if metric == "emd":
-                m = metmod.EMD(**metric_kwargs) if metric_kwargs else None
-                if m is None:
-                    raise ValueError("emd needs C= ground-distance matrix")
-                metric = m
+                # explicit C= keeps full control; without it the
+                # facade auto-builds the 2d-grid ground distance from
+                # the first record's shape (EMD.cpp:1108 convention)
+                if "C" in metric_kwargs:
+                    metric = metmod.EMD(**metric_kwargs)
+                else:
+                    metric = _AutoGridEMD(**metric_kwargs)
             else:
                 metric = metmod.registry(**({metric: metric_kwargs} if metric_kwargs else {}))[metric]
         self._tree = CoverTree(metric=metric)

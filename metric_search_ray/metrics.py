@@ -225,14 +225,10 @@ class SSIM:
     name = "ssim"
 
     def __init__(self, dynamic_range: float = 255.0, masking: float = 2.0):
-        if masking != 2.0:
-            # The reference activates a visibility-stabilizer branch when
-            # masking < 2.0 (SSIM.cpp is_visibility path) that this
-            # implementation does not reproduce; fail loudly instead of
-            # silently diverging.
-            raise NotImplementedError(
-                "SSIM masking != 2.0 (the reference's visibility-weighting "
-                "branch) is not implemented; use the default masking=2.0")
+        if masking <= 0.0:
+            # the reference would divide by zero in the C3 exponent /
+            # lp-norm power; reject the degenerate value loudly
+            raise ValueError("SSIM masking must be > 0")
         self.dynamic_range, self.masking = dynamic_range, masking
         n = 11
         d = n // 2
@@ -240,16 +236,28 @@ class SSIM:
         g = np.exp(-(((x - d) ** 2 + (y - d) ** 2) / 2.25))
         self._g = g / g.sum()
 
-    def __call__(self, img1, img2) -> float:
-        a = np.asarray(img1, np.float64)
-        b = np.asarray(img2, np.float64)
+    @staticmethod
+    def _gray(img) -> np.ndarray:
+        a = np.asarray(img, np.float64)
         if a.ndim == 3:
             a = a.mean(axis=2)
-        if b.ndim == 3:
-            b = b.mean(axis=2)
-        n = 11
-        if a.shape[0] < n or a.shape[1] < n:
+        if a.shape[0] < 11 or a.shape[1] < 11:
             raise ValueError("image smaller than the 11x11 SSIM window")
+        return a
+
+    def __call__(self, img1, img2) -> float:
+        # NOTE on masking parity (details/SSIM.cpp:57-169): when
+        # masking < 2.0 the reference computes a per-window
+        # "visibility" stabilizer (SSIM.cpp:102-144) — and then never
+        # folds it into the result: `sum += sqrt(2 - S1 - S2)` at
+        # SSIM.cpp:161 ignores it (a dead store).  The returned
+        # distance is therefore masking-INDEPENDENT in the reference,
+        # and this port matches that exactly by skipping the dead
+        # computation.  The visibility branch itself is ported and
+        # tested as ``visibility_map`` below.
+        a = self._gray(img1)
+        b = self._gray(img2)
+        n = 11
         from numpy.lib.stride_tricks import sliding_window_view
         g = self._g
         wa = sliding_window_view(a, (n, n))
@@ -266,6 +274,47 @@ class SSIM:
         S1 = (2 * mu1 * mu2 + c1) / (mu1**2 + mu2**2 + c1)
         S2 = (2 * np.sqrt(s1 * s2) + c2) / (s1 + s2 + c2)
         return float(np.mean(np.sqrt(np.maximum(2 - S1 - S2, 0))))
+
+    def visibility_map(self, img1, img2) -> np.ndarray:
+        """Per-window visibility stabilizer — the reference's
+        ``is_visibility`` branch (details/SSIM.cpp:102-144), ported
+        verbatim and vectorized:
+
+          sscale = n*n;  C3 = C2 * sscale^(2/masking - 1)
+          l2norm  = sum (k - mu)^2        * gauss * sscale
+          lpnorm  = (sum |k - mu|^masking * gauss * sscale)^(2/masking)
+          vis     = ((l2a + l2b + C3) / (lpa + lpb + C3))^(masking/2),
+                    clamped to [0, 1]
+
+        The reference computes this whenever masking < 2.0 and then
+        discards it (the local sum at SSIM.cpp:161 never multiplies by
+        it), so ``__call__`` intentionally does not apply it; this
+        method exposes the branch for direct use and testing.  At
+        masking == 2.0 the map is identically 1 (lpnorm == l2norm and
+        all exponents are unity).
+        """
+        a = self._gray(img1)
+        b = self._gray(img2)
+        n = 11
+        from numpy.lib.stride_tricks import sliding_window_view
+        g = self._g
+        wa = sliding_window_view(a, (n, n))
+        wb = sliding_window_view(b, (n, n))
+        mu1 = np.einsum("ijyx,yx->ij", wa, g)
+        mu2 = np.einsum("ijyx,yx->ij", wb, g)
+        m = self.masking
+        sscale = float(n * n)
+        c2 = (0.03 * self.dynamic_range) ** 2
+        c3 = c2 * sscale ** (2.0 / m - 1.0)
+        gv = g * sscale
+        v1 = wa - mu1[:, :, None, None]
+        v2 = wb - mu2[:, :, None, None]
+        l2a = np.einsum("ijyx,yx->ij", v1 * v1, gv)
+        l2b = np.einsum("ijyx,yx->ij", v2 * v2, gv)
+        lpa = np.einsum("ijyx,yx->ij", np.abs(v1) ** m, gv) ** (2.0 / m)
+        lpb = np.einsum("ijyx,yx->ij", np.abs(v2) ** m, gv) ** (2.0 / m)
+        vis = ((l2a + l2b + c3) / (lpa + lpb + c3)) ** (m / 2.0)
+        return np.clip(vis, 0.0, 1.0)
 
     def batch(self, q, X) -> np.ndarray:
         return np.asarray([self(q, x) for x in X], np.float64)

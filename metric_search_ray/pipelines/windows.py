@@ -100,13 +100,13 @@ def sessions(ds, key_col: str, ts_col: str, gap_s: int, value_col: str):
     sorted blocks instead of landing in one task, and session
     boundaries (key, start, end, n) are bit-identical to the per-key
     path; float sums can differ only in add order.  The per-key
-    ``map_groups`` variant survives as ``sessions_grouped`` for
+    ``map_groups`` variant survives as ``_unsafe_sessions_grouped`` for
     workloads with many small keys where the global sort isn't worth
     it."""
     return sessions_scalable(ds, key_col, ts_col, gap_s, value_col)
 
 
-def sessions_grouped(ds, key_col: str, ts_col: str, gap_s: int,
+def _unsafe_sessions_grouped(ds, key_col: str, ts_col: str, gap_s: int,
                      value_col: str):
     """Per-key ``map_groups`` sessionizer.  Ordering assumption:
     map_groups hands one full key per group; events are sorted by ts

@@ -99,3 +99,41 @@ def test_dimension_metric():
         t.insert(r)
     node, d = t.nn({"name": "q", "vec": np.asarray([4.2, 0.0])})
     assert node.data["name"] == "r4"
+
+
+def test_emd_facade_auto_grid_matrices():
+    # MetricIndex(5) without C=: the facade builds
+    # ground_distance_matrix_of_2dgrid from the first record's shape
+    # (EMD.cpp:1108 serialization convention), so matrix-kind records
+    # insert and query directly.
+    from metric_search_ray.metrics import EMD
+    rng = np.random.default_rng(4)
+    mats = [rng.integers(0, 50, (3, 4)).astype(float) for _ in range(6)]
+    idx = MetricIndex(5)
+    for m in mats:
+        idx.insert(m)  # first insert returns False (root creation parity)
+    assert idx.size() == 6
+    q = rng.integers(0, 50, (3, 4)).astype(float)
+    got = idx.nn(q)
+    # oracle: explicit-C EMD over column-major serialization
+    C = EMD.ground_distance_matrix_of_2dgrid(cols=4, rows=3)
+    emd = EMD(C)
+    dists = [emd(q.ravel(order="F"), m.ravel(order="F")) for m in mats]
+    assert got["distance"] == pytest.approx(min(dists), rel=1e-12)
+
+
+def test_emd_facade_auto_grid_shape_mismatch_rejected():
+    idx = MetricIndex(5)
+    idx.insert(np.ones((3, 4)))
+    with pytest.raises(ValueError):
+        idx.nn(np.ones((4, 3)))
+
+
+def test_emd_facade_explicit_C_still_works():
+    from metric_search_ray.metrics import EMD
+    C = EMD.ground_distance_matrix_of_2dgrid(cols=4, rows=1)
+    idx = MetricIndex(5, C=C)
+    idx.insert([1.0, 0.0, 0.0, 0.0])
+    idx.insert([0.0, 0.0, 0.0, 1.0])
+    got = idx.nn([1.0, 0.0, 0.0, 0.0])
+    assert got["distance"] == pytest.approx(0.0, abs=1e-12)

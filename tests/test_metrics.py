@@ -90,6 +90,82 @@ def test_ssim_small_perturbation_monotone():
     assert s(a, b_small) < s(a, b_big)
 
 
+def _visibility_loop_oracle(a, b, masking, dynamic_range=255.0):
+    """Direct loop transcription of the reference is_visibility branch
+    (details/SSIM.cpp:102-144) — the oracle for the vectorized port."""
+    n = 11
+    d = n // 2
+    y, x = np.mgrid[0:n, 0:n].astype(float)
+    g = np.exp(-(((x - d) ** 2 + (y - d) ** 2) / 2.25))
+    g = g / g.sum()
+    C2 = (0.03 * dynamic_range) ** 2
+    H = a.shape[0] - n + 1
+    W = a.shape[1] - n + 1
+    out = np.empty((H, W))
+    for i in range(H):
+        for j in range(W):
+            mu1 = mu2 = 0.0
+            for yy in range(n):
+                for xx in range(n):
+                    mu1 += a[i + yy, j + xx] * g[yy, xx]
+                    mu2 += b[i + yy, j + xx] * g[yy, xx]
+            sscale = n * n
+            C3 = C2 * sscale ** (2.0 / masking - 1.0)
+            l2a = l2b = lpa = lpb = 0.0
+            for yy in range(n):
+                for xx in range(n):
+                    valv = g[yy, xx] * sscale
+                    v1 = a[i + yy, j + xx] - mu1
+                    v2 = b[i + yy, j + xx] - mu2
+                    l2a += v1 * v1 * valv
+                    l2b += v2 * v2 * valv
+                    lpa += abs(v1) ** masking * valv
+                    lpb += abs(v2) ** masking * valv
+            lpa = lpa ** (2.0 / masking)
+            lpb = lpb ** (2.0 / masking)
+            vis = ((l2a + l2b + C3) / (lpa + lpb + C3)) ** (masking / 2.0)
+            out[i, j] = min(max(vis, 0.0), 1.0)
+    return out
+
+
+def test_ssim_masking_below_two_accepted_and_distance_unchanged():
+    # The reference computes the visibility stabilizer when
+    # masking < 2.0 and then DISCARDS it (SSIM.cpp:161 never applies
+    # it), so the distance is masking-independent — exact parity.
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (16, 18)).astype(float)
+    b = rng.integers(0, 256, (16, 18)).astype(float)
+    base = metrics.SSIM()(a, b)
+    for m in (0.5, 1.0, 1.5, 1.99, 3.0):
+        assert metrics.SSIM(masking=m)(a, b) == base
+
+
+def test_ssim_visibility_map_matches_cpp_loop_oracle():
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 256, (13, 14)).astype(float)
+    b = (a + rng.normal(0, 25, a.shape)).clip(0, 255)
+    for m in (0.7, 1.0, 1.5):
+        got = metrics.SSIM(masking=m).visibility_map(a, b)
+        exp = _visibility_loop_oracle(a, b, m)
+        np.testing.assert_allclose(got, exp, rtol=1e-10, atol=1e-12)
+        assert got.min() >= 0.0 and got.max() <= 1.0
+
+
+def test_ssim_visibility_is_one_at_masking_two():
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (15, 15)).astype(float)
+    b = rng.integers(0, 256, (15, 15)).astype(float)
+    vis = metrics.SSIM(masking=2.0).visibility_map(a, b)
+    np.testing.assert_allclose(vis, 1.0, rtol=0, atol=1e-12)
+
+
+def test_ssim_masking_nonpositive_rejected():
+    with pytest.raises(ValueError):
+        metrics.SSIM(masking=0.0)
+    with pytest.raises(ValueError):
+        metrics.SSIM(masking=-1.0)
+
+
 def test_emd_1d_matches_cdf_oracle():
     """For 1-D histograms with |i-j| ground distance, EMD == sum |cdf diff|."""
     rng = np.random.default_rng(3)
