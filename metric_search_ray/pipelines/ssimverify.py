@@ -4,12 +4,29 @@ Second stage of the image near-dup pipeline: Hamming-phash banding
 (dedup.hamming_pairs) proposes candidates; this stage decodes both
 images of every pair and scores the reference's SSIM structural
 dissimilarity (n-api/metric_distance/details/SSIM.cpp — ported in
-metrics.SSIM).  Image bytes reach the pairs via two hash joins on
-image_id (binary payloads join fine; list types do not), so pixels
-move only for candidate pairs — never a full cross join.
+metrics.SSIM).
+
+Delivery of image bytes to the pairs has two paths with one auto
+facade (``ssim_verify``):
+
+- **broadcast** (``ssim_verify_pairs_broadcast``): the candidate image
+  table is ``ray.put`` once (zero-copy Arrow) and looked up per pair
+  inside tasks.  Right when the candidate set fits in the object
+  store — the usual case, candidates are a tiny fraction of the corpus.
+- **hash join** (``ssim_verify_pairs``): two joins on image_id move
+  pixels only for candidate pairs — never a full cross join.  Right
+  when the candidate set is too large to broadcast.
+
+Scoring is shared: every path decodes each distinct image ONCE per
+process (LRU keyed by image id — a hub image in m candidate pairs
+used to be decoded m times), groups pairs by shape, and scores each
+group through the batched separable-window SSIM kernel
+(``SSIM.batch_pairs``) instead of one python call per pair.
 """
 
 from __future__ import annotations
+
+import collections
 
 import numpy as np
 import pyarrow as pa
@@ -18,24 +35,95 @@ from .. import codecs
 from ..metrics import SSIM
 from .dedup import _rename_first_present
 
+# Per-process decoded-image LRU: image_id -> (full decoded shape,
+# grayscale float64 pixels).  Ray reuses worker processes across tasks,
+# so hub images decode once per worker, not once per pair.
+_PIX_CACHE: "collections.OrderedDict[str, tuple]" = collections.OrderedDict()
+_PIX_CACHE_CAP = 4096
+
+
+def _decode_gray_cached(img_id, buf, fmt):
+    """Decode once per process; store grayscale float64 (what SSIM
+    consumes) plus the original decoded shape (the pair gate compares
+    FULL shapes — a color 64x64x3 vs a gray 64x64 image is a mismatch
+    even though both gray to 64x64)."""
+    hit = _PIX_CACHE.get(img_id)
+    if hit is not None:
+        _PIX_CACHE.move_to_end(img_id)
+        return hit
+    pix = codecs.decode(buf, fmt)
+    shape = pix.shape
+    gray = np.asarray(pix, np.float64)
+    if gray.ndim == 3:
+        gray = gray.mean(axis=2)
+    _PIX_CACHE[img_id] = (shape, gray)
+    if len(_PIX_CACHE) > _PIX_CACHE_CAP:
+        _PIX_CACHE.popitem(last=False)
+    return _PIX_CACHE[img_id]
+
+
+def _score_batch(ids_a, ids_b, lookup, ssim: SSIM) -> np.ndarray:
+    """Score pairs given ``lookup(img_id) -> (shape, gray) | None``.
+
+    NaN for missing images, shape-mismatched pairs, and images smaller
+    than the 11x11 SSIM window (reference contract).  Same-shape pairs
+    are stacked and scored in one vectorized kernel call per shape
+    group.
+    """
+    n = len(ids_a)
+    out = np.full(n, np.nan, np.float64)
+    groups: dict = collections.defaultdict(list)
+    pix: list = [None] * n
+    for i, (ia, ib) in enumerate(zip(ids_a, ids_b)):
+        ra = lookup(ia)
+        rb = lookup(ib)
+        if ra is None or rb is None:
+            continue
+        sa, ga = ra
+        sb, gb = rb
+        if sa != sb or min(sa[0], sa[1]) < 11:
+            continue
+        pix[i] = (ga, gb)
+        groups[ga.shape].append(i)
+    for shape, idx_list in groups.items():
+        A = np.stack([pix[i][0] for i in idx_list])
+        B = np.stack([pix[i][1] for i in idx_list])
+        out[np.asarray(idx_list, np.int64)] = ssim.batch_pairs(A, B)
+    return out
+
 
 class _SsimScore:
-    def __init__(self, max_side: int = 64):
+    """Join-path scorer: rows carry (id_a, bytes_a, fmt_a, id_b, ...)."""
+
+    def __init__(self):
         self.ssim = SSIM()
-        self.max_side = max_side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for ba, fa, bb, fb in zip(batch.column("bytes_a").to_pylist(),
-                                  batch.column("fmt_a").to_pylist(),
-                                  batch.column("bytes_b").to_pylist(),
-                                  batch.column("fmt_b").to_pylist()):
-            pa_img = codecs.decode(ba, fa).astype(np.float64)
-            pb_img = codecs.decode(bb, fb).astype(np.float64)
-            if pa_img.shape != pb_img.shape or min(pa_img.shape[:2]) < 11:
-                out.append(float("nan"))
-                continue
-            out.append(self.ssim(pa_img, pb_img))
+        ids_a = batch.column("id_a").to_pylist()
+        ids_b = batch.column("id_b").to_pylist()
+        bytes_a = batch.column("bytes_a").to_pylist()
+        fmt_a = batch.column("fmt_a").to_pylist()
+        bytes_b = batch.column("bytes_b").to_pylist()
+        fmt_b = batch.column("fmt_b").to_pylist()
+        by_id: dict = {}
+        for ia, ba, fa, ib, bb, fb in zip(ids_a, bytes_a, fmt_a,
+                                          ids_b, bytes_b, fmt_b):
+            if ia not in by_id:
+                by_id[ia] = (ba, fa)
+            if ib not in by_id:
+                by_id[ib] = (bb, fb)
+
+        def lookup(img_id):
+            buf_fmt = by_id.get(img_id)
+            if buf_fmt is None:
+                return None
+            # key qualified by the payload hash: unlike the broadcast
+            # path (cache cleared per broadcast set), join batches may
+            # interleave different image sets in one worker process
+            return _decode_gray_cached((img_id, hash(buf_fmt[0])),
+                                       buf_fmt[0], buf_fmt[1])
+
+        out = _score_batch(ids_a, ids_b, lookup, self.ssim)
         return (batch.select(["id_a", "id_b"])
                 .append_column("ssim_dist", pa.array(out, pa.float64())))
 
@@ -62,10 +150,11 @@ def broadcast_images(images_ds, id_col: str = "image_id"):
 def ssim_verify_pairs_broadcast(images_ds, pairs_ds, id_col: str = "image_id",
                                 batch_size: int = 256, images_ref=None):
     """Broadcast-side variant: the candidate images are ``ray.put`` once
-    as an id -> (bytes, fmt) dict and looked up per pair inside tasks.
+    as a zero-copy Arrow table and looked up per pair inside tasks.
     Right when the candidate image set fits in the object store (the
     usual case — candidates are a tiny fraction of the corpus); use
-    ``ssim_verify_pairs`` (hash joins) when it does not.
+    ``ssim_verify_pairs`` (hash joins) when it does not, or
+    ``ssim_verify`` to pick automatically.
     """
     ref = images_ref if images_ref is not None else broadcast_images(images_ds, id_col)
 
@@ -76,20 +165,19 @@ def ssim_verify_pairs_broadcast(images_ds, pairs_ds, id_col: str = "image_id",
         bcol = tbl.column("bytes")
         fcol = tbl.column("fmt")
         ssim = SSIM()
-        out = []
-        for ia, ib in zip(batch.column("id_a").to_pylist(),
-                          batch.column("id_b").to_pylist()):
-            ra = index.get(ia)
-            rb = index.get(ib)
-            if ra is None or rb is None:
-                out.append(float("nan"))
-                continue
-            A = codecs.decode(bcol[ra].as_py(), fcol[ra].as_py()).astype(np.float64)
-            B = codecs.decode(bcol[rb].as_py(), fcol[rb].as_py()).astype(np.float64)
-            if A.shape != B.shape or min(A.shape[:2]) < 11:
-                out.append(float("nan"))
-                continue
-            out.append(ssim(A, B))
+
+        def lookup(img_id):
+            hit = _PIX_CACHE.get(img_id)
+            if hit is not None:
+                _PIX_CACHE.move_to_end(img_id)
+                return hit
+            r = index.get(img_id)
+            if r is None:
+                return None
+            return _decode_gray_cached(img_id, bcol[r].as_py(), fcol[r].as_py())
+
+        out = _score_batch(batch.column("id_a").to_pylist(),
+                           batch.column("id_b").to_pylist(), lookup, ssim)
         return (batch.select(["id_a", "id_b"])
                 .append_column("ssim_dist", pa.array(out, pa.float64())))
 
@@ -108,6 +196,7 @@ def _bcast_get(ref, id_col: str):
     key = ref.hex()
     if key not in _BCAST_CACHE:
         _BCAST_CACHE.clear()  # keep at most one broadcast set per worker
+        _PIX_CACHE.clear()    # decoded pixels belong to the old set
         tbl = ray.get(ref)
         index = {v: i for i, v in enumerate(tbl.column(id_col).to_pylist())}
         _BCAST_CACHE[key] = (tbl, index)
@@ -136,3 +225,26 @@ def ssim_verify_pairs(images_ds, pairs_ds, id_col: str = "image_id",
     j2 = _rename_first_present(j2, ["bytes_b", "bytes"], "bytes_b")
     j2 = _rename_first_present(j2, ["fmt_b", "fmt"], "fmt_b")
     return j2.map_batches(_SsimScore(), batch_format="pyarrow", batch_size=256)
+
+
+def ssim_verify(images_ds, pairs_ds, id_col: str = "image_id",
+                broadcast_limit_bytes: int | None = None, **kwargs):
+    """Auto-select the image-delivery path by candidate-set size.
+
+    Materializes the (id, bytes, fmt) projection of the candidate set
+    (exact size from block metadata, no driver collect), then:
+
+    - fits under ``broadcast_limit_bytes`` (default: 1/4 of the
+      cluster's object-store memory, capped at 2 GiB) -> broadcast
+      path — one ``ray.put``, zero-copy lookups;
+    - larger -> hash-join path — pixels move through the shuffle only
+      for candidate pairs, nothing is ever collected on the driver.
+    """
+    if broadcast_limit_bytes is None:
+        import ray as _ray
+        store = _ray.cluster_resources().get("object_store_memory", 2 << 30)
+        broadcast_limit_bytes = min(int(store) // 4, 2 << 30)
+    imgs = images_ds.select_columns([id_col, "bytes", "fmt"]).materialize()
+    if imgs.size_bytes() <= broadcast_limit_bytes:
+        return ssim_verify_pairs_broadcast(imgs, pairs_ds, id_col=id_col)
+    return ssim_verify_pairs(imgs, pairs_ds, id_col=id_col, **kwargs)

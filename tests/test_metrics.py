@@ -197,3 +197,15 @@ def test_registry_surface():
     for name in ["euclidian", "manhatten", "euclidian_thresholded", "cosine",
                  "p_norm", "twed", "ssim", "edit", "hamming", "planar_deg"]:
         assert name in reg
+
+
+def test_ssim_batch_pairs_matches_pairwise():
+    import numpy as np
+    from metric_search_ray.metrics import SSIM
+    s = SSIM()
+    rng = np.random.default_rng(7)
+    A = rng.uniform(0, 255, (6, 24, 17))
+    B = A + rng.normal(0, 9, A.shape)
+    got = s.batch_pairs(A, B)
+    want = np.array([s(A[i], B[i]) for i in range(len(A))])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)

@@ -617,3 +617,26 @@ def test_shuffle_hash_join_contracts(ray_session):
     left = shuffle_hash_join(L, R2, "k", ["v"], ["rv"], how="left").to_pandas()
     assert len(left[left["k"] == 1]) == 1
     assert left[left["k"] == 1]["rv"].isna().all()
+
+
+def test_ssim_verify_auto_paths_agree(ray_session, tiny_images):
+    """ssim_verify picks broadcast vs join by candidate-set size; both
+    paths must score every pair identically."""
+    import numpy as np
+    import pyarrow as pa
+    from metric_search_ray.pipelines import dedup, ssimverify
+    ds = rd.read_parquet(tiny_images)
+    pairs = (dedup.hamming_pairs(ds.select_columns(["image_id", "phash"]),
+                                 max_hamming=2).limit(200).materialize())
+
+    def norm(df):
+        return (df.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    a = norm(ssim_df := ssimverify.ssim_verify(ds, pairs).to_pandas())
+    # broadcast_limit_bytes=0 forces the hash-join path
+    b = norm(ssimverify.ssim_verify(ds, pairs,
+                                    broadcast_limit_bytes=0).to_pandas())
+    assert len(a) == len(b) > 0
+    assert (a["id_a"] == b["id_a"]).all() and (a["id_b"] == b["id_b"]).all()
+    np.testing.assert_allclose(a["ssim_dist"].to_numpy(),
+                               b["ssim_dist"].to_numpy(), rtol=1e-12)
