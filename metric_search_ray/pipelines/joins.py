@@ -219,19 +219,22 @@ class RnnActor:
 
 def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
                 batch_size: int = 256, use_actor_pool: bool = True,
-                preload: bool = False, emit: str = "full"):
+                preload: bool | None = None, emit: str = "full"):
     """All (query, image) pairs with planar-degree dist < radius (strict,
     matching the reference's rnn).  ``use_actor_pool=False`` ships a
     pickled RnnActor to stateless tasks — parallelism then follows the
     cluster instead of the fixed pool size (same tradeoff as knn_geo).
-    ``preload`` (opt-in, see knn.knn_geo): share staged object-store
-    partition arrays instead of per-worker parquet decodes — for
-    multi-node remote-storage deployments.  ``emit='ids'`` drops the
+    ``preload`` (default auto: ON iff the cluster has more than one
+    alive node, see knn.knn_geo): share staged object-store partition
+    arrays instead of per-worker parquet decodes — for multi-node
+    remote-storage deployments.  ``emit='ids'`` drops the
     dist column (callers re-verifying with an exact predicate)."""
     import ray as _ray
 
-    from .knn import stage_partition_arrays
+    from .knn import clamp_pool, stage_partition_arrays
 
+    if preload is None:
+        preload = sum(1 for n in _ray.nodes() if n.get("Alive")) > 1
     part_refs = stage_partition_arrays(ckpt_dir) if preload else None
     if not use_actor_pool:
         width = max(2 * int(_ray.cluster_resources().get("CPU", 8)), 8)
@@ -243,7 +246,7 @@ def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
         RnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir, "radius": radius,
                                          "part_refs": part_refs, "emit": emit},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=clamp_pool(concurrency), num_cpus=1)
 
 
 # ----------------------------------------------------------------- range join

@@ -64,13 +64,29 @@ def _read_partition_arrays(path: str):
             tbl.column("image_id").to_numpy(zero_copy_only=False))
 
 
-def stage_partition_arrays(ckpt_dir: str):
+def _stage_chunk(paths: list):
+    """Staging task: read a CHUNK of partition checkpoints; each
+    partition's scan arrays become their OWN task-return object (the
+    call site sets ``num_returns=len(paths)``), so every per-path ref
+    is driver-owned.  (An earlier version ``ray.put`` inside the task —
+    worker-owned refs nested through a second driver ``ray.put`` never
+    resolved their pulls and hung consumers.)  Per-path refs keep
+    selective resolution (a query stream that never touches a partition
+    never fetches it) while the chunking bounds the task count at huge
+    partition counts."""
+    arrs = [_read_partition_arrays(p) for p in paths]
+    return arrs[0] if len(arrs) == 1 else tuple(arrs)
+
+
+def stage_partition_arrays(ckpt_dir: str, files_per_task: int = 32):
     """Stage every partition's scan arrays into the Ray object store.
 
-    One distributed read wave (one task per checkpoint file) instead of
-    every worker decoding every parquet file through its private LRU:
-    task-mode kNN at W workers otherwise pays up to W reads per
-    partition (cold page cache made this stage swing 4-19s at 16 cpus).
+    One distributed read wave — ``files_per_task`` checkpoint files per
+    staging task (a 10^5-partition index is ~3k tasks, not 10^5) —
+    instead of every worker decoding every parquet file through its
+    private LRU: task-mode kNN at W workers otherwise pays up to W
+    reads per partition (cold page cache made this stage swing 4-19s
+    at 16 cpus).
 
     Returns ONE ObjectRef wrapping the {path: ObjectRef} dict.  Tasks
     must not carry the raw dict: pickling a 1000-entry ref dict into
@@ -80,8 +96,7 @@ def stage_partition_arrays(ckpt_dir: str):
     resolves only the partitions its queries touch (zero-copy float
     buffers; Ray handles spill + node locality).  Memoized per
     (ckpt_dir, manifest mtime) so successive query stages share one
-    wave.  At very large partition counts, batch several files per
-    task before adopting this 1:1 fan-out.
+    wave.
     """
     import os as _os
     man_path = _os.path.join(ckpt_dir, "manifest.parquet")
@@ -90,8 +105,26 @@ def stage_partition_arrays(ckpt_dir: str):
     if hit is not None:
         return hit
     manifest = buildmod.load_manifest(ckpt_dir)
-    fn = ray.remote(num_cpus=1)(_read_partition_arrays)
-    refs = {p: fn.remote(p) for p in manifest.column("path").to_pylist()}
+    paths = manifest.column("path").to_pylist()
+    fn = ray.remote(num_cpus=1)(_stage_chunk)
+    refs: dict = {}
+    for i in range(0, len(paths), files_per_task):
+        chunk = paths[i:i + files_per_task]
+        out = fn.options(num_returns=len(chunk)).remote(chunk)
+        if len(chunk) == 1:
+            out = [out]
+        refs.update(zip(chunk, out))
+    # Block until the whole wave EXISTS in the object store (created,
+    # not fetched: fetch_local=False pulls nothing to the driver).
+    # Returning pending refs deadlocks whenever the downstream query
+    # actor pool claims every CPU first — the num_cpus=1 staging tasks
+    # then wait for a slot the blocked-in-ray.get actors never release
+    # (reproduced at num_cpus=4 with concurrency=4; raylet showed
+    # CPU:0 available + 1 task waiting_for_remote_node_resources).
+    # The driver holds no CPU, so blocking here is deadlock-free, and
+    # staging is a pre-pass the query stage cannot start without.
+    ray.wait(list(refs.values()), num_returns=len(refs),
+             fetch_local=False)
     handle = ray.put(refs)
     _STAGE_REFS.clear()          # one live index per driver is the norm
     _STAGE_REFS[key] = handle
@@ -369,9 +402,25 @@ class KnnActor:
         })
 
 
+def clamp_pool(concurrency: int) -> int:
+    """Clamp a FIXED actor-pool size to cluster CPUs minus one.
+
+    A fixed pool of size == cluster CPUs spawns every actor up front
+    and starves the upstream exchange (sort / repartition) tasks that
+    feed it: the pool idles waiting for input blocks that can never be
+    produced — a deadlock, reproduced at num_cpus=4 with
+    concurrency=4 (raylet: CPU available 0, dispatch queue 1, all four
+    KnnActors idle).  Leaving one CPU keeps the input side live; on
+    real clusters (32+ cpus) the default pools are far below the cap
+    and this is a no-op."""
+    import ray as _ray
+    total = int(_ray.cluster_resources().get("CPU", 8))
+    return max(1, min(int(concurrency), total - 1))
+
+
 def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 256,
             use_actor_pool: bool = True, route_by_home_cell: bool | None = None,
-            route_strategy: str = "sort", preload: bool = False):
+            route_strategy: str = "sort", preload: bool | None = None):
     """Geo kNN pipeline.  ``use_actor_pool=False`` ships a pickled
     KnnActor instance to stateless tasks instead — no pool spawn cost,
     warm-worker reuse; right for short bursts, while long-running query
@@ -394,15 +443,20 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
       pool cost amortizes; it also flips the shuffle strategy on the
       queries dataset's captured DataContext (scoped to that lineage).
 
-    ``preload`` (default OFF): stage partition scan arrays into the
-    object store once (``stage_partition_arrays``) so workers resolve
-    refs instead of each decoding the parquet checkpoints.  Opt-in: on
-    a single node the page cache makes repeated parquet decodes cheap
-    and staging measured net-negative (interleaved A/B at 16 cpus);
-    the win case is multi-node with remote/cold storage, where W
-    workers otherwise issue W redundant reads per partition.
+    ``preload`` (default: auto — ON iff the cluster has more than one
+    alive node): stage partition scan arrays into the object store once
+    (``stage_partition_arrays``) so workers resolve refs instead of
+    each decoding the parquet checkpoints.  On a single node the page
+    cache makes repeated parquet decodes cheap and staging measured
+    net-negative (interleaved A/B at 16 cpus); the win case is
+    multi-node with remote/cold storage, where W workers otherwise
+    issue W redundant reads per partition — there Ray also replicates
+    the staged refs with node locality.
     """
     import ray as _ray
+
+    if preload is None:
+        preload = sum(1 for n in _ray.nodes() if n.get("Alive")) > 1
 
     manifest = buildmod.load_manifest(ckpt_dir)
     res = int(cellmod.cell_res(manifest.column("cell").to_numpy()[:1])[0])
@@ -442,7 +496,7 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
                               fn_constructor_kwargs={"ckpt_dir": ckpt_dir,
                                                      "part_refs": part_refs},
                               batch_format="pyarrow", batch_size=batch_size,
-                              concurrency=concurrency, num_cpus=1)
+                              concurrency=clamp_pool(concurrency), num_cpus=1)
 
 
 # ---------------------------------------------------------------- metric kNN

@@ -640,3 +640,31 @@ def test_ssim_verify_auto_paths_agree(ray_session, tiny_images):
     assert (a["id_a"] == b["id_a"]).all() and (a["id_b"] == b["id_b"]).all()
     np.testing.assert_allclose(a["ssim_dist"].to_numpy(),
                                b["ssim_dist"].to_numpy(), rtol=1e-12)
+
+
+def test_stage_partition_arrays_batched(ray_session, index_dir):
+    """Batched staging (several checkpoint files per task) must expose a
+    per-path ref for every manifest partition, resolving to the same
+    arrays as a direct read, and knn with preload=True must match
+    preload=False."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from metric_search_ray.pipelines import build, knn
+    ckpt, _ = index_dir
+    knn._STAGE_REFS.clear()
+    handle = knn.stage_partition_arrays(ckpt, files_per_task=3)
+    refs = ray.get(handle)
+    manifest = build.load_manifest(ckpt)
+    paths = manifest.column("path").to_pylist()
+    assert set(refs) == set(paths)
+    lat, lon, ids = ray.get(refs[paths[0]])
+    dlat, dlon, dids = knn._read_partition_arrays(paths[0])
+    np.testing.assert_array_equal(lat, dlat)
+    np.testing.assert_array_equal(ids, dids)
+    q = fixtures.knn_queries(15)
+    a = (knn.knn_geo(rd.from_arrow(pa.table(q)), ckpt, preload=True)
+         .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (knn.knn_geo(rd.from_arrow(pa.table(q)), ckpt, preload=False)
+         .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert a[["query_id", "image_id", "rank"]].equals(b[["query_id", "image_id", "rank"]])
