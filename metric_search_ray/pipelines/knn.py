@@ -78,7 +78,7 @@ def _stage_chunk(paths: list):
     return arrs[0] if len(arrs) == 1 else tuple(arrs)
 
 
-def stage_partition_arrays(ckpt_dir: str, files_per_task: int = 32):
+def stage_partition_arrays(ckpt_dir: str, files_per_task: int | None = None):
     """Stage every partition's scan arrays into the Ray object store.
 
     One distributed read wave — ``files_per_task`` checkpoint files per
@@ -106,6 +106,11 @@ def stage_partition_arrays(ckpt_dir: str, files_per_task: int = 32):
         return hit
     manifest = buildmod.load_manifest(ckpt_dir)
     paths = manifest.column("path").to_pylist()
+    if files_per_task is None:
+        # default: ~4 tasks per CPU (parallel wave, bounded task count),
+        # capped at 32 files so a 10^5-partition index is ~3k tasks
+        ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+        files_per_task = max(1, min(32, -(-len(paths) // (4 * ncpu))))
     fn = ray.remote(num_cpus=1)(_stage_chunk)
     refs: dict = {}
     for i in range(0, len(paths), files_per_task):
@@ -371,21 +376,44 @@ class KnnActor:
             lat_u, lon_u = cellmod.latlon_to_units(lats, lons)
             homes = cellmod.cell_of(lat_u, lon_u, self.res)
             order = np.argsort(homes, kind="stable")
+            # vectorized result assembly: one lexsort over the whole
+            # group's (row, dist, id) instead of a Python loop per
+            # result row — the per-row append version was ~30% of the
+            # stage's task time at 400k queries
             for home in np.unique(homes):
                 grp = order[np.searchsorted(homes[order], home):
                             np.searchsorted(homes[order], home, side="right")]
                 kmax = int(ks[grp].max())
                 bd, bi = self._group_scan(int(home), lats[grp], lons[grp], kmax)
-                for row, qi in enumerate(grp):
-                    k = int(ks[qi])
-                    found = np.flatnonzero(np.isfinite(bd[row]))
-                    # deterministic order: (dist, image_id)
-                    sub = np.lexsort((bi[row, found].astype(str), bd[row, found]))[:k]
-                    for rank, si in enumerate(found[sub]):
-                        out_qid.append(qids[qi])
-                        out_iid.append(str(bi[row, si]))
-                        out_d.append(float(bd[row, si]))
-                        out_rank.append(rank + 1)
+                nq, km = bd.shape
+                rows = np.repeat(np.arange(nq), km)
+                flat_d = bd.ravel()
+                keep = np.isfinite(flat_d)
+                rows, flat_d = rows[keep], flat_d[keep]
+                flat_i = bi.ravel()[keep].astype(str)
+                # (row, dist, id) order == the serial path's per-row
+                # (dist, image_id) lexsort
+                o = np.lexsort((flat_i, flat_d, rows))
+                rows, flat_d, flat_i = rows[o], flat_d[o], flat_i[o]
+                starts = np.searchsorted(rows, np.arange(nq))
+                rank = np.arange(len(rows)) - starts[rows] + 1
+                sel = rank <= ks[grp][rows]
+                out_qid.append(qids[grp][rows[sel]])
+                out_iid.append(flat_i[sel])
+                out_d.append(flat_d[sel])
+                out_rank.append(rank[sel])
+            return pa.table({
+                "query_id": pa.array(
+                    np.concatenate(out_qid) if out_qid else [], pa.string()),
+                "image_id": pa.array(
+                    np.concatenate(out_iid) if out_iid else [], pa.string()),
+                "dist": pa.array(
+                    np.concatenate(out_d) if out_d else
+                    np.empty(0, np.float64), pa.float64()),
+                "rank": pa.array(
+                    np.concatenate(out_rank) if out_rank else
+                    np.empty(0, np.int64), pa.int64()),
+            })
         else:
             for qid, la, lo, k in zip(qids, lats, lons, ks):
                 res = self.query_one(float(la), float(lo), int(k))
@@ -478,11 +506,22 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
 
     routed = queries_ds.map_batches(add_home, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    # few input blocks starve the map stage (task parallelism == blocks)
-    width = max(2 * int(_ray.cluster_resources().get("CPU", 8)),
+    # few input blocks starve the map stage (task parallelism == blocks);
+    # 8 tasks per CPU: home cells have skewed candidate-set sizes, and
+    # the last-wave straggler tail costs ~skew/waves — 2 tasks/CPU gave
+    # only 2 waves at the scaling ladder's high level vs 4 at the low,
+    # penalizing exactly the configuration the efficiency bar measures
+    width = max(8 * int(_ray.cluster_resources().get("CPU", 8)),
                 concurrency * 2, 8)
     if route_by_home_cell and use_keyed:
-        routed = routed.repartition(width, keys=["home_cell"])
+        # keyed path: width also sets the hash-shuffle aggregator-actor
+        # count — 8 tasks/CPU worth of aggregators starves the map side
+        # on small sessions (observed deadlock at num_cpus=4); keep the
+        # exchange at 2/CPU, the straggler-tail argument for fine tasks
+        # applies to the stateless scan fan-out, not the aggregator pool
+        kwidth = max(2 * int(_ray.cluster_resources().get("CPU", 8)),
+                     concurrency * 2, 8)
+        routed = routed.repartition(kwidth, keys=["home_cell"])
     elif route_by_home_cell:
         routed = routed.sort("home_cell").repartition(width)
     else:

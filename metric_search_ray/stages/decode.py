@@ -29,10 +29,16 @@ class DecodeValidate:
     """Callable class -> Ray actor pool: state (codec tables) built once."""
 
     def __init__(self, min_psnr: float = 40.0, phash_tolerance: int = 2,
-                 recompute_phash: bool = True):
+                 recompute_phash: bool = True, slim: bool = False):
+        """``slim=True`` emits only (image_id, valid[, phash_decoded])
+        instead of passing every input column through — a validation
+        gate that re-materializes the multi-KB ``bytes`` column into
+        the object store pays a memcpy per row for data the consumer
+        already has; at 10^12 rows that is the stage's dominant cost."""
         self.min_psnr = min_psnr
         self.phash_tolerance = phash_tolerance
         self.recompute_phash = recompute_phash
+        self.slim = slim
         # touch the module-level DCT matrices so they are built per-actor,
         # not per-batch
         codecs._D8  # noqa: B018
@@ -105,7 +111,9 @@ class DecodeValidate:
         null_caps = captions.null_count
         if null_caps:
             valid &= np.asarray(pa.compute.is_valid(captions))
-        out = batch.append_column("valid", pa.array(valid))
+        base = (pa.table({"image_id": batch.column("image_id")})
+                if self.slim else batch)
+        out = base.append_column("valid", pa.array(valid))
         if self.recompute_phash:
             out = out.append_column("phash_decoded", pa.array(rehash, pa.int64()))
         return out
