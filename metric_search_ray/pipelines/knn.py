@@ -279,10 +279,25 @@ class KnnActor:
         best: list[tuple[float, str]] = []
         n = 1 << self.res
         max_ring = 2 * n  # full-grid sweep bound
+        # Longitude wraps, so cell.ring() re-emits a cell on later rings
+        # (offsets dx and dx-n map to the same column): without dedup a
+        # partition is scanned once per appearance, duplicating neighbors
+        # whenever k is large enough to keep both copies.  Restricting
+        # each ring to its FIRST-appearance cells makes the scanned sets
+        # the true wrapped-Chebyshev annuli — disjoint, and with
+        # min-box-distance monotone nondecreasing in r, which is exactly
+        # the nesting property the stop bound below relies on.  Annuli
+        # are contiguous in r, so an empty annulus ends the sweep.
+        seen_cells: set[int] = set()
         for r in range(max_ring + 1):
             ring_cells = cellmod.ring(home, r)
-            if len(ring_cells) == 0:
+            fresh = [int(c) for c in ring_cells if int(c) not in seen_cells]
+            seen_cells.update(fresh)
+            if not fresh:
+                if r > 0:
+                    break
                 continue
+            ring_cells = np.asarray(fresh, np.int64)
             # Stop bound over ALL boxes of the ring (present or not): ring
             # annuli nest, so min-box-distance is monotone nondecreasing in
             # r — if the k-th best can't be beaten by ANY box of this ring,
@@ -320,10 +335,19 @@ class KnnActor:
         n = 1 << self.res
         max_ring = 2 * n
         active = np.arange(nq)
+        # first-appearance-only rings: see query_one — prevents duplicate
+        # neighbors from longitude-wrap cell re-emission and restores the
+        # annulus-nesting monotonicity the per-query stop bound needs
+        seen_cells: set[int] = set()
         for r in range(max_ring + 1):
             ring_cells = cellmod.ring(home, r)
-            if len(ring_cells) == 0:
+            fresh = [int(c) for c in ring_cells if int(c) not in seen_cells]
+            seen_cells.update(fresh)
+            if not fresh:
+                if r > 0:
+                    break
                 continue
+            ring_cells = np.asarray(fresh, np.int64)
             lbs = cellmod.points_cells_min_dist_deg(qlat[active], qlon[active],
                                                     ring_cells)
             ring_lb = lbs.min(axis=1)
@@ -356,12 +380,12 @@ class KnnActor:
                     # serial path and the merge stage use
                     kth = new_d.max(axis=1)
                     n_le = (all_d <= kth[:, None]).sum(axis=1)
-                    for r in np.flatnonzero((n_le > kmax) & np.isfinite(kth)):
-                        idxs = np.flatnonzero(all_d[r] <= kth[r])
-                        ordr = np.lexsort((all_id[r, idxs].astype(str),
-                                           all_d[r, idxs]))[:kmax]
-                        new_d[r] = all_d[r, idxs[ordr]]
-                        new_id[r] = all_id[r, idxs[ordr]]
+                    for ri in np.flatnonzero((n_le > kmax) & np.isfinite(kth)):
+                        idxs = np.flatnonzero(all_d[ri] <= kth[ri])
+                        ordr = np.lexsort((all_id[ri, idxs].astype(str),
+                                           all_d[ri, idxs]))[:kmax]
+                        new_d[ri] = all_d[ri, idxs[ordr]]
+                        new_id[ri] = all_id[ri, idxs[ordr]]
                     best_d[active] = new_d
                     best_id[active] = new_id
         return best_d, best_id

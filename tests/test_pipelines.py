@@ -332,6 +332,36 @@ def test_knn_geo_hash_routing_matches_sort(index_dir, geo_points):
     np.testing.assert_allclose(a["dist"], b["dist"], atol=0)
 
 
+def test_knn_geo_k_exceeds_dataset_no_duplicates(index_dir, geo_points):
+    """k >= dataset size must return every point exactly once.
+
+    Regression: cell.ring() wraps longitude, so a cell at wrapped offset
+    dx reappears on ring n-dx — before the first-appearance dedup the
+    full-grid sweep scanned most partitions twice, duplicating neighbors
+    whenever k was large enough to retain both copies."""
+    import pyarrow as pa
+    ckpt, _ = index_dir
+    n_pts = len(geo_points["image_id"])
+    q = pa.table({
+        # antimeridian + mid-grid homes: both wrap regimes
+        "query_id": pa.array(["full-0", "full-1"], pa.string()),
+        "lat": pa.array([-89.99, 10.0], pa.float64()),
+        "lon": pa.array([-180.0, 20.0], pa.float64()),
+        "k": pa.array([n_pts + 1, n_pts], pa.int32()),
+    })
+    out = knn.knn_geo(rd.from_arrow(q), ckpt, concurrency=2).to_pandas()
+    for qid in ("full-0", "full-1"):
+        got = out[out["query_id"] == qid]
+        assert len(got) == n_pts, (qid, len(got))
+        assert got["image_id"].is_unique
+        assert sorted(got["rank"]) == list(range(1, n_pts + 1))
+    # serial path (query_one) must agree
+    actor = knn.KnnActor(ckpt)
+    res = actor.query_one(-89.99, -180.0, n_pts + 1)
+    assert len(res) == n_pts
+    assert len({iid for _, iid in res}) == n_pts
+
+
 def test_knn_geo_empty_queries(index_dir):
     import pyarrow as pa
     ckpt, _ = index_dir
