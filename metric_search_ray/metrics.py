@@ -124,6 +124,20 @@ class Hamming:
                            np.asarray(X, np.int64)).astype(np.float64)
 
 
+def planar_dist_outer(lat, lon, qlat, qlon):
+    """(n_q, n_pts) planar distance matrix, bit-identical to
+    ``planar_dist(lat - qlat[:, None], lon - qlon[:, None])`` (same ops
+    in the same IEEE order), but fused in-place: 2 temporaries instead
+    of 6 — the matrix kernels in the kNN/radius scans are memory-bound,
+    so the saved 4 full-matrix allocations are the savings."""
+    d = np.subtract(lat[None, :], qlat[:, None])
+    np.multiply(d, d, out=d)
+    t = np.subtract(lon[None, :], qlon[:, None])
+    np.multiply(t, t, out=t)
+    np.add(d, t, out=d)
+    return np.sqrt(d, out=d)
+
+
 def planar_dist(dx, dy):
     """sqrt(dx*dx + dy*dy) in a fixed op order.  Unlike ``hypot``
     (implementation-defined rounding), every op here is IEEE-754-exact

@@ -22,7 +22,7 @@ import ray
 
 from .. import cell as cellmod
 from .. import geom
-from ..metrics import planar_dist
+from ..metrics import planar_dist, planar_dist_outer
 from . import build as buildmod
 
 
@@ -188,8 +188,7 @@ class RnnActor:
                 qs = np.flatnonzero(probe[:, ci])
                 for _salt, path in self.by_cell[int(self.cells[ci])]:
                     plat, plon, ids = _resolve_arrays(path, self.part_refs)
-                    d = planar_dist(plat[None, :] - lats[qs, None],
-                                    plon[None, :] - lons[qs, None])
+                    d = planar_dist_outer(plat, plon, lats[qs], lons[qs])
                     rr, cc = np.nonzero(d < self.radius)  # strict: rnn semantics
                     if len(rr):
                         out_q.append(pc.take(qid_col,

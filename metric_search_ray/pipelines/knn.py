@@ -35,7 +35,7 @@ import ray
 
 from .. import cell as cellmod
 from .. import phash as phashmod
-from ..metrics import PlanarDeg, planar_dist
+from ..metrics import PlanarDeg, planar_dist, planar_dist_outer
 from . import build as buildmod
 
 
@@ -56,12 +56,19 @@ _STAGE_DICT_CACHE: dict = {}
 
 
 def _read_partition_arrays(path: str):
-    """One partition checkpoint -> the scan arrays (lat, lon, ids)."""
+    """One partition checkpoint -> the scan arrays (lat, lon, ids).
+
+    ids are a fixed-width numpy unicode array, not object dtype: object
+    arrays pickle as one Python string per row, so every worker that
+    resolves a staged partition re-materializes its id heap (a
+    per-worker cost that grows with worker count — exactly what the
+    scaling bar punishes); U arrays are a single flat buffer."""
     import pyarrow.parquet as _pq
     tbl = _pq.read_table(path, columns=["lat", "lon", "image_id"])
     return (tbl.column("lat").to_numpy(),
             tbl.column("lon").to_numpy(),
-            tbl.column("image_id").to_numpy(zero_copy_only=False))
+            tbl.column("image_id").to_numpy(zero_copy_only=False
+                                            ).astype(np.str_))
 
 
 def _stage_chunk(paths: list):
@@ -178,7 +185,7 @@ def _load_arrays_cached(path: str, cap: int = 2048):
     tbl = _pq.read_table(path, columns=["lat", "lon", "image_id"])
     lat = tbl.column("lat").to_numpy()
     lon = tbl.column("lon").to_numpy()
-    ids = tbl.column("image_id").to_numpy(zero_copy_only=False)
+    ids = tbl.column("image_id").to_numpy(zero_copy_only=False).astype(np.str_)
     _ARRAY_CACHE[key] = (lat, lon, ids)
     if len(_ARRAY_CACHE) > cap:
         _ARRAY_CACHE.popitem(last=False)
@@ -331,7 +338,15 @@ class KnnActor:
         """
         nq = len(qlat)
         best_d = np.full((nq, kmax), np.inf)
-        best_id = np.full((nq, kmax), None, dtype=object)
+        # candidates merge as packed int64 codes (partition_serial << 32
+        # | row) instead of object-dtype id arrays: the per-partition
+        # top-k merge then moves 8-byte ints, not Python string pointers
+        # — measured 12.4 ms/query on cells whose rings touch a 25-salt
+        # hot cell (vs ~0.5 ms/query typical), almost all of it
+        # object-array concat/take; ids decode once at the end for nq*k
+        # winners (and for the rare boundary-tie re-cut rows)
+        best_code = np.full((nq, kmax), -1, np.int64)
+        parts: list[np.ndarray] = []       # partition serial -> ids array
         n = 1 << self.res
         max_ring = 2 * n
         active = np.arange(nq)
@@ -362,17 +377,21 @@ class KnnActor:
                     continue
                 for _salt, path in self.by_cell[ci]:
                     lat, lon, ids = _resolve_arrays(path, self.part_refs)
-                    d = planar_dist(lat[None, :] - qlat[active, None],
-                                    lon[None, :] - qlon[active, None])
+                    serial = len(parts)
+                    parts.append(ids)
+                    d = planar_dist_outer(lat, lon,
+                                          qlat[active], qlon[active])
                     m = d.shape[1]
+                    codes = ((np.int64(serial) << np.int64(32))
+                             | np.arange(m, dtype=np.int64))
                     all_d = np.concatenate([best_d[active], d], axis=1)
-                    all_id = np.concatenate(
-                        [best_id[active],
-                         np.broadcast_to(ids, (len(active), m))], axis=1)
+                    all_code = np.concatenate(
+                        [best_code[active],
+                         np.broadcast_to(codes, (len(active), m))], axis=1)
                     kk = min(kmax, all_d.shape[1])
                     sel = np.argpartition(all_d, kk - 1, axis=1)[:, :kmax]
                     new_d = np.take_along_axis(all_d, sel, axis=1)
-                    new_id = np.take_along_axis(all_id, sel, axis=1)
+                    new_code = np.take_along_axis(all_code, sel, axis=1)
                     # deterministic boundary ties: argpartition resolves
                     # equal distances at the kmax cut arbitrarily; rows
                     # where extra candidates tie with the k-th distance
@@ -382,13 +401,31 @@ class KnnActor:
                     n_le = (all_d <= kth[:, None]).sum(axis=1)
                     for ri in np.flatnonzero((n_le > kmax) & np.isfinite(kth)):
                         idxs = np.flatnonzero(all_d[ri] <= kth[ri])
-                        ordr = np.lexsort((all_id[ri, idxs].astype(str),
+                        tie_ids = self._decode_codes(all_code[ri, idxs], parts)
+                        ordr = np.lexsort((tie_ids.astype(str),
                                            all_d[ri, idxs]))[:kmax]
                         new_d[ri] = all_d[ri, idxs[ordr]]
-                        new_id[ri] = all_id[ri, idxs[ordr]]
+                        new_code[ri] = all_code[ri, idxs[ordr]]
                     best_d[active] = new_d
-                    best_id[active] = new_id
-        return best_d, best_id
+                    best_code[active] = new_code
+        return best_d, self._decode_codes(best_code.ravel(),
+                                          parts).reshape(best_code.shape)
+
+    @staticmethod
+    def _decode_codes(codes: np.ndarray, parts: list) -> np.ndarray:
+        """Packed (serial << 32 | row) codes -> object id array; -1
+        (unfilled slot, paired with an inf distance) decodes to None."""
+        out = np.full(codes.shape, None, dtype=object)
+        ok = codes >= 0
+        if ok.any():
+            ser = codes[ok] >> np.int64(32)
+            row = codes[ok] & np.int64(0xFFFFFFFF)
+            dec = np.empty(ser.shape, dtype=object)
+            for s in np.unique(ser):
+                msk = ser == s
+                dec[msk] = parts[int(s)][row[msk]]
+            out[ok] = dec
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = np.asarray(batch.column("query_id").to_pylist(), dtype=object)
@@ -512,6 +549,13 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
 
     manifest = buildmod.load_manifest(ckpt_dir)
     res = int(cellmod.cell_res(manifest.column("cell").to_numpy()[:1])[0])
+    # per-cell salt counts -> sub-shard factors for hot-cell queries
+    # (see add_home); tiny arrays, captured by the routing closure
+    _mc = manifest.column("cell").to_numpy()
+    _cells_u, _salt_n = np.unique(_mc, return_counts=True)
+    _hot = _salt_n > 1
+    hot_cells = _cells_u[_hot]
+    hot_shards = np.minimum(_salt_n[_hot], 64).astype(np.uint64)
     if route_by_home_cell is None:
         route_by_home_cell = True
     use_keyed = False
@@ -526,7 +570,38 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
         lat_u, lon_u = cellmod.latlon_to_units(batch.column("lat").to_numpy(),
                                                batch.column("lon").to_numpy())
         home = cellmod.cell_of(lat_u, lon_u, res)
-        return batch.append_column("home_cell", pa.array(home, pa.int64()))
+        out = batch.append_column("home_cell", pa.array(home, pa.int64()))
+        # route key = Knuth-scrambled home cell: sorting by it still
+        # keeps each cell's queries contiguous (one ring sweep per cell
+        # — the 8x group-vectorization win), but ADJACENT cells land in
+        # unrelated blocks, so dense/expensive regions spread across
+        # tasks instead of concentrating in a few straggler blocks.
+        # Measured (no-Ray multiprocessing control, 150k queries, 8
+        # procs): contiguous ranges 0.458 scaling efficiency from a 3x
+        # per-chunk work spread; scrambled 0.556 with 8 coarse chunks;
+        # per-core kernel contention at 8 busy cores is ~1.006x, so the
+        # residual gap is pure load balance — finer Ray tasks close it.
+        #
+        # Queries homed in a SALTED (hot) cell additionally sub-shard
+        # round-robin, each shard scattered to its own region of the
+        # route space: a hot home cell scans every salt partition for
+        # every query, so one cell's group can be ~20x the mean task
+        # (measured 2.59s max vs 0.47s mean task at 8 cpus) — splitting
+        # its queries across shards keeps total evals identical (the
+        # scan is per-query-row) and only duplicates the cheap ring
+        # bound sweep per shard.
+        route = (home.astype(np.uint64) * np.uint64(2654435761))
+        if len(hot_cells):
+            pos = np.searchsorted(hot_cells, home)
+            ok = (pos < len(hot_cells))
+            okpos = np.where(ok, pos, 0)
+            ok &= hot_cells[okpos] == home
+            shards = np.ones(len(home), np.uint64)
+            shards[ok] = hot_shards[okpos[ok]]
+            sub = (np.arange(len(home), dtype=np.uint64)) % shards
+            route = route + sub * np.uint64(0x9E3779B1)
+        route = (route & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return out.append_column("route_cell", pa.array(route, pa.int64()))
 
     routed = queries_ds.map_batches(add_home, batch_format="pyarrow",
                                     zero_copy_batch=True)
@@ -535,7 +610,7 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
     # the last-wave straggler tail costs ~skew/waves — 2 tasks/CPU gave
     # only 2 waves at the scaling ladder's high level vs 4 at the low,
     # penalizing exactly the configuration the efficiency bar measures
-    width = max(8 * int(_ray.cluster_resources().get("CPU", 8)),
+    width = max(int(float(__import__("os").environ.get("GRAFT_KNN_WPC", "4")) * int(_ray.cluster_resources().get("CPU", 8))),
                 concurrency * 2, 8)
     if route_by_home_cell and use_keyed:
         # keyed path: width also sets the hash-shuffle aggregator-actor
@@ -547,7 +622,7 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
                      concurrency * 2, 8)
         routed = routed.repartition(kwidth, keys=["home_cell"])
     elif route_by_home_cell:
-        routed = routed.sort("home_cell").repartition(width)
+        routed = routed.sort("route_cell").repartition(width)
     else:
         routed = routed.repartition(width)
     part_refs = stage_partition_arrays(ckpt_dir) if preload else None
