@@ -256,7 +256,10 @@ def run_bench() -> dict:
     # column through re-materializes the whole table into the object
     # store (a per-row memcpy that dominates the stage and contends on
     # store bandwidth as CPUs scale)
-    img_blocks = 8 * num_cpus
+    # 16 tasks/CPU: decode task time varies ~1.6x with the format mix of
+    # an id range; finer tasks shrink the last-wave tail (per-task decode
+    # still ~0.4s at 32 cpus, far above scheduling overhead)
+    img_blocks = 16 * num_cpus
     counts["img_rows"] = timed(
         "img_validate",
         lambda: rd.read_parquet(images_path, override_num_blocks=img_blocks)

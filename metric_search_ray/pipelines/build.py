@@ -187,13 +187,28 @@ def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
     the narrow projection comfortably fits the object store.
     """
     os.makedirs(ckpt_dir, exist_ok=True)
+    import ray as _ray
+    # block count for the groupby exchange: groupby emits one sorted
+    # block per input block and map_groups parallelism == block count.
+    # 4 tasks/CPU; measured both directions: 16 coarse blocks leave a
+    # 2-wave straggler tail at 8 cpus, while passing a well-split read
+    # straight through (192 blocks) costs more in O(B^2) shuffle-object
+    # handling than the tail it saves.
+    n_blocks = max(16, 4 * int(_ray.cluster_resources().get("CPU", 8)))
     narrow = ds.select_columns([id_column, "phash"])
     tagged = (narrow
               .map_batches(assign.geotag, batch_format="pyarrow", zero_copy_batch=True)
-              .map_batches(lambda b: assign.assign_cell(b, res), batch_format="pyarrow",
-                           zero_copy_batch=True))
+              # drop the microdegree columns once the cell is assigned:
+              # nothing downstream reads them, and they are 24 of the
+              # ~67 bytes/row the groupby exchange would otherwise move
+              .map_batches(lambda b: assign.assign_cell(b, res)
+                           .drop_columns(["lat_u", "lon_u"]),
+                           batch_format="pyarrow", zero_copy_batch=True))
     if materialize_tagged:
-        tagged = tagged.materialize()
+        # coalesce INSIDE the materialize barrier: the later shuffle
+        # then starts from n_blocks directly — one fewer standalone
+        # repartition execution between the salt map and the groupby
+        tagged = tagged.repartition(n_blocks).materialize()
     salt_plan = plan_salts(tagged, target_rows)
     # persist the plan: incremental update/erase must route with the
     # SAME modulus even after partitions empty out of the manifest
@@ -205,17 +220,10 @@ def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
     salted = tagged.map_batches(
         lambda b: assign.assign_salt(b, salt_plan), batch_format="pyarrow",
         zero_copy_batch=True)
-    # groupby emits one sorted block per input block, and map_groups
-    # parallelism == block count — split the input so every CPU gets
-    # build work even when the source is a single parquet file.  Only
-    # repartition UP: collapsing a well-split read (e.g. 192 blocks)
-    # down to 2xCPU inserts a pointless extra all-to-all AND coarsens
-    # map_groups to 2 waves/CPU, so one skewed block's tree builds
-    # become the stage tail (measured 2->8 scaling 0.45 from exactly
-    # that; the fine-block layout costs nothing at either level)
-    import ray as _ray
-    n_blocks = max(16, 4 * int(_ray.cluster_resources().get("CPU", 8)))
-    salted = salted.repartition(n_blocks)
+    if not materialize_tagged:
+        # streaming path: the source may be a single parquet file —
+        # split so every CPU gets build work
+        salted = salted.repartition(n_blocks)
     manifest_ds = salted.groupby(["cell", "salt"]).map_groups(
         lambda t: _build_partition(t, ckpt_dir, resume), batch_format="pyarrow")
     manifest = pa.Table.from_pandas(manifest_ds.to_pandas(), schema=MANIFEST_SCHEMA,

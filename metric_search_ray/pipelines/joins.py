@@ -236,13 +236,31 @@ def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
         preload = sum(1 for n in _ray.nodes() if n.get("Alive")) > 1
     part_refs = stage_partition_arrays(ckpt_dir) if preload else None
     if not use_actor_pool:
-        # 8 tasks per CPU: radius candidate sets are skewed by cell
-        # density; fine tasks shrink the last-wave straggler tail
-        width = max(8 * int(_ray.cluster_resources().get("CPU", 8)), 8)
-        return queries_ds.repartition(width).map_batches(
-            RnnActor(ckpt_dir, radius, part_refs=part_refs, emit=emit),
-            batch_format="pyarrow",
-            batch_size=batch_size, num_cpus=1)
+        # Route by SCRAMBLED home cell (same scheme as knn_geo): a block
+        # of co-located queries probes a handful of cells, so the
+        # per-batch candidate-cell loop stays short — unrouted random
+        # batches each probed ~all occupied cells, a per-task fixed cost
+        # that grew with task count (measured: 27.2s aggregate remote
+        # time at 8 cpus vs 19.4s at 2 for the same 30k queries).  The
+        # scramble spreads dense regions across blocks for balance.
+        actor = RnnActor(ckpt_dir, radius, part_refs=part_refs, emit=emit)
+        res = (int(cellmod.cell_res(actor.cells[:1])[0])
+               if len(actor.cells) else 5)
+
+        def add_route(batch: pa.Table) -> pa.Table:
+            lat_u, lon_u = cellmod.latlon_to_units(
+                batch.column("lat").to_numpy(), batch.column("lon").to_numpy())
+            home = cellmod.cell_of(lat_u, lon_u, res)
+            route = ((home.astype(np.uint64) * np.uint64(2654435761))
+                     & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            return batch.append_column("route_cell", pa.array(route, pa.int64()))
+
+        width = max(4 * int(_ray.cluster_resources().get("CPU", 8)), 8)
+        return (queries_ds.map_batches(add_route, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+                .sort("route_cell").repartition(width)
+                .map_batches(actor, batch_format="pyarrow",
+                             batch_size=batch_size, num_cpus=1))
     return queries_ds.map_batches(
         RnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir, "radius": radius,
                                          "part_refs": part_refs, "emit": emit},
