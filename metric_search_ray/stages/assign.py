@@ -15,7 +15,7 @@ from .. import cell, geocode
 
 def geotag(batch: pa.Table, id_column: str = "image_id") -> pa.Table:
     """Derive (lat_u, lon_u) microdegrees + float degrees from the id."""
-    lat_u, lon_u = geocode.geocode_image_ids(batch.column(id_column).to_numpy(zero_copy_only=False))
+    lat_u, lon_u = geocode.geocode_image_ids(batch.column(id_column))
     return (batch.append_column("lat_u", pa.array(lat_u, pa.int64()))
                  .append_column("lon_u", pa.array(lon_u, pa.int64()))
                  .append_column("lat", pa.array(lat_u / 1e6, pa.float64()))
@@ -52,7 +52,7 @@ def assign_salt(batch: pa.Table, salt_of_cell: dict[int, int],
     """
     cells = batch.column("cell").to_numpy()
     ks = np.asarray([salt_of_cell.get(int(c), 1) for c in cells], np.int64)
-    key = geocode.key_of_image_id(batch.column(id_column).to_numpy(zero_copy_only=False))
+    key = geocode.key_of_image_id(batch.column(id_column))
     salt_hash = geocode.lcg_next(geocode.lcg_next(key) + 9176)
     salt = np.where(ks > 1, salt_hash % ks, 0)
     return batch.append_column("salt", pa.array(salt.astype(np.int64), pa.int64()))
