@@ -211,11 +211,15 @@ def run_bench() -> dict:
     # the staging wave doesn't amortize, so it stays off there
     counts["knn_rows"] = timed(
         "knn_geo",
-        lambda: knn.knn_geo(rd.from_arrow(qtbl), ckpt, batch_size=512,
+        lambda: knn.knn_geo(rd.from_arrow(qtbl), ckpt, batch_size=4096,
                             use_actor_pool=False, preload=heavy).count())
 
     # ---- 2b. radius join: grouped vectorized range scan in RnnActor
-    nrq = 30_000 if heavy else 10_000
+    # heavy: 120k queries so the stage's compute (~5s at 8 cpus) stays
+    # well clear of the ~0.5s fixed exchange/executor cost — at 30k the
+    # stage measured 2.3s at 8 cpus and its efficiency swung 0.53-0.75
+    # on fixed-cost noise alone
+    nrq = 120_000 if heavy else 10_000
     rqt = pa.table({
         "query_id": pa.array([f"r-{i:05d}" for i in range(nrq)], pa.string()),
         "lat": pa.array(rng.uniform(-85, 85, nrq), pa.float64()),
@@ -286,14 +290,17 @@ def run_bench() -> dict:
         # deterministic hash-sampled subset of the pairs (sampling and
         # candidate staging untimed).
         import pyarrow.compute as pc
+        # 24k images (doubled from 12k): the pair stage at 12k measured
+        # 1.3s at 8 cpus — too close to the fixed exchange cost for the
+        # efficiency criterion to measure the operator
         sub = rd.read_parquet(images_path).map_batches(
-            lambda b: b.filter(pc.less(b.column("image_id"), "img-00012000")),
+            lambda b: b.filter(pc.less(b.column("image_id"), "img-00024000")),
             batch_format="pyarrow")
         # narrow read for the pair stage: only (image_id, phash) leave
         # storage — the bytes column is needed just for the SSIM verify
         narrow = rd.read_parquet(images_path, columns=["image_id", "phash"]
                                  ).map_batches(
-            lambda b: b.filter(pc.less(b.column("image_id"), "img-00012000")),
+            lambda b: b.filter(pc.less(b.column("image_id"), "img-00024000")),
             batch_format="pyarrow")
         counts["pair_rows"] = timed(
             "near_dup_pairs",

@@ -230,11 +230,19 @@ def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
     dist column (callers re-verifying with an exact predicate)."""
     import ray as _ray
 
-    from .knn import clamp_pool, stage_partition_arrays
+    from .knn import _stage_finish, _stage_launch, clamp_pool, stage_partition_arrays
 
     if preload is None:
         preload = sum(1 for n in _ray.nodes() if n.get("Alive")) > 1
-    part_refs = stage_partition_arrays(ckpt_dir) if preload else None
+    part_refs = None
+    stage_pending = None
+    if preload:
+        if use_actor_pool:
+            part_refs = stage_partition_arrays(ckpt_dir)
+        else:
+            # task path: overlap the staging wave with the routing
+            # exchange below (same scheme as knn_geo)
+            stage_pending = _stage_launch(ckpt_dir)
     if not use_actor_pool:
         # Route by SCRAMBLED home cell (same scheme as knn_geo): a block
         # of co-located queries probes a handful of cells, so the
@@ -243,7 +251,7 @@ def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
         # that grew with task count (measured: 27.2s aggregate remote
         # time at 8 cpus vs 19.4s at 2 for the same 30k queries).  The
         # scramble spreads dense regions across blocks for balance.
-        actor = RnnActor(ckpt_dir, radius, part_refs=part_refs, emit=emit)
+        actor = RnnActor(ckpt_dir, radius, part_refs=None, emit=emit)
         res = (int(cellmod.cell_res(actor.cells[:1])[0])
                if len(actor.cells) else 5)
 
@@ -256,11 +264,14 @@ def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
             return batch.append_column("route_cell", pa.array(route, pa.int64()))
 
         width = max(4 * int(_ray.cluster_resources().get("CPU", 8)), 8)
-        return (queries_ds.map_batches(add_route, batch_format="pyarrow",
-                                       zero_copy_batch=True)
-                .sort("route_cell").repartition(width)
-                .map_batches(actor, batch_format="pyarrow",
-                             batch_size=batch_size, num_cpus=1))
+        routed = (queries_ds.map_batches(add_route, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+                  .sort("route_cell").repartition(width))
+        if stage_pending is not None:
+            routed = routed.materialize()
+            actor.part_refs = _stage_finish(stage_pending)
+        return routed.map_batches(actor, batch_format="pyarrow",
+                                  batch_size=batch_size, num_cpus=1)
     return queries_ds.map_batches(
         RnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir, "radius": radius,
                                          "part_refs": part_refs, "emit": emit},

@@ -85,6 +85,49 @@ def _stage_chunk(paths: list):
     return arrs[0] if len(arrs) == 1 else tuple(arrs)
 
 
+def _stage_launch(ckpt_dir: str, files_per_task: int | None = None):
+    """Submit the staging read wave WITHOUT waiting for it.
+
+    Returns ``(key, refs_dict | None)``: refs is None when a memoized
+    handle already covers this (ckpt_dir, manifest mtime) — the caller
+    then skips ``_stage_finish``'s wait entirely.  Splitting launch
+    from finish lets callers overlap the staging wave with their own
+    pre-scan exchange (e.g. knn_geo's routing sort): both workloads
+    fill the same CPUs, and the driver only blocks once, after the
+    exchange, by which point staging has usually completed."""
+    import os as _os
+    man_path = _os.path.join(ckpt_dir, "manifest.parquet")
+    key = (ckpt_dir, _os.stat(man_path).st_mtime_ns)
+    if _STAGE_REFS.get(key) is not None:
+        return key, None
+    manifest = buildmod.load_manifest(ckpt_dir)
+    paths = manifest.column("path").to_pylist()
+    if files_per_task is None:
+        ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+        files_per_task = max(1, min(32, -(-len(paths) // (4 * ncpu))))
+    fn = ray.remote(num_cpus=1)(_stage_chunk)
+    refs: dict = {}
+    for i in range(0, len(paths), files_per_task):
+        chunk = paths[i:i + files_per_task]
+        out = fn.options(num_returns=len(chunk)).remote(chunk)
+        if len(chunk) == 1:
+            out = [out]
+        refs.update(zip(chunk, out))
+    return key, refs
+
+
+def _stage_finish(pending) -> "ray.ObjectRef":
+    """Wait for a ``_stage_launch`` wave and memoize the ref-dict handle."""
+    key, refs = pending
+    if refs is None:
+        return _STAGE_REFS[key]
+    ray.wait(list(refs.values()), num_returns=len(refs), fetch_local=False)
+    handle = ray.put(refs)
+    _STAGE_REFS.clear()          # one live index per driver is the norm
+    _STAGE_REFS[key] = handle
+    return handle
+
+
 def stage_partition_arrays(ckpt_dir: str, files_per_task: int | None = None):
     """Stage every partition's scan arrays into the Ray object store.
 
@@ -104,43 +147,17 @@ def stage_partition_arrays(ckpt_dir: str, files_per_task: int | None = None):
     buffers; Ray handles spill + node locality).  Memoized per
     (ckpt_dir, manifest mtime) so successive query stages share one
     wave.
+
+    The finish half blocks until the whole wave EXISTS in the object
+    store (created, not fetched: fetch_local=False pulls nothing to the
+    driver).  Returning pending refs deadlocks whenever the downstream
+    query actor pool claims every CPU first — the num_cpus=1 staging
+    tasks then wait for a slot the blocked-in-ray.get actors never
+    release (reproduced at num_cpus=4 with concurrency=4; raylet showed
+    CPU:0 available + 1 task waiting_for_remote_node_resources).  The
+    driver holds no CPU, so blocking here is deadlock-free.
     """
-    import os as _os
-    man_path = _os.path.join(ckpt_dir, "manifest.parquet")
-    key = (ckpt_dir, _os.stat(man_path).st_mtime_ns)
-    hit = _STAGE_REFS.get(key)
-    if hit is not None:
-        return hit
-    manifest = buildmod.load_manifest(ckpt_dir)
-    paths = manifest.column("path").to_pylist()
-    if files_per_task is None:
-        # default: ~4 tasks per CPU (parallel wave, bounded task count),
-        # capped at 32 files so a 10^5-partition index is ~3k tasks
-        ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
-        files_per_task = max(1, min(32, -(-len(paths) // (4 * ncpu))))
-    fn = ray.remote(num_cpus=1)(_stage_chunk)
-    refs: dict = {}
-    for i in range(0, len(paths), files_per_task):
-        chunk = paths[i:i + files_per_task]
-        out = fn.options(num_returns=len(chunk)).remote(chunk)
-        if len(chunk) == 1:
-            out = [out]
-        refs.update(zip(chunk, out))
-    # Block until the whole wave EXISTS in the object store (created,
-    # not fetched: fetch_local=False pulls nothing to the driver).
-    # Returning pending refs deadlocks whenever the downstream query
-    # actor pool claims every CPU first — the num_cpus=1 staging tasks
-    # then wait for a slot the blocked-in-ray.get actors never release
-    # (reproduced at num_cpus=4 with concurrency=4; raylet showed
-    # CPU:0 available + 1 task waiting_for_remote_node_resources).
-    # The driver holds no CPU, so blocking here is deadlock-free, and
-    # staging is a pre-pass the query stage cannot start without.
-    ray.wait(list(refs.values()), num_returns=len(refs),
-             fetch_local=False)
-    handle = ray.put(refs)
-    _STAGE_REFS.clear()          # one live index per driver is the norm
-    _STAGE_REFS[key] = handle
-    return handle
+    return _stage_finish(_stage_launch(ckpt_dir, files_per_task))
 
 
 def _resolve_arrays(path: str, part_refs, cap: int = 2048):
@@ -610,7 +627,11 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
     # the last-wave straggler tail costs ~skew/waves — 2 tasks/CPU gave
     # only 2 waves at the scaling ladder's high level vs 4 at the low,
     # penalizing exactly the configuration the efficiency bar measures
-    width = max(int(float(__import__("os").environ.get("GRAFT_KNN_WPC", "4")) * int(_ray.cluster_resources().get("CPU", 8))),
+    # 8 tasks/CPU default: home cells have skewed candidate-set sizes —
+    # measured on the 150k-query ladder workload, 8/CPU beat 4/CPU at
+    # BOTH levels (2 cpus: 13.5->11.3s; 8 cpus: 3.6->3.5s) and 16/CPU
+    # lost it again to per-task overhead
+    width = max(int(float(__import__("os").environ.get("GRAFT_KNN_WPC", "8")) * int(_ray.cluster_resources().get("CPU", 8))),
                 concurrency * 2, 8)
     if route_by_home_cell and use_keyed:
         # keyed path: width also sets the hash-shuffle aggregator-actor
@@ -625,7 +646,19 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
         routed = routed.sort("route_cell").repartition(width)
     else:
         routed = routed.repartition(width)
-    part_refs = stage_partition_arrays(ckpt_dir) if preload else None
+    part_refs = None
+    if preload:
+        # overlap the staging read wave with the routing exchange: both
+        # fill the same CPUs, and the driver blocks once, after the
+        # exchange (by which point staging has normally finished) —
+        # measured ~0.8s saved at 8 cpus on the 150k-query workload.
+        # The routed exchange is materialized here (queries are the
+        # small side; 150k routed rows ≈ 6 MB of blocks), which also
+        # means the exchange doesn't re-run if the caller consumes the
+        # result twice.
+        pending = _stage_launch(ckpt_dir)
+        routed = routed.materialize()
+        part_refs = _stage_finish(pending)
     if not use_actor_pool:
         return routed.map_batches(KnnActor(ckpt_dir, part_refs=part_refs),
                                   batch_format="pyarrow",
