@@ -118,6 +118,9 @@ def run_bench() -> dict:
             int(os.environ.get("GRAFT_SCALE_IMAGES", "400000")))
         return {"prep": "done"}
 
+    def pq_nfiles(path: str) -> int:
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
     if heavy:
         # heavy FIXED workload for the scaling criterion: each stage is
         # sized so its compute dominates Ray's constant scheduling /
@@ -130,8 +133,17 @@ def run_bench() -> dict:
             int(os.environ.get("GRAFT_SCALE_IMAGES", "400000")))
         idx_mult = int(os.environ.get("GRAFT_SCALE_IDX_MULT", "4"))
         wide_mult = int(os.environ.get("GRAFT_SCALE_WIDE_MULT", "32"))
-        pts = rd.read_parquet(points_path(idx_mult))
-        pts_wide = rd.read_parquet(points_path(wide_mult))
+        # override_num_blocks == file count: Ray then applies NO
+        # SplitBlocks to the read, which lets the read fuse with the
+        # downstream map ops.  An UNFUSED read is a separate operator
+        # competing for CPU slots with the compute stage in the
+        # streaming executor — measured 25% worker idle time on the
+        # decode stage at 8 cpus from exactly that (wall 11.9s -> 8.1s
+        # fused), plus an object-store round-trip of the bytes column.
+        pts = rd.read_parquet(points_path(idx_mult),
+                              override_num_blocks=pq_nfiles(points_path(idx_mult)))
+        pts_wide = rd.read_parquet(points_path(wide_mult),
+                                   override_num_blocks=pq_nfiles(points_path(wide_mult)))
     else:
         images_path = entrymod._image_table_path(sf_dir)
         pts = lineitem_points()
@@ -251,24 +263,26 @@ def run_bench() -> dict:
         lambda: tiles.tiles_with_images(pts_wide, entrymod.TILE_RES).count())
 
     # ---- 5. image decode + validate (PSNR gate + phash recompute), task mode
-    # override_num_blocks: the cached image table is a handful of large
-    # parquet files; the default file-grained read yields ~4-8 blocks,
-    # capping decode parallelism below the CPU count (measured 4->16
-    # scaling ratio 2.86 on this stage from exactly that)
+    # override_num_blocks == parquet file count + batch_size=None: the
+    # read applies no SplitBlocks and FUSES with the decode map into one
+    # ReadParquet->MapBatches operator.  Unfused, the read is a separate
+    # operator competing for CPU slots in the streaming executor —
+    # measured 25% worker idle on this stage at 8 cpus (11.9s -> 8.1s
+    # fused) — and ships the multi-KB bytes column through the object
+    # store once more.  Task granularity = file granularity (the cache
+    # is written with a fixed file count, so the workload is identical
+    # at every ladder level).
     # slim=True: emit (image_id, valid, phash_decoded) only — the gate's
     # consumers already hold the bytes, and passing the multi-KB bytes
     # column through re-materializes the whole table into the object
     # store (a per-row memcpy that dominates the stage and contends on
     # store bandwidth as CPUs scale)
-    # 16 tasks/CPU: decode task time varies ~1.6x with the format mix of
-    # an id range; finer tasks shrink the last-wave tail (per-task decode
-    # still ~0.4s at 32 cpus, far above scheduling overhead)
-    img_blocks = 16 * num_cpus
+    img_blocks = pq_nfiles(images_path)
     counts["img_rows"] = timed(
         "img_validate",
         lambda: rd.read_parquet(images_path, override_num_blocks=img_blocks)
                   .map_batches(decode.DecodeValidate(slim=True),
-                               batch_format="pyarrow", batch_size=128)
+                               batch_format="pyarrow", batch_size=None)
                   .count())
 
     if heavy:
@@ -278,7 +292,7 @@ def run_bench() -> dict:
             "img_features",
             lambda: rd.read_parquet(images_path, override_num_blocks=img_blocks)
                       .map_batches(multimodal.ImageFeatures(), batch_format="pyarrow",
-                                   batch_size=128).count())
+                                   batch_size=None).count())
         # ---- 7. near-dup: phash banding candidates + SSIM verification.
         # Deterministic subset by id (limit() picks arbitrary blocks AND
         # makes the amount of work done before the limit triggers depend
@@ -293,13 +307,14 @@ def run_bench() -> dict:
         # 24k images (doubled from 12k): the pair stage at 12k measured
         # 1.3s at 8 cpus — too close to the fixed exchange cost for the
         # efficiency criterion to measure the operator
-        sub = rd.read_parquet(images_path).map_batches(
+        sub = rd.read_parquet(images_path, override_num_blocks=img_blocks
+                              ).map_batches(
             lambda b: b.filter(pc.less(b.column("image_id"), "img-00024000")),
             batch_format="pyarrow")
         # narrow read for the pair stage: only (image_id, phash) leave
         # storage — the bytes column is needed just for the SSIM verify
-        narrow = rd.read_parquet(images_path, columns=["image_id", "phash"]
-                                 ).map_batches(
+        narrow = rd.read_parquet(images_path, columns=["image_id", "phash"],
+                                 override_num_blocks=img_blocks).map_batches(
             lambda b: b.filter(pc.less(b.column("image_id"), "img-00024000")),
             batch_format="pyarrow")
         counts["pair_rows"] = timed(
