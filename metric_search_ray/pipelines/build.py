@@ -81,13 +81,11 @@ def part_path(ckpt_dir: str, cell_id: int, salt: int) -> str:
     return os.path.join(ckpt_dir, f"part-{np.uint64(np.int64(cell_id)):016x}-{salt:03d}.parquet")
 
 
-def plan_salts(ds: "rd.Dataset", target_rows: int = DEFAULT_TARGET_ROWS) -> dict[int, int]:
-    """Count pre-pass: cells with more than target_rows get k > 1 salts.
-
-    Per-batch partial counts stream to the driver (one row per distinct
-    cell per batch, bounded by 4^res per batch) and combine with one
-    vectorized pass — no groupby shuffle for a result this small.
-    """
+def _cell_counts(ds: "rd.Dataset") -> tuple[np.ndarray, np.ndarray]:
+    """Count pre-pass: per-batch partial counts stream to the driver
+    (one row per distinct cell per batch, bounded by 4^res per batch)
+    and combine with one vectorized pass — no groupby shuffle for a
+    result this small.  Returns (cells, totals), both sorted by cell."""
     def partial(batch: pa.Table) -> pa.Table:
         vals, cnt = np.unique(batch.column("cell").to_numpy(), return_counts=True)
         return pa.table({"cell": pa.array(vals, pa.int64()),
@@ -99,14 +97,147 @@ def plan_salts(ds: "rd.Dataset", target_rows: int = DEFAULT_TARGET_ROWS) -> dict
         cs.append(b.column("cell").to_numpy())
         ns.append(b.column("partial_n").to_numpy())
     if not cs:
-        return {}
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     cs = np.concatenate(cs)
     ns = np.concatenate(ns)
     cells, inv = np.unique(cs, return_inverse=True)
     totals = np.zeros(len(cells), np.int64)
     np.add.at(totals, inv, ns)
+    return cells, totals
+
+
+def plan_salts(ds: "rd.Dataset", target_rows: int = DEFAULT_TARGET_ROWS) -> dict[int, int]:
+    """Cells with more than target_rows get k > 1 salts."""
+    cells, totals = _cell_counts(ds)
     k = np.maximum(1, np.ceil(totals / target_rows)).astype(int)
     return {int(c): int(n) for c, n in zip(cells, k) if n > 1}
+
+
+def _pack_bins(cells: np.ndarray, totals: np.ndarray,
+               salt_plan: dict[int, int], n_bins: int
+               ) -> tuple[np.ndarray, np.ndarray, int]:
+    """LPT bin-pack every (cell, salt) partition into ``n_bins``
+    row-balanced build tasks.
+
+    The per-partition tree build is the expensive leg of the build
+    shuffle, and partition sizes are long-tailed (cold ocean cells vs
+    salted city caps): grouping by (cell, salt) directly hands Ray's
+    sort-based shuffle long-tailed groups, and the resulting map_groups
+    task times spread ~6x — a last-wave straggler at every parallelism
+    level (measured 67% worker occupancy at 8 cpus).  Packing the
+    known partition row counts (free — the salting pre-pass already
+    counted them) into equal-row bins and grouping by the bin id makes
+    every build task the same size by construction.
+
+    Returns (composite keys sorted asc, bin id per key, salt modulus S)
+    where composite key = cell * S + salt.
+    """
+    import heapq
+
+    S = max(salt_plan.values(), default=1)
+    keys: list[int] = []
+    rows: list[float] = []
+    for c, n in zip(cells, totals):
+        k = salt_plan.get(int(c), 1)
+        for s in range(k):
+            keys.append(int(c) * S + s)
+            rows.append(n / k)
+    if not keys:
+        return np.empty(0, np.int64), np.empty(0, np.int64), S
+    keys_a = np.asarray(keys, np.int64)
+    rows_a = np.asarray(rows, np.float64)
+    bin_of = np.empty(len(keys_a), np.int64)
+    heap = [(0.0, b) for b in range(max(1, n_bins))]
+    for i in np.argsort(-rows_a, kind="stable"):
+        load, b = heapq.heappop(heap)
+        bin_of[i] = b
+        heapq.heappush(heap, (load + rows_a[i], b))
+    order = np.argsort(keys_a, kind="stable")
+    return keys_a[order], bin_of[order], S
+
+
+def _assign_bin(batch: pa.Table, keys_sorted: np.ndarray, bins: np.ndarray,
+                S: int) -> pa.Table:
+    """Vectorized (cell, salt) -> build-task bin lookup."""
+    if len(keys_sorted) == 0:
+        return batch.append_column(
+            "bin", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()))
+    comp = (batch.column("cell").to_numpy() * S
+            + batch.column("salt").to_numpy())
+    idx = np.searchsorted(keys_sorted, comp)
+    return batch.append_column("bin", pa.array(bins[idx], pa.int64()))
+
+
+def _build_bin(tbl: pa.Table, ckpt_dir: str, resume: bool) -> pa.Table:
+    """Build every (cell, salt) partition present in one bin's rows."""
+    if tbl.num_rows == 0:
+        return MANIFEST_SCHEMA.empty_table()
+    cells = tbl.column("cell").to_numpy()
+    salts = tbl.column("salt").to_numpy()
+    order = np.lexsort((salts, cells))
+    srt = tbl.take(pa.array(order))
+    comp_sorted = cells[order] * (salts.max() + 1) + salts[order]
+    bounds = np.flatnonzero(np.diff(comp_sorted)) + 1
+    starts = np.concatenate(([0], bounds))
+    stops = np.concatenate((bounds, [len(comp_sorted)]))
+    return pa.concat_tables(
+        _build_partition(srt.slice(a, b - a), ckpt_dir, resume)
+        for a, b in zip(starts, stops))
+
+
+def _split_by_bin(block, n_bins: int):
+    """Map side of the exact exchange: one sub-table per bin."""
+    tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    bins_col = tbl.column("bin").to_numpy()
+    order = np.argsort(bins_col, kind="stable")
+    srt = tbl.take(pa.array(order))
+    counts = np.bincount(bins_col, minlength=n_bins)
+    stops = np.cumsum(counts)
+    starts = stops - counts
+    out = [srt.slice(int(a), int(b - a)) for a, b in zip(starts, stops)]
+    return out if n_bins > 1 else out[0]
+
+
+def _build_bin_shards(ckpt_dir: str, resume: bool, *shards) -> pa.Table:
+    """Reduce side of the exact exchange: build one bin from its shards."""
+    parts = [s for s in shards if s.num_rows]
+    if not parts:
+        return MANIFEST_SCHEMA.empty_table()
+    return _build_bin(pa.concat_tables(parts), ckpt_dir, resume)
+
+
+def _exact_exchange_build(salted_mat: "rd.Dataset", ckpt_dir: str,
+                          resume: bool, n_bins: int) -> pa.Table:
+    """Exact bin-routed exchange over raw Ray tasks.
+
+    Ray Data's sort-based groupby shuffle picks reducer boundaries from
+    ~10 samples per reducer, so output block row counts spread ~5x
+    around the mean (measured 31k-150k rows at a 75k target) — the
+    build tasks inherit that spread and the last wave straggles
+    (67% worker occupancy at 8 cpus).  Here the bin id IS the target
+    partition, known exactly per row, so the Dataset API's shuffle
+    machinery (sampling, sorting) buys nothing: M split tasks each cut
+    one materialized block into n_bins sub-tables (num_returns=n_bins),
+    and n_bins build tasks each pull their M shards.  Object count is
+    M x n_bins, bounded by (tasks-per-cpu x cpus)^2 per exchange —
+    at multi-node scale keep n_bins ~ cluster cores (bins already pack
+    to target_rows-bounded partitions, so bin count, not row count,
+    governs the fan-out).
+    """
+    import ray as _ray
+
+    block_refs = [br for bundle in salted_mat.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
+    if not block_refs:
+        return MANIFEST_SCHEMA.empty_table()
+    split = _ray.remote(num_returns=n_bins)(_split_by_bin)
+    shards = [split.remote(ref, n_bins) for ref in block_refs]
+    if n_bins == 1:
+        shards = [[s] for s in shards]
+    build_task = _ray.remote(_build_bin_shards)
+    outs = [build_task.remote(ckpt_dir, resume, *[s[b] for s in shards])
+            for b in range(n_bins)]
+    return pa.concat_tables(_ray.get(outs))
 
 
 def _build_partition(tbl: pa.Table, ckpt_dir: str, resume: bool) -> pa.Table:
@@ -209,7 +340,9 @@ def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
         # then starts from n_blocks directly — one fewer standalone
         # repartition execution between the salt map and the groupby
         tagged = tagged.repartition(n_blocks).materialize()
-    salt_plan = plan_salts(tagged, target_rows)
+    cells, totals = _cell_counts(tagged)
+    k = np.maximum(1, np.ceil(totals / target_rows)).astype(int)
+    salt_plan = {int(c): int(n) for c, n in zip(cells, k) if n > 1}
     # persist the plan: incremental update/erase must route with the
     # SAME modulus even after partitions empty out of the manifest
     import json as _json
@@ -217,17 +350,33 @@ def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
     with open(_tmp, "w") as f:
         _json.dump({str(c): k for c, k in salt_plan.items()}, f)
     os.replace(_tmp, os.path.join(ckpt_dir, "salts.json"))
+    # row-balanced build tasks: pack the known (cell, salt) partition
+    # sizes into n_blocks equal-row bins and shuffle by the bin id —
+    # the per-(cell,salt) groupby handed the executor 6x-skewed build
+    # tasks (last-wave stragglers; 67% occupancy at 8 cpus)
+    keys_sorted, bins, S = _pack_bins(cells, totals, salt_plan, n_blocks)
     salted = tagged.map_batches(
-        lambda b: assign.assign_salt(b, salt_plan), batch_format="pyarrow",
-        zero_copy_batch=True)
-    if not materialize_tagged:
-        # streaming path: the source may be a single parquet file —
-        # split so every CPU gets build work
+        lambda b: _assign_bin(assign.assign_salt(b, salt_plan),
+                              keys_sorted, bins, S),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if materialize_tagged:
+        # the narrow salted projection is already pinned in the object
+        # store — route it through the exact bin exchange (no sampling,
+        # perfectly row-balanced build tasks)
+        manifest = _exact_exchange_build(salted.materialize(), ckpt_dir,
+                                         resume, n_blocks)
+    else:
+        # streaming path (projection larger than the object store):
+        # the source may be a single parquet file — split so every CPU
+        # gets build work, then let the sort-based groupby shuffle
+        # stream with backpressure; bins keep the build tasks balanced
+        # even though reducer block sizes spread on sampled boundaries
         salted = salted.repartition(n_blocks)
-    manifest_ds = salted.groupby(["cell", "salt"]).map_groups(
-        lambda t: _build_partition(t, ckpt_dir, resume), batch_format="pyarrow")
-    manifest = pa.Table.from_pandas(manifest_ds.to_pandas(), schema=MANIFEST_SCHEMA,
-                                    preserve_index=False)
+        manifest_ds = salted.groupby("bin").map_groups(
+            lambda t: _build_bin(t, ckpt_dir, resume), batch_format="pyarrow")
+        manifest = pa.Table.from_pandas(manifest_ds.to_pandas(),
+                                        schema=MANIFEST_SCHEMA,
+                                        preserve_index=False)
     tmp = os.path.join(ckpt_dir, f"manifest.tmp.{os.getpid()}")
     pq.write_table(manifest, tmp)
     os.replace(tmp, os.path.join(ckpt_dir, "manifest.parquet"))
