@@ -146,15 +146,43 @@ class RnnActor:
     def __init__(self, ckpt_dir: str, radius: float, cache_trees: int = 64,
                  part_refs=None, emit: str = "full"):
         import collections
-        manifest = buildmod.load_manifest(ckpt_dir)
-        self.by_cell = buildmod.cells_in_manifest(manifest)
-        self.cells = np.asarray(sorted(self.by_cell), np.int64)
+        self.ckpt_dir = ckpt_dir
+        self._by_cell = None
+        self._cells = None
         self.radius = radius
         self._cache: "collections.OrderedDict" = collections.OrderedDict()
         self.cache_trees = cache_trees
         self.part_refs = part_refs
         self.emit = emit
         self._aid: dict = {}          # path -> Arrow ids (gather source)
+
+    @property
+    def by_cell(self):
+        if self._by_cell is None:
+            from .knn import _manifest_lookup_cached
+            self._by_cell, _ = _manifest_lookup_cached(self.ckpt_dir)
+        return self._by_cell
+
+    @property
+    def cells(self):
+        if self._cells is None:
+            self._cells = np.asarray(sorted(self.by_cell), np.int64)
+        return self._cells
+
+    def __getstate__(self):
+        # ship only the tiny config; the manifest lookup is re-derived
+        # per worker process (see KnnActor.__getstate__)
+        return {k: getattr(self, k) for k in
+                ("ckpt_dir", "radius", "cache_trees", "part_refs", "emit")}
+
+    def __setstate__(self, state):
+        import collections
+        for k, v in state.items():
+            setattr(self, k, v)
+        self._by_cell = None
+        self._cells = None
+        self._cache = collections.OrderedDict()
+        self._aid = {}
 
     def _tree(self, path: str):
         from .knn import _load_tree_cached
@@ -261,14 +289,42 @@ def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
             home = cellmod.cell_of(lat_u, lon_u, res)
             route = ((home.astype(np.uint64) * np.uint64(2654435761))
                      & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            return batch.append_column("route_cell", pa.array(route, pa.int64()))
+            return (batch.append_column("home_cell", pa.array(home, pa.int64()))
+                         .append_column("route_cell", pa.array(route, pa.int64())))
 
         width = max(4 * int(_ray.cluster_resources().get("CPU", 8)), 8)
-        routed = (queries_ds.map_batches(add_route, batch_format="pyarrow",
-                                         zero_copy_batch=True)
-                  .sort("route_cell").repartition(width))
+        # driver routing for small query tables — same scheme and
+        # rationale as knn_geo: one argsort + cost-balanced contiguous
+        # split replaces the sort->repartition barrier chain
+        qtab = queries_ds if isinstance(queries_ds, pa.Table) else None
+        if qtab is None:
+            mat = queries_ds.materialize()
+            if mat.count() <= 2_000_000:
+                qtab = pa.concat_tables(
+                    _ray.get(mat.to_arrow_refs())).combine_chunks()
+            else:
+                queries_ds = mat
+        if qtab is not None and qtab.num_rows:
+            from .build import load_manifest
+            from .knn import _cost_balanced_slices
+            import ray.data as _rd
+            srt_in = add_route(qtab)
+            order = np.argsort(srt_in.column("route_cell").to_numpy(),
+                               kind="stable")
+            srt = srt_in.take(pa.array(order))
+            manifest = load_manifest(ckpt_dir)
+            routed = _rd.from_arrow(_cost_balanced_slices(
+                srt, manifest, min(width, qtab.num_rows)))
+        else:
+            if qtab is not None:   # empty table input
+                import ray.data as _rd
+                queries_ds = _rd.from_arrow(qtab)
+            routed = (queries_ds.map_batches(add_route, batch_format="pyarrow",
+                                             zero_copy_batch=True)
+                      .sort("route_cell").repartition(width))
+            if stage_pending is not None:
+                routed = routed.materialize()
         if stage_pending is not None:
-            routed = routed.materialize()
             actor.part_refs = _stage_finish(stage_pending)
         return routed.map_batches(actor, batch_format="pyarrow",
                                   batch_size=batch_size, num_cpus=1)

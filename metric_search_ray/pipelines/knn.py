@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+import ray.data as rd
 
 from .. import cell as cellmod
 from .. import phash as phashmod
@@ -229,6 +230,28 @@ def _load_tree_cached(path: str, metric, cap: int = 512):
     return _TREE_CACHE[key]
 
 
+_MANIFEST_LOOKUP_CACHE: dict = {}
+
+
+def _manifest_lookup_cached(ckpt_dir: str):
+    """Per-process memo: manifest -> (cell -> [(salt, path)]) lookup +
+    cell resolution.  Keyed by manifest mtime so a rebuilt index is
+    picked up; bounded to a handful of live indexes per process."""
+    import os as _os
+    key = (ckpt_dir,
+           _os.stat(_os.path.join(ckpt_dir, "manifest.parquet")).st_mtime_ns)
+    got = _MANIFEST_LOOKUP_CACHE.get(key)
+    if got is None:
+        manifest = buildmod.load_manifest(ckpt_dir)
+        by_cell = buildmod.cells_in_manifest(manifest)
+        res = int(cellmod.cell_res(np.asarray([next(iter(by_cell))]))[0]) \
+            if by_cell else buildmod.DEFAULT_RES
+        if len(_MANIFEST_LOOKUP_CACHE) >= 8:
+            _MANIFEST_LOOKUP_CACHE.clear()
+        got = _MANIFEST_LOOKUP_CACHE[key] = (by_cell, res)
+    return got
+
+
 class KnnActor:
     """Geo kNN with ring expansion over checkpoints; works as an actor
     pool (class) or as pickled-instance tasks.
@@ -247,25 +270,44 @@ class KnnActor:
         pruned Python traversal by 10-50x.  ``method='tree'`` walks the
         restored cover tree (the pruning pays off for very large
         partitions / tiny k).  Both are exact; results are identical."""
-        manifest = buildmod.load_manifest(ckpt_dir)
-        self.by_cell = buildmod.cells_in_manifest(manifest)
-        self.res = int(cellmod.cell_res(np.asarray([next(iter(self.by_cell))]))[0]) \
-            if self.by_cell else buildmod.DEFAULT_RES
+        self.ckpt_dir = ckpt_dir
+        self._by_cell = None
+        self._res = None
         self._cache: collections.OrderedDict = collections.OrderedDict()
         self.cache_trees = cache_trees
         self.method = method
         self.part_refs = part_refs
         self.metric = PlanarDeg()
 
+    @property
+    def by_cell(self):
+        if self._by_cell is None:
+            self._by_cell, self._res = _manifest_lookup_cached(self.ckpt_dir)
+        return self._by_cell
+
+    @property
+    def res(self):
+        if self._res is None:
+            self._by_cell, self._res = _manifest_lookup_cached(self.ckpt_dir)
+        return self._res
+
     def __getstate__(self):
-        # instance (task) mode: ship the manifest lookup, never the cache
+        # instance (task) mode: ship ONLY the tiny config — the
+        # manifest lookup (~300KB at 2k partitions) is re-derived per
+        # worker process from the checkpoint manifest through a
+        # process-global memo.  Shipping it serialized it into every
+        # task spec, a driver-side serial cost that grew with task
+        # count and charged the high parallelism level of the scaling
+        # ladder (task fan-out is proportional to CPUs).
         return {k: getattr(self, k) for k in
-                ("by_cell", "res", "cache_trees", "metric", "method",
+                ("ckpt_dir", "cache_trees", "metric", "method",
                  "part_refs")}
 
     def __setstate__(self, state):
         for k, v in state.items():
             setattr(self, k, v)
+        self._by_cell = None
+        self._res = None
         self._cache = collections.OrderedDict()
 
     def _tree(self, path: str):
@@ -524,9 +566,39 @@ def clamp_pool(concurrency: int) -> int:
     return max(1, min(int(concurrency), total - 1))
 
 
+def _cost_balanced_slices(srt: pa.Table, manifest: pa.Table,
+                          width: int) -> list[pa.Table]:
+    """Cut a route-sorted query table into ``width`` contiguous chunks
+    of equal estimated SCAN COST, not equal rows: a query's scan cost
+    is roughly its home cell's candidate count, which spreads ~2.4x
+    across cells (measured task times 143-344ms on equal-row chunks —
+    a last-wave tail the scaling ladder charges against the high
+    parallelism level).  The manifest's n_rows per cell is a free cost
+    model; the +64 floor covers per-query ring-bound overhead for
+    queries homed in empty cells."""
+    nq_total = srt.num_rows
+    man_cells = manifest.column("cell").to_numpy()
+    man_rows = manifest.column("n_rows").to_numpy()
+    uc = np.unique(man_cells)
+    rows_of = np.zeros(len(uc), np.int64)
+    np.add.at(rows_of, np.searchsorted(uc, man_cells), man_rows)
+    qhome = srt.column("home_cell").to_numpy()
+    pos = np.clip(np.searchsorted(uc, qhome), 0, max(len(uc) - 1, 0))
+    if len(uc):
+        w = np.where(uc[pos] == qhome, rows_of[pos], 0) + 64.0
+    else:
+        w = np.full(nq_total, 64.0)
+    cumw = np.cumsum(w)
+    targets = np.linspace(0, cumw[-1], width + 1)[1:-1]
+    cuts = np.searchsorted(cumw, targets)
+    bounds = np.concatenate(([0], cuts, [nq_total]))
+    return [srt.slice(int(a), int(b - a))
+            for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+
+
 def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 256,
             use_actor_pool: bool = True, route_by_home_cell: bool | None = None,
-            route_strategy: str = "sort", preload: bool | None = None):
+            route_strategy: str = "auto", preload: bool | None = None):
     """Geo kNN pipeline.  ``use_actor_pool=False`` ships a pickled
     KnnActor instance to stateless tasks instead — no pool spawn cost,
     warm-worker reuse; right for short bursts, while long-running query
@@ -539,7 +611,14 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
     instead of one per query (measured 8x when disabled).
 
     ``route_strategy`` picks the exchange that does the co-location:
-    - ``"sort"`` (default): global sort by home cell.  A barrier, but
+    - ``"auto"`` (default): query streams up to 2M rows (the small
+      side; tens of MB) are routed ON THE DRIVER — one argsort + take
+      + equal-row split into blocks, replacing the sort->repartition->
+      materialize barrier chain (each exchange a ~0.1-0.3s fixed cost
+      that the 2->8 scaling ladder charges 4x against the high level).
+      Larger streams fall through to the distributed sort.
+    - ``"driver"``: force the driver route regardless of size.
+    - ``"sort"``: global sort by home cell.  A barrier, but
       cheap in practice — measured 0.76 s for 10k queries at 32 cpus.
     - ``"hash"``: ``repartition(keys=["home_cell"])`` under Ray's
       hash-shuffle strategy.  No sort barrier, but the hash exchange
@@ -619,6 +698,54 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
             route = route + sub * np.uint64(0x9E3779B1)
         route = (route & np.uint64(0xFFFFFFFF)).astype(np.int64)
         return out.append_column("route_cell", pa.array(route, pa.int64()))
+
+    # -- driver routing: the query table is the SMALL side of this join
+    # (few hundred bytes/row).  When it fits comfortably on the driver
+    # (<= ~2M rows, tens of MB), do the route+sort+split locally: one
+    # argsort + take replaces a 3-barrier distributed exchange
+    # (sort -> repartition -> materialize, each a ~0.1-0.3s fixed cost
+    # that the 2->8 scaling ladder charges 4x against the high level),
+    # and the split is EXACTLY cost-balanced instead of
+    # boundary-sampled.  Callers may pass the queries as a pa.Table
+    # directly — that skips even the materialize executor spin.
+    # Larger query streams keep the distributed sort path below.
+    qtab = queries_ds if isinstance(queries_ds, pa.Table) else None
+    if qtab is None and route_by_home_cell and \
+            route_strategy in ("auto", "driver"):
+        mat = queries_ds.materialize()
+        nq_total = mat.count()
+        if route_strategy == "driver" or nq_total <= 2_000_000:
+            qtab = pa.concat_tables(
+                _ray.get(mat.to_arrow_refs())).combine_chunks()
+        else:
+            queries_ds = mat  # large stream: reuse the materialization
+    if qtab is not None:
+        nq_total = qtab.num_rows
+        if nq_total == 0:
+            return rd.from_arrow(qtab).map_batches(
+                KnnActor(ckpt_dir), batch_format="pyarrow")
+        pending = _stage_launch(ckpt_dir) if preload else None
+        qtbl = add_home(qtab)
+        order = np.argsort(qtbl.column("route_cell").to_numpy(),
+                           kind="stable")
+        srt = qtbl.take(pa.array(order))
+        width = max(int(float(__import__("os").environ.get(
+            "GRAFT_KNN_WPC", "4")) * int(_ray.cluster_resources().get("CPU", 8))),
+            concurrency * 2, 8)
+        width = min(width, nq_total)
+        routed = rd.from_arrow(_cost_balanced_slices(srt, manifest, width))
+        part_refs = _stage_finish(pending) if preload else None
+        if not use_actor_pool:
+            return routed.map_batches(
+                KnnActor(ckpt_dir, part_refs=part_refs),
+                batch_format="pyarrow", batch_size=batch_size,
+                num_cpus=1)
+        return routed.map_batches(
+            KnnActor,
+            fn_constructor_kwargs={"ckpt_dir": ckpt_dir,
+                                   "part_refs": part_refs},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=clamp_pool(concurrency), num_cpus=1)
 
     routed = queries_ds.map_batches(add_home, batch_format="pyarrow",
                                     zero_copy_batch=True)
