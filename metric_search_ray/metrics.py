@@ -291,20 +291,34 @@ class SSIM:
         images: A, B are (N, H, W) float stacks -> (N,) distances.
         Identical math to the per-pair reference port (the luminance /
         contrast-structure terms of SSIM.cpp:145-161); vectorized across
-        the stack and separable across the window axes."""
+        the stack and separable across the window axes.
+
+        The stack is processed in cache-sized chunks: the convolution
+        temps are ~15x the input size, so a large stack streams every
+        temp through DRAM — measured saturating memory bandwidth at 8
+        busy cores (per-core throughput -40%).  ~32 64x64 pairs of
+        temps fit L3; results are bit-identical (same per-pair ops)."""
         A = np.asarray(A, np.float64)
         B = np.asarray(B, np.float64)
-        mu1 = self._sepconv(A)
-        mu2 = self._sepconv(B)
-        s1 = self._sepconv(A * A) - mu1 * mu1
-        s2 = self._sepconv(B * B) - mu2 * mu2
-        np.maximum(s1, 0, out=s1)
-        np.maximum(s2, 0, out=s2)
+        n = len(A)
+        px = max(int(A.shape[1]) * int(A.shape[2]), 1)
+        chunk = max(1, min(n, (32 * 64 * 64) // px))
+        out = np.empty(n, np.float64)
         c1 = (0.01 * self.dynamic_range) ** 2
         c2 = (0.03 * self.dynamic_range) ** 2
-        S1 = (2 * mu1 * mu2 + c1) / (mu1**2 + mu2**2 + c1)
-        S2 = (2 * np.sqrt(s1 * s2) + c2) / (s1 + s2 + c2)
-        return np.sqrt(np.maximum(2 - S1 - S2, 0)).mean(axis=(1, 2))
+        for i in range(0, n, chunk):
+            a = A[i:i + chunk]
+            b = B[i:i + chunk]
+            mu1 = self._sepconv(a)
+            mu2 = self._sepconv(b)
+            s1 = self._sepconv(a * a) - mu1 * mu1
+            s2 = self._sepconv(b * b) - mu2 * mu2
+            np.maximum(s1, 0, out=s1)
+            np.maximum(s2, 0, out=s2)
+            S1 = (2 * mu1 * mu2 + c1) / (mu1**2 + mu2**2 + c1)
+            S2 = (2 * np.sqrt(s1 * s2) + c2) / (s1 + s2 + c2)
+            out[i:i + chunk] = np.sqrt(np.maximum(2 - S1 - S2, 0)).mean(axis=(1, 2))
+        return out
 
     def visibility_map(self, img1, img2) -> np.ndarray:
         """Per-window visibility stabilizer — the reference's

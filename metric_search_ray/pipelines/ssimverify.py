@@ -187,7 +187,207 @@ def ssim_verify_pairs_broadcast(images_ds, pairs_ds, id_col: str = "image_id",
             .map_batches(score, batch_format="pyarrow", batch_size=batch_size))
 
 
+def stage_decoded_gray(images_ds, id_col: str = "image_id"):
+    """Decode the candidate set ONCE, cluster-wide, into plasma-resident
+    grayscale blocks; returns a handle ObjectRef wrapping
+    ``{image_id: (block_ref, row)}``.
+
+    The per-worker decoded-pixel LRU (``_PIX_CACHE``) cannot hold a
+    large candidate set (36k 64x64 float64 images = 1.2 GB per worker
+    heap), so every worker re-decodes most images it sees — duplicated
+    decode work proportional to the worker count, exactly what the
+    scaling bar punishes.  Staging decodes each image exactly once in
+    a distributed wave and parks the pixels in the object store, where
+    every worker on a node shares ONE zero-copy mapping (plasma is
+    shared memory) — per-node cost, not per-worker.  Scale note: the
+    decoded candidate set must fit a node's object store; beyond that
+    use the hash-join path (``ssim_verify_pairs``)."""
+    import ray as _ray
+
+    def dec(batch: pa.Table) -> pa.Table:
+        bufs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        h, w, c, px = [], [], [], []
+        for buf, fmt in zip(bufs, fmts):
+            pix = codecs.decode(buf, fmt)
+            shape = pix.shape
+            gray = np.asarray(pix, np.float64)
+            if gray.ndim == 3:
+                gray = gray.mean(axis=2)
+            h.append(shape[0])
+            w.append(shape[1])
+            c.append(shape[2] if len(shape) == 3 else 0)
+            px.append(gray.tobytes())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "h": pa.array(h, pa.int32()), "w": pa.array(w, pa.int32()),
+            "c": pa.array(c, pa.int32()),
+            "gray": pa.array(px, pa.large_binary())})
+
+    mat = (images_ds.select_columns([id_col, "bytes", "fmt"])
+           .map_batches(dec, batch_format="pyarrow").materialize())
+    refs = [br for bundle in mat.iter_internal_ref_bundles()
+            for br in bundle.block_refs]
+    meta_of = _ray.remote(
+        lambda t, col=id_col: (
+            (t.column(col).to_numpy(zero_copy_only=False).astype(np.str_),
+             t.column("h").to_numpy(), t.column("w").to_numpy(),
+             t.column("c").to_numpy())
+            if col in t.schema.names else
+            (np.empty(0, np.str_), np.empty(0, np.int32),
+             np.empty(0, np.int32), np.empty(0, np.int32))))
+    metas = _ray.get([meta_of.remote(r) for r in refs])
+    # COMPACT handle: sorted id array + parallel index/shape arrays +
+    # one ref per BLOCK.  (A {id: (ref, row)} dict holds one ObjectRef
+    # PER IMAGE — deserializing it re-registers tens of thousands of
+    # refs in every worker process, which measured 2-3x the entire
+    # scoring compute.)
+    ids = np.concatenate([m[0] for m in metas]) if metas else np.empty(0, np.str_)
+    block = np.concatenate([np.full(len(m[0]), bi, np.int32)
+                            for bi, m in enumerate(metas)]) \
+        if metas else np.empty(0, np.int32)
+    row = np.concatenate([np.arange(len(m[0]), dtype=np.int32)
+                          for m in metas]) if metas else np.empty(0, np.int32)
+    hh = np.concatenate([m[1] for m in metas]) if metas else np.empty(0, np.int32)
+    ww = np.concatenate([m[2] for m in metas]) if metas else np.empty(0, np.int32)
+    cc = np.concatenate([m[3] for m in metas]) if metas else np.empty(0, np.int32)
+    order = np.argsort(ids, kind="stable")
+    return _ray.put({"ids": ids[order], "block": block[order],
+                     "row": row[order], "h": hh[order], "w": ww[order],
+                     "c": cc[order], "refs": refs})
+
+
+_DEC_BLOCK_CACHE: dict = {}
+
+
+def _decoded_block(ref):
+    """Per-process zero-copy view of one staged decoded block:
+    (h, w, c int arrays, value offsets, flat float64 pixel view)."""
+    key = ref.hex()
+    got = _DEC_BLOCK_CACHE.get(key)
+    if got is None:
+        import ray as _ray
+        tbl = _ray.get(ref)
+        arr = tbl.column("gray").combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0)
+        offs = np.frombuffer(arr.buffers()[1], np.int64,
+                             count=len(arr) + 1, offset=arr.offset * 8)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        if len(_DEC_BLOCK_CACHE) > 512:
+            _DEC_BLOCK_CACHE.clear()
+        got = _DEC_BLOCK_CACHE[key] = (
+            tbl.column("h").to_numpy(), tbl.column("w").to_numpy(),
+            tbl.column("c").to_numpy(), offs, data)
+    return got
+
+
+def ssim_verify_pairs_staged(pairs_ds, decoded_ref, batch_size: int = 256):
+    """Score pairs against a ``stage_decoded_gray`` handle: tasks
+    resolve only the blocks their ids touch, zero-copy, no decoding.
+
+    Pairs arrive bucket-ordered from the banding join, so score-able
+    same-shape pairs CLUSTER: contiguous row chunks then spread 15x in
+    task cost (measured 133ms-2.08s at 8 cpus) — a straggler tail.
+    Small pair tables (the normal case — pairs are a sampled/verified
+    candidate stream) are therefore scrambled ON THE DRIVER with a
+    fixed pseudorandom permutation and split into equal chunks, so
+    every task samples the same cost mix; large streams fall back to
+    the distributed repartition."""
+    import ray as _ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        H = _bcast_get_raw(decoded_ref)
+        ids_sorted = H["ids"]
+        ssim = SSIM()
+        n = batch.num_rows
+        out = np.full(n, np.nan, np.float64)
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.str_)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.str_)
+        # vectorized prefilter: resolve ids + shape gates without any
+        # per-pair python — most candidate pairs short-circuit to NaN
+        # (missing image / shape mismatch / sub-window image)
+        pa_ = np.searchsorted(ids_sorted, ia)
+        pb_ = np.searchsorted(ids_sorted, ib)
+        np.clip(pa_, 0, max(len(ids_sorted) - 1, 0), out=pa_)
+        np.clip(pb_, 0, max(len(ids_sorted) - 1, 0), out=pb_)
+        if len(ids_sorted) == 0:
+            ok = np.zeros(n, bool)
+        else:
+            ok = (ids_sorted[pa_] == ia) & (ids_sorted[pb_] == ib)
+            ok &= ((H["h"][pa_] == H["h"][pb_]) & (H["w"][pa_] == H["w"][pb_])
+                   & (H["c"][pa_] == H["c"][pb_])
+                   & (np.minimum(H["h"][pa_], H["w"][pa_]) >= 11))
+        sel = np.flatnonzero(ok)
+        if len(sel):
+            # group scoreable pairs by shape; gather pixel rows from the
+            # plasma-resident blocks (zero-copy views)
+            hs, ws = H["h"][pa_[sel]], H["w"][pa_[sel]]
+            shape_key = hs.astype(np.int64) * (1 << 20) + ws
+            for key in np.unique(shape_key):
+                grp = sel[shape_key == key]
+                h0, w0 = int(H["h"][pa_[grp[0]]]), int(H["w"][pa_[grp[0]]])
+
+                def gather(pos):
+                    out_px = np.empty((len(pos), h0, w0), np.float64)
+                    blk = H["block"][pos]
+                    rw = H["row"][pos]
+                    for j, (b_, r_) in enumerate(zip(blk, rw)):
+                        _h, _w, _c, offs, data = _decoded_block(H["refs"][b_])
+                        out_px[j] = data[offs[r_]:offs[r_ + 1]].view(
+                            np.float64).reshape(h0, w0)
+                    return out_px
+
+                out[grp] = ssim.batch_pairs(gather(pa_[grp]), gather(pb_[grp]))
+        return (batch.select(["id_a", "id_b"])
+                .append_column("ssim_dist", pa.array(out, pa.float64())))
+
+    # 6 tasks/CPU: scoring cost varies with the shape mix of a chunk
+    # (mismatched pairs short-circuit to NaN), so 2 coarse waves left a
+    # straggler tail at the scaling ladder's high level
+    width = max(6 * int(_ray.cluster_resources().get("CPU", 8)), 8)
+    ptab = pairs_ds if isinstance(pairs_ds, pa.Table) else None
+    if ptab is None:
+        mat = pairs_ds.materialize()
+        if mat.count() <= 2_000_000:
+            ptab = pa.concat_tables(
+                _ray.get(mat.to_arrow_refs())).combine_chunks()
+        else:
+            pairs_ds = mat
+    if ptab is not None and ptab.num_rows:
+        import ray.data as _rd
+        n = ptab.num_rows
+        # fixed content-independent pseudorandom permutation
+        perm = np.argsort((np.arange(n, dtype=np.uint64)
+                           * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF),
+                          kind="stable")
+        srt = ptab.take(pa.array(perm))
+        width = min(width, n)
+        bounds = np.linspace(0, n, width + 1).astype(np.int64)
+        scrambled = _rd.from_arrow(
+            [srt.slice(int(a), int(b - a))
+             for a, b in zip(bounds[:-1], bounds[1:]) if b > a])
+        return scrambled.map_batches(score, batch_format="pyarrow",
+                                     batch_size=batch_size)
+    if ptab is not None:   # empty
+        import ray.data as _rd
+        pairs_ds = _rd.from_arrow(ptab)
+    return (pairs_ds.repartition(width)
+            .map_batches(score, batch_format="pyarrow", batch_size=batch_size))
+
+
 _BCAST_CACHE: dict = {}
+
+
+def _bcast_get_raw(ref):
+    """Per-process cache of one small broadcast object (e.g. the staged
+    decoded-image mapping)."""
+    import ray
+    key = ("raw", ref.hex())
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
 
 
 def _bcast_get(ref, id_col: str):
@@ -245,6 +445,12 @@ def ssim_verify(images_ds, pairs_ds, id_col: str = "image_id",
         store = _ray.cluster_resources().get("object_store_memory", 2 << 30)
         broadcast_limit_bytes = min(int(store) // 4, 2 << 30)
     imgs = images_ds.select_columns([id_col, "bytes", "fmt"]).materialize()
-    if imgs.size_bytes() <= broadcast_limit_bytes:
-        return ssim_verify_pairs_broadcast(imgs, pairs_ds, id_col=id_col)
+    # staged pixels are float64 grayscale — budget ~8x the encoded size
+    # for the decode expansion when deciding if the set fits the store
+    if imgs.size_bytes() * 8 <= broadcast_limit_bytes:
+        # staged decode-once (plasma-shared pixels) — strictly better
+        # than the byte-broadcast path, which re-decoded each image
+        # once per worker whenever the set overflowed the decode LRU
+        return ssim_verify_pairs_staged(
+            pairs_ds, stage_decoded_gray(imgs, id_col=id_col))
     return ssim_verify_pairs(imgs, pairs_ds, id_col=id_col, **kwargs)

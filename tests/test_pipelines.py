@@ -670,6 +670,13 @@ def test_ssim_verify_auto_paths_agree(ray_session, tiny_images):
     assert (a["id_a"] == b["id_a"]).all() and (a["id_b"] == b["id_b"]).all()
     np.testing.assert_allclose(a["ssim_dist"].to_numpy(),
                                b["ssim_dist"].to_numpy(), rtol=1e-12)
+    # staged-decode path (decode-once into plasma): identical scores
+    dref = ssimverify.stage_decoded_gray(ds)
+    c = norm(ssimverify.ssim_verify_pairs_staged(pairs, dref).to_pandas())
+    assert len(c) == len(a)
+    assert (a["id_a"] == c["id_a"]).all() and (a["id_b"] == c["id_b"]).all()
+    np.testing.assert_allclose(a["ssim_dist"].to_numpy(),
+                               c["ssim_dist"].to_numpy(), rtol=1e-12)
 
 
 def test_stage_partition_arrays_batched(ray_session, index_dir):
