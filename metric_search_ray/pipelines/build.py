@@ -130,17 +130,18 @@ def _pack_bins(cells: np.ndarray, totals: np.ndarray,
     every build task the same size by construction.
 
     Returns (composite keys sorted asc, bin id per key, salt modulus S)
-    where composite key = cell * S + salt.
+    where composite key = rank(cell) * S + salt — cell RANKS, not raw
+    quadkey ids, keep the composite inside int64 at any resolution.
     """
     import heapq
 
     S = max(salt_plan.values(), default=1)
     keys: list[int] = []
     rows: list[float] = []
-    for c, n in zip(cells, totals):
+    for r, (c, n) in enumerate(zip(cells, totals)):
         k = salt_plan.get(int(c), 1)
         for s in range(k):
-            keys.append(int(c) * S + s)
+            keys.append(r * S + s)
             rows.append(n / k)
     if not keys:
         return np.empty(0, np.int64), np.empty(0, np.int64), S
@@ -156,14 +157,15 @@ def _pack_bins(cells: np.ndarray, totals: np.ndarray,
     return keys_a[order], bin_of[order], S
 
 
-def _assign_bin(batch: pa.Table, keys_sorted: np.ndarray, bins: np.ndarray,
+def _assign_bin(batch: pa.Table, cells_sorted: np.ndarray,
+                keys_sorted: np.ndarray, bins: np.ndarray,
                 S: int) -> pa.Table:
     """Vectorized (cell, salt) -> build-task bin lookup."""
     if len(keys_sorted) == 0:
         return batch.append_column(
             "bin", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()))
-    comp = (batch.column("cell").to_numpy() * S
-            + batch.column("salt").to_numpy())
+    rank = np.searchsorted(cells_sorted, batch.column("cell").to_numpy())
+    comp = rank * S + batch.column("salt").to_numpy()
     idx = np.searchsorted(keys_sorted, comp)
     return batch.append_column("bin", pa.array(bins[idx], pa.int64()))
 
@@ -176,10 +178,12 @@ def _build_bin(tbl: pa.Table, ckpt_dir: str, resume: bool) -> pa.Table:
     salts = tbl.column("salt").to_numpy()
     order = np.lexsort((salts, cells))
     srt = tbl.take(pa.array(order))
-    comp_sorted = cells[order] * (salts.max() + 1) + salts[order]
-    bounds = np.flatnonzero(np.diff(comp_sorted)) + 1
+    # boundary where either key changes (no composite — raw quadkey ids
+    # times a salt modulus can overflow int64)
+    bounds = np.flatnonzero((np.diff(cells[order]) != 0)
+                            | (np.diff(salts[order]) != 0)) + 1
     starts = np.concatenate(([0], bounds))
-    stops = np.concatenate((bounds, [len(comp_sorted)]))
+    stops = np.concatenate((bounds, [len(cells)]))
     return pa.concat_tables(
         _build_partition(srt.slice(a, b - a), ckpt_dir, resume)
         for a, b in zip(starts, stops))
@@ -357,7 +361,7 @@ def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
     keys_sorted, bins, S = _pack_bins(cells, totals, salt_plan, n_blocks)
     salted = tagged.map_batches(
         lambda b: _assign_bin(assign.assign_salt(b, salt_plan),
-                              keys_sorted, bins, S),
+                              cells, keys_sorted, bins, S),
         batch_format="pyarrow", zero_copy_batch=True)
     if materialize_tagged:
         # the narrow salted projection is already pinned in the object
