@@ -401,10 +401,29 @@ def run_scaling() -> dict:
     prep_env = dict(os.environ, GRAFT_BENCH_PREP="1", GRAFT_BENCH_SCALING="1")
     subprocess.run([sys.executable, os.path.abspath(__file__)], env=prep_env,
                    capture_output=True, text=True, check=True)
+
+    def calibrate() -> float:
+        """Fixed single-core numpy workload (~1s): records the host's
+        momentary per-core speed next to each ladder-level run, so a
+        noisy-neighbor window that slows one LEVEL is visible in the
+        record instead of silently skewing the efficiency ratio (this
+        is a shared VM; ~25% drift observed between identical runs)."""
+        import numpy as _np
+        rng = _np.random.default_rng(0)
+        a = rng.standard_normal((1536, 1536))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            b = a @ a
+            a = b / _np.abs(b).max()
+        return round(time.perf_counter() - t0, 3)
+
     out = {}
+    cal: dict = {}
     for ncpu in (lo, hi):
         runs = []
+        cal[ncpu] = []
         for _ in range(repeats):
+            cal[ncpu].append(calibrate())
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SCALING="1")
             r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                                capture_output=True, text=True, check=True)
@@ -431,6 +450,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "value": round(eff, 3),
         "unit": "efficiency",
+        "host_cal_sec": {str(k): v for k, v in cal.items()},
     }
 
 
