@@ -477,19 +477,29 @@ def _pairs_small_collected(exploded, *, id_col, hash_col, max_hamming,
     smaller row index.  The driver collect is bounded by the caller
     (<= 1M exploded rows); larger inputs take the join+census path.
     """
+    import pyarrow.compute as pc
+
     import ray as _ray
     import ray.data as _rd
 
     tb = pa.concat_tables(
         exploded.iter_batches(batch_format="pyarrow", batch_size=None))
     id_type = tb.schema.field(id_col).type
-    ids = tb.column(id_col).to_numpy(zero_copy_only=False)
+    # Arrow C++ multi-key sort + takes: the previous np.lexsort keyed
+    # on an OBJECT id array — ~0.5s of driver-serial python for a 288k
+    # exploded table, a fixed cost the 2->8 scaling ladder charges 4x
+    # against the high level.  Ids stay Arrow end-to-end (zero-copy
+    # through the object store; C++ gathers in the scan tasks).
+    order = pc.sort_indices(tb, sort_keys=[
+        ("band", "ascending"), ("band_bits", "ascending"),
+        (id_col, "ascending")])
+    tb = tb.take(order).combine_chunks()
+    ids = tb.column(id_col).combine_chunks()
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.chunk(0) if ids.num_chunks else pa.array([], id_type)
     hs = tb.column(hash_col).to_numpy().astype(np.uint64)
     band = tb.column("band").to_numpy()
     bits = tb.column("band_bits").to_numpy()
-    order = np.lexsort((ids, bits, band))
-    ids, hs, band = ids[order], hs[order], band[order]
-    bits = bits[order]
     n = len(ids)
     newrun = np.concatenate([[True], (np.diff(band) != 0)
                              | (np.diff(bits) != 0)])
@@ -543,9 +553,8 @@ def _pairs_small_collected(exploded, *, id_col, hash_col, max_hamming,
             rr, cc, ham = rr[keep], cc[keep], ham[keep]
             if not len(rr):
                 continue
-            ida, idb = pa.array(sids[rr]), pa.array(sids[cc])
-            if ida.type != id_type:
-                ida, idb = ida.cast(id_type), idb.cast(id_type)
+            ida = pc.take(sids, pa.array(rr, pa.int64()))
+            idb = pc.take(sids, pa.array(cc, pa.int64()))
             outs.append(pa.table({"id_a": ida, "id_b": idb,
                                   "hamming": pa.array(ham, pa.int64())}))
         return pa.concat_tables(outs) if outs else empty
