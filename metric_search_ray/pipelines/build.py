@@ -166,8 +166,18 @@ def _assign_bin(batch: pa.Table, cells_sorted: np.ndarray,
             "bin", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()))
     rank = np.searchsorted(cells_sorted, batch.column("cell").to_numpy())
     comp = rank * S + batch.column("salt").to_numpy()
-    idx = np.searchsorted(keys_sorted, comp)
-    return batch.append_column("bin", pa.array(bins[idx], pa.int64()))
+    idx = np.minimum(np.searchsorted(keys_sorted, comp), len(keys_sorted) - 1)
+    out = bins[idx]
+    # a (cell, salt) present in this scan but absent from the count
+    # pre-pass (non-deterministic source between the two scans) would
+    # otherwise read an arbitrary neighbor's bin — route it by hash
+    # instead; ANY bin is correct because _build_bin splits its rows by
+    # (cell, salt) before building
+    miss = keys_sorted[idx] != comp
+    if miss.any():
+        out = out.copy()
+        out[miss] = bins[comp[miss] % len(bins)]
+    return batch.append_column("bin", pa.array(out, pa.int64()))
 
 
 def _build_bin(tbl: pa.Table, ckpt_dir: str, resume: bool) -> pa.Table:

@@ -328,6 +328,12 @@ def radius_join(queries_ds, ckpt_dir: str, radius: float, concurrency: int = 4,
             actor.part_refs = _stage_finish(stage_pending)
         return routed.map_batches(actor, batch_format="pyarrow",
                                   batch_size=batch_size, num_cpus=1)
+    if isinstance(queries_ds, pa.Table):
+        # mirror knn_geo's contract: a pa.Table input is accepted in
+        # BOTH modes (the task path routes it on the driver above; the
+        # actor-pool path just wraps it in a Dataset here)
+        import ray.data as _rd
+        queries_ds = _rd.from_arrow(queries_ds)
     return queries_ds.map_batches(
         RnnActor, fn_constructor_kwargs={"ckpt_dir": ckpt_dir, "radius": radius,
                                          "part_refs": part_refs, "emit": emit},

@@ -654,6 +654,13 @@ def knn_geo(queries_ds, ckpt_dir: str, concurrency: int = 4, batch_size: int = 2
     hot_shards = np.minimum(_salt_n[_hot], 64).astype(np.uint64)
     if route_by_home_cell is None:
         route_by_home_cell = True
+    if isinstance(queries_ds, pa.Table) and not (
+            route_by_home_cell and route_strategy in ("auto", "driver")):
+        # a pa.Table input takes the driver-routing fast path ONLY when
+        # the knobs select it — with route_by_home_cell=False or an
+        # explicit sort/hash strategy, wrap it in a Dataset so those
+        # paths (and the hash-shuffle DataContext flip below) apply
+        queries_ds = rd.from_arrow(queries_ds)
     use_keyed = False
     if route_by_home_cell and route_strategy == "hash":
         from ray.data.context import ShuffleStrategy

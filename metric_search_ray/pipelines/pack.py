@@ -8,14 +8,19 @@ first-fit in order; an oversized doc occupies a pack alone).  The
 reference engine has nothing comparable — semantics here are the
 standard greedy packing used by large-scale pretraining pipelines.
 
-Scale shape: packing is sequential WITHIN a group (source, shard,
-language...) and embarrassingly parallel ACROSS groups, so it runs as
-``groupby(group).map_groups``.  The per-group kernel is NOT a per-doc
-Python loop: one cumsum, then one ``np.searchsorted`` per PACK
-boundary — O(#packs log n) Python-level steps, and #packs ~=
-total_tokens/budget, far below #docs for real budgets.  Partitioning
-assumption: one group's (id, n_tokens) pairs fit one task — only two
-int64 columns shuffle, never the text.
+Scale shape (the sort + per-block + boundary-heal pattern of
+``fastagg.sort_block_aggregate``, adapted to a SEQUENTIAL heal):
+packing is sequential WITHIN a group and embarrassingly parallel
+ACROSS groups.  One global sort on (group, id) makes every group's
+rows globally contiguous; each block then packs its COMPLETE group
+runs (those not touching a block edge) in parallel, and the runs that
+span block edges are packed by a sequential per-block carry chain of
+Ray tasks whose state is three scalars (group, open pack id, open pack
+fill).  A corpus-wide single group therefore degrades to a
+bounded-memory pipeline of per-block tasks — sequential in time (the
+greedy recurrence is inherently serial) but never a single straggler
+task holding every row, and chains of distinct groups overlap.  Only
+two int64 columns and the group key shuffle; the text never moves.
 """
 
 from __future__ import annotations
@@ -52,11 +57,77 @@ def greedy_pack_ids(n_tokens: np.ndarray, budget: int) -> np.ndarray:
     return np.cumsum(pack)
 
 
+def greedy_pack_continue(n_tokens: np.ndarray, budget: int,
+                         fill: int, base: int):
+    """Pack ids for a run CONTINUING an open pack: the pack ``base``
+    already holds ``fill`` tokens from earlier rows of the same group.
+    Returns ``(pack_ids, open_pack_id, open_fill)`` — the run's last
+    pack stays open for a possible continuation in the next block.
+    ``fill <= 0`` means the open pack is empty: plain greedy, ids
+    offset by ``base``.
+    """
+    n = len(n_tokens)
+    if n == 0:
+        return np.empty(0, np.int64), base, fill
+    if fill <= 0:
+        ids = greedy_pack_ids(n_tokens, budget) + base
+    else:
+        cum = np.cumsum(n_tokens, dtype=np.int64)
+        # leading docs that still fit the open pack; the rest is a
+        # fresh greedy chain (greedy is self-synchronizing: once a new
+        # pack starts, packing depends only on the data from there on)
+        j0 = int(np.searchsorted(cum, budget - fill, side="right"))
+        if j0 >= n:
+            return np.full(n, base, np.int64), base, fill + int(cum[-1])
+        ids = np.concatenate([
+            np.full(j0, base, np.int64),
+            greedy_pack_ids(n_tokens[j0:], budget) + base + 1])
+    open_id = int(ids[-1])
+    start = int(np.searchsorted(ids, open_id, side="left"))
+    return ids, open_id, int(np.sum(n_tokens[start:], dtype=np.int64))
+
+
+def _run_bounds(gcol: np.ndarray):
+    """Start/stop row index of each group run in a sorted column."""
+    change = np.flatnonzero(gcol[1:] != gcol[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    stops = np.concatenate((change, [len(gcol)]))
+    return starts, stops
+
+
+def _pack_runs(tbl: pa.Table, group_col: str, budget: int, carry):
+    """Pack every group run of ``tbl`` (sorted by group, id) given an
+    incoming carry; -> (packed table, carry_out).  ``carry`` is
+    (group, open_pack_id, open_fill) or None."""
+    if tbl.num_rows == 0:
+        return tbl.append_column("pack_id", pa.array([], pa.int64())), carry
+    gcol = tbl.column(group_col).to_numpy(zero_copy_only=False)
+    nt = tbl.column("n_tokens").to_numpy()
+    packs = np.empty(len(gcol), np.int64)
+    for a, b in zip(*_run_bounds(gcol)):
+        g = gcol[a]
+        if carry is not None and carry[0] == g:
+            ids, oid, ofill = greedy_pack_continue(
+                nt[a:b], budget, carry[2], carry[1])
+        else:
+            ids, oid, ofill = greedy_pack_continue(nt[a:b], budget, 0, 0)
+        packs[a:b] = ids
+        carry = (g, oid, ofill)
+    return tbl.append_column("pack_id", pa.array(packs, pa.int64())), carry
+
+
 def pack_sequences(ds, group_col: str, id_col: str, text_col: str,
                    budget: int):
     """-> Dataset (group, id, n_tokens, pack_id): greedy packing per
     group in ascending id order.  Token counts use the engine's
-    whitespace token_count semantics (empty text -> 0 tokens)."""
+    whitespace token_count semantics (empty text -> 0 tokens).
+
+    Skew-safe: no task ever holds a whole group — see module docstring.
+    Assumes non-null group/id keys (the global sort's null placement
+    would otherwise diverge from the driver chain's ordering).
+    """
+    import ray as _ray
+    import ray.data as _rd
 
     def project(batch: pa.Table) -> pa.Table:
         # same kernel + SQL equivalence as text.token_count
@@ -69,15 +140,54 @@ def pack_sequences(ds, group_col: str, id_col: str, text_col: str,
             "n_tokens": pa.array(nt.to_numpy(np.int64), pa.int64()),
         })
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        pack = greedy_pack_ids(g["n_tokens"].to_numpy(), budget)
-        return pd.DataFrame({
-            group_col: g[group_col].to_numpy(),
-            id_col: g[id_col].to_numpy(),
-            "n_tokens": g["n_tokens"].to_numpy(),
-            "pack_id": pack,
-        })
+    narrow = (ds.map_batches(project, batch_format="pyarrow")
+                .sort([group_col, id_col]).materialize())
+    # blocks in dataset (= sorted) order
+    refs = list(narrow.to_arrow_refs())
+    if not refs:
+        return narrow.map_batches(
+            lambda b: b.append_column(
+                "pack_id", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow")
 
-    return (ds.map_batches(project, batch_format="pyarrow")
-              .groupby(group_col).map_groups(per_group, batch_format="pandas"))
+    @_ray.remote(num_returns=2)
+    def split_block(t: pa.Table):
+        """Parallel wave: pack the block's interior (complete) runs;
+        hand the first/last run (the only ones that can span a block
+        edge) to the sequential chain."""
+        if t.num_rows == 0:
+            empty = t.append_column("pack_id", pa.array([], pa.int64()))
+            return empty, t
+        gcol = t.column(group_col).to_numpy(zero_copy_only=False)
+        starts, stops = _run_bounds(gcol)
+        if len(starts) <= 2:
+            # 1-2 runs: everything is an edge run
+            return (t.slice(0, 0).append_column(
+                "pack_id", pa.array([], pa.int64())), t)
+        inner = t.slice(stops[0], starts[-1] - stops[0])
+        packed, _ = _pack_runs(inner, group_col, budget, None)
+        edge = pa.concat_tables(
+            [t.slice(0, stops[0]),
+             t.slice(starts[-1], t.num_rows - starts[-1])])
+        return packed, edge
+
+    @_ray.remote(num_returns=2)
+    def pack_edges(edge_tbl: pa.Table, carry):
+        """Sequential wave: pack one block's edge runs given the carry
+        from the previous block.  (With >=2 runs the block's first and
+        last run have different groups — sorted data keeps one group in
+        one contiguous range — so concatenating them preserves run
+        semantics.)"""
+        return _pack_runs(edge_tbl, group_col, budget, carry)
+
+    interior, edges = [], []
+    for r in refs:
+        it, et = split_block.remote(r)
+        interior.append(it)
+        edges.append(et)
+    carry = None
+    edge_out = []
+    for et in edges:
+        eo, carry = pack_edges.remote(et, carry)
+        edge_out.append(eo)
+    return _rd.from_arrow_refs(interior + edge_out)

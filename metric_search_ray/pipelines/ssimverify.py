@@ -444,10 +444,30 @@ def ssim_verify(images_ds, pairs_ds, id_col: str = "image_id",
         import ray as _ray
         store = _ray.cluster_resources().get("object_store_memory", 2 << 30)
         broadcast_limit_bytes = min(int(store) // 4, 2 << 30)
-    imgs = images_ds.select_columns([id_col, "bytes", "fmt"]).materialize()
-    # staged pixels are float64 grayscale — budget ~8x the encoded size
-    # for the decode expansion when deciding if the set fits the store
-    if imgs.size_bytes() * 8 <= broadcast_limit_bytes:
+    # staged pixels are float64 grayscale: h*w*8 bytes per image
+    # REGARDLESS of the encoded size (compressed formats expand 30-80x,
+    # so a fixed multiplier on encoded bytes badly under-estimates).
+    # When the table carries (w, h), project them along and sum the
+    # true decoded footprint from the materialized set; otherwise fall
+    # back to 8x encoded bytes (the uncompressed-fixture ratio).
+    try:
+        names = set(images_ds.schema().names)
+    except Exception:
+        names = set()
+    have_wh = {"w", "h"} <= names
+    proj = [id_col, "bytes", "fmt"] + (["w", "h"] if have_wh else [])
+    imgs = images_ds.select_columns(proj).materialize()
+    if have_wh:
+        def _px(b: pa.Table) -> pa.Table:
+            w = b.column("w").to_numpy().astype(np.int64)
+            h = b.column("h").to_numpy().astype(np.int64)
+            return pa.table({"px": pa.array([int((w * h).sum())], pa.int64())})
+        tot_px = imgs.map_batches(_px, batch_format="pyarrow",
+                                  zero_copy_batch=True).sum("px") or 0
+        decoded_est = int(tot_px) * 8
+    else:
+        decoded_est = imgs.size_bytes() * 8
+    if decoded_est <= broadcast_limit_bytes:
         # staged decode-once (plasma-shared pixels) — strictly better
         # than the byte-broadcast path, which re-decoded each image
         # once per worker whenever the set overflowed the decode LRU

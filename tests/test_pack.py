@@ -41,6 +41,39 @@ def test_greedy_pack_edges():
     assert pack.greedy_pack_ids(np.array([5, 5, 1]), 10).tolist() == [0, 0, 1]
 
 
+def test_greedy_pack_continue_fuzz():
+    # continuation from (fill, base) == running one greedy chain over the
+    # concatenation: split a random sequence at every point and check the
+    # stitched ids equal the unsplit ids
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        n = int(rng.integers(1, 40))
+        nt = rng.integers(0, 150, n).astype(np.int64)
+        budget = int(rng.integers(1, 120))
+        whole = pack.greedy_pack_ids(nt, budget)
+        cut = int(rng.integers(0, n + 1))
+        ids1, oid, ofill = pack.greedy_pack_continue(nt[:cut], budget, 0, 0)
+        ids2, _, _ = pack.greedy_pack_continue(nt[cut:], budget, ofill, oid)
+        assert np.concatenate([ids1, ids2]).tolist() == whole.tolist()
+
+
+def test_pack_sequences_one_giant_group(ray_session):
+    # the skew fixture the round-4 verdict asked for: ONE corpus-wide
+    # group across many blocks must pack correctly (and never in a
+    # single whole-group task — the chain is per-block)
+    rng = np.random.default_rng(7)
+    n = 5000
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(0, 40, n)]
+    t = pa.table({"source": pa.array(["all"] * n),
+                  "doc_id": pa.array(np.arange(n)),
+                  "text": pa.array(texts)})
+    out = (pack.pack_sequences(rd.from_arrow(t).repartition(16), "source",
+                               "doc_id", "text", budget=64)
+           .to_pandas().sort_values("doc_id"))
+    assert len(out) == n
+    assert out["pack_id"].tolist() == _brute(out["n_tokens"].to_numpy(), 64)
+
+
 def test_pack_sequences_dataset(ray_session):
     rng = np.random.default_rng(2)
     n = 400

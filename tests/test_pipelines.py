@@ -100,6 +100,58 @@ def test_radius_join_matches_bruteforce(index_dir, geo_points):
         assert got == exp
 
 
+def test_radius_join_table_input_both_modes(index_dir, geo_points):
+    # a pa.Table queries input must work in BOTH modes (the actor-pool
+    # path crashed on it before round 5) and match the Dataset path
+    ckpt, _ = index_dir
+    q = fixtures.knn_queries(12)
+    qt = pa.table({k: q[k] for k in ("query_id", "lat", "lon")})
+    base = joins.radius_join(rd.from_arrow(qt), ckpt, radius=6.0,
+                             concurrency=2).to_pandas()
+    pool = joins.radius_join(qt, ckpt, radius=6.0, concurrency=2).to_pandas()
+    task = joins.radius_join(qt, ckpt, radius=6.0,
+                             use_actor_pool=False).to_pandas()
+    key = ["query_id", "image_id"]
+    exp = sorted(map(tuple, base[key].itertuples(index=False)))
+    assert sorted(map(tuple, pool[key].itertuples(index=False))) == exp
+    assert sorted(map(tuple, task[key].itertuples(index=False))) == exp
+
+
+def test_knn_geo_table_input_honors_route_knobs(index_dir):
+    # pa.Table queries with non-driver routing knobs must take the
+    # Dataset paths (knobs were silently ignored before round 5) and
+    # return identical results
+    ckpt, _ = index_dir
+    q = fixtures.knn_queries(15)
+    qt = pa.table(q)
+    base = knn.knn_geo(qt, ckpt, concurrency=2).to_pandas()
+    unrouted = knn.knn_geo(qt, ckpt, concurrency=2,
+                           route_by_home_cell=False).to_pandas()
+    sorted_route = knn.knn_geo(qt, ckpt, concurrency=2,
+                               route_strategy="sort").to_pandas()
+    key = ["query_id", "rank", "image_id"]
+    exp = sorted(map(tuple, base[key].itertuples(index=False)))
+    assert sorted(map(tuple, unrouted[key].itertuples(index=False))) == exp
+    assert sorted(map(tuple, sorted_route[key].itertuples(index=False))) == exp
+
+
+def test_assign_bin_unseen_key_routes_by_hash():
+    # a (cell, salt) absent from the count pre-pass (non-deterministic
+    # source between scans) must route to SOME valid bin, never raise
+    cells_sorted = np.array([10, 20, 30], np.int64)
+    keys_sorted = np.array([0, 1, 2 * 2 + 0], np.int64)   # S=2
+    bins = np.array([0, 1, 2], np.int64)
+    batch = pa.table({
+        "cell": pa.array([10, 20, 30, 40], pa.int64()),   # 40 unseen
+        "salt": pa.array([0, 0, 1, 0], pa.int64()),       # (20,0),(30,1) unseen
+        "image_id": pa.array(["a", "b", "c", "d"]),
+    })
+    out = build._assign_bin(batch, cells_sorted, keys_sorted, bins, 2)
+    got = out.column("bin").to_numpy()
+    assert got[0] == 0                       # exact match keeps its bin
+    assert set(got).issubset(set(bins.tolist()))
+
+
 def test_pip_join_matches_numpy_oracle(ray_session, tiny_images, geo_points):
     layer = fixtures.polygon_layer()
     ds = (rd.read_parquet(tiny_images, columns=["image_id"])
