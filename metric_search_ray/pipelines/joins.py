@@ -215,7 +215,8 @@ class RnnActor:
             for ci in np.flatnonzero(probe.any(axis=0)):
                 qs = np.flatnonzero(probe[:, ci])
                 for _salt, path in self.by_cell[int(self.cells[ci])]:
-                    plat, plon, ids = _resolve_arrays(path, self.part_refs)
+                    plat, plon, ids = _resolve_arrays(path,
+                                                      self.part_refs)[:3]
                     d = planar_dist_outer(plat, plon, lats[qs], lons[qs])
                     rr, cc = np.nonzero(d < self.radius)  # strict: rnn semantics
                     if len(rr):

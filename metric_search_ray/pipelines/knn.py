@@ -72,7 +72,39 @@ def _read_partition_arrays(path: str):
                                             ).astype(np.str_))
 
 
-def _stage_chunk(paths: list):
+def _augment_subcells(lat: np.ndarray, lon: np.ndarray, ids: np.ndarray,
+                      res_base: int | None):
+    """Attach a sub-cell CSR index to a partition's scan arrays.
+
+    Rows are sorted by their cell id at a finer resolution (~1024 rows
+    per occupied sub-cell), giving the scan kernels a pruning grid ~2
+    orders finer than the partition cell without more checkpoint files:
+    a k=10 query then touches a few hundred candidate rows instead of
+    the partition's full 20k (the full-matrix distance passes were
+    DRAM-bound — the dominant reason the knn stage under-scaled at
+    high parallelism).  Returns (lat, lon, ids) unchanged for small
+    partitions, else (lat, lon, ids, sub_cells, sub_starts) with rows
+    sub-cell-sorted; consumers that don't know about the CSR use
+    ``arrs[:3]`` (any row order is a valid scan order)."""
+    m = len(lat)
+    if res_base is None or m <= 4096:
+        # below ~4k rows the full-matrix scan is already cache-friendly
+        # and the CSR's extra sub-cell merges cost more in numpy fixed
+        # overhead than the pruning saves
+        return (lat, lon, ids)
+    import math
+    extra = max(1, int(math.ceil(math.log(m / 1024, 4))))
+    res_sub = min(int(res_base) + extra, cellmod.MAX_RES)
+    lat_u, lon_u = cellmod.latlon_to_units(lat, lon)
+    sc = cellmod.cell_of(lat_u, lon_u, res_sub)
+    order = np.argsort(sc, kind="stable")
+    sc = sc[order]
+    uniq, starts = np.unique(sc, return_index=True)
+    return (lat[order], lon[order], ids[order], uniq,
+            np.append(starts, m).astype(np.int64))
+
+
+def _stage_chunk(paths: list, res_base: int | None = None):
     """Staging task: read a CHUNK of partition checkpoints; each
     partition's scan arrays become their OWN task-return object (the
     call site sets ``num_returns=len(paths)``), so every per-path ref
@@ -81,8 +113,11 @@ def _stage_chunk(paths: list):
     resolved their pulls and hung consumers.)  Per-path refs keep
     selective resolution (a query stream that never touches a partition
     never fetches it) while the chunking bounds the task count at huge
-    partition counts."""
-    arrs = [_read_partition_arrays(p) for p in paths]
+    partition counts.  The sub-cell CSR (``_augment_subcells``) is
+    built here, in the distributed wave, so workers share the indexed
+    form zero-copy instead of each re-sorting per process."""
+    arrs = [_augment_subcells(*_read_partition_arrays(p), res_base)
+            for p in paths]
     return arrs[0] if len(arrs) == 1 else tuple(arrs)
 
 
@@ -103,6 +138,9 @@ def _stage_launch(ckpt_dir: str, files_per_task: int | None = None):
         return key, None
     manifest = buildmod.load_manifest(ckpt_dir)
     paths = manifest.column("path").to_pylist()
+    man_cells = manifest.column("cell").to_numpy()
+    res_base = (int(cellmod.cell_res(man_cells[:1])[0])
+                if len(man_cells) else None)
     if files_per_task is None:
         ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
         files_per_task = max(1, min(32, -(-len(paths) // (4 * ncpu))))
@@ -110,7 +148,7 @@ def _stage_launch(ckpt_dir: str, files_per_task: int | None = None):
     refs: dict = {}
     for i in range(0, len(paths), files_per_task):
         chunk = paths[i:i + files_per_task]
-        out = fn.options(num_returns=len(chunk)).remote(chunk)
+        out = fn.options(num_returns=len(chunk)).remote(chunk, res_base)
         if len(chunk) == 1:
             out = [out]
         refs.update(zip(chunk, out))
@@ -161,13 +199,17 @@ def stage_partition_arrays(ckpt_dir: str, files_per_task: int | None = None):
     return _stage_finish(_stage_launch(ckpt_dir, files_per_task))
 
 
-def _resolve_arrays(path: str, part_refs, cap: int = 2048):
+def _resolve_arrays(path: str, part_refs, cap: int = 2048,
+                    res_base: int | None = None):
     """Scan arrays for one partition: from the staged index handle when
     available (zero-copy get, memoized per process), else from disk.
     ``part_refs`` is the ObjectRef returned by stage_partition_arrays
-    (or None)."""
+    (or None).  Returns a 3-tuple (lat, lon, ids), or a 5-tuple with
+    the sub-cell CSR appended when the partition is large enough and
+    ``res_base`` is known (staged arrays carry the CSR regardless —
+    CSR-unaware callers use ``arrs[:3]``)."""
     if part_refs is None:
-        return _load_arrays_cached(path, cap)
+        return _load_arrays_cached(path, cap, res_base)
     refs = _STAGE_DICT_CACHE.get(part_refs)
     if refs is None:
         refs = ray.get(part_refs)
@@ -175,7 +217,7 @@ def _resolve_arrays(path: str, part_refs, cap: int = 2048):
         _STAGE_DICT_CACHE[part_refs] = refs
     ref = refs.get(path)
     if ref is None:
-        return _load_arrays_cached(path, cap)
+        return _load_arrays_cached(path, cap, res_base)
     key = ("ref", path)
     hit = _ARRAY_CACHE.get(key)
     if hit is not None:
@@ -188,10 +230,14 @@ def _resolve_arrays(path: str, part_refs, cap: int = 2048):
     return arrays
 
 
-def _load_arrays_cached(path: str, cap: int = 2048):
+def _load_arrays_cached(path: str, cap: int = 2048,
+                        res_base: int | None = None):
     """Light checkpoint load for the vectorized scan path: (lat, lon,
     image_ids) numpy arrays only — ~5x cheaper than rebuilding Node
-    objects, and the scan needs nothing else."""
+    objects, and the scan needs nothing else.  One cache entry per
+    path: when a CSR-aware caller passes ``res_base`` and the cached
+    entry is plain, the entry is upgraded in place (the augmented
+    arrays are a valid plain view, just sub-cell-sorted)."""
     import os as _os
     import pyarrow.parquet as _pq
     st = _os.stat(path)
@@ -199,12 +245,16 @@ def _load_arrays_cached(path: str, cap: int = 2048):
     hit = _ARRAY_CACHE.get(key)
     if hit is not None:
         _ARRAY_CACHE.move_to_end(key)
+        if res_base is None or len(hit) > 3 or len(hit[0]) <= 4096:
+            return hit
+        hit = _augment_subcells(*hit[:3], res_base)
+        _ARRAY_CACHE[key] = hit
         return hit
     tbl = _pq.read_table(path, columns=["lat", "lon", "image_id"])
     lat = tbl.column("lat").to_numpy()
     lon = tbl.column("lon").to_numpy()
     ids = tbl.column("image_id").to_numpy(zero_copy_only=False).astype(np.str_)
-    _ARRAY_CACHE[key] = (lat, lon, ids)
+    _ARRAY_CACHE[key] = _augment_subcells(lat, lon, ids, res_base)
     if len(_ARRAY_CACHE) > cap:
         _ARRAY_CACHE.popitem(last=False)
     return _ARRAY_CACHE[key]
@@ -313,13 +363,41 @@ class KnnActor:
     def _tree(self, path: str):
         return _load_tree_cached(path, self.metric, self.cache_trees)
 
+    def _prefetch_cells(self, cells: np.ndarray):
+        """Batch-resolve the staged arrays of the given cells (plus
+        their ring-1 neighbors) in ONE ``ray.get``: a task's scan
+        otherwise issues one sequential get per partition first touched
+        (~134us each vs ~40us batched), a per-worker cost that grows
+        with worker count because scrambled routing gives every worker
+        a scattered cell footprint."""
+        if self.part_refs is None:
+            return
+        refs = _STAGE_DICT_CACHE.get(self.part_refs)
+        if refs is None:
+            refs = ray.get(self.part_refs)
+            _STAGE_DICT_CACHE.clear()
+            _STAGE_DICT_CACHE[self.part_refs] = refs
+        want: list = []
+        for c in cells:
+            for _salt, path in self.by_cell.get(int(c), ()):
+                if ("ref", path) not in _ARRAY_CACHE and path in refs:
+                    want.append(path)
+        want = list(dict.fromkeys(want))
+        if not want:
+            return
+        got = ray.get([refs[p] for p in want])
+        for p, arrays in zip(want, got):
+            _ARRAY_CACHE[("ref", p)] = arrays
+        while len(_ARRAY_CACHE) > 4096:
+            _ARRAY_CACHE.popitem(last=False)
+
     def _search_cell(self, cell_id: int, qlat: float, qlon: float, k: int, best: list):
         """Search every salt partition of one cell, merging into best
         (sorted).  All salts are searched: exactness does not depend on
         salt assignment."""
         for _salt, path in self.by_cell.get(cell_id, ()):
             if self.method == "scan":
-                lat, lon, ids = _resolve_arrays(path, self.part_refs)
+                lat, lon, ids = _resolve_arrays(path, self.part_refs)[:3]
                 d = planar_dist(lat - qlat, lon - qlon)
                 kk = min(k, len(d))
                 if kk < len(d):
@@ -405,6 +483,7 @@ class KnnActor:
         # object-array concat/take; ids decode once at the end for nq*k
         # winners (and for the rare boundary-tie re-cut rows)
         best_code = np.full((nq, kmax), -1, np.int64)
+        kth = np.full(nq, np.inf)         # per-query current k-th best
         parts: list[np.ndarray] = []       # partition serial -> ids array
         n = 1 << self.res
         max_ring = 2 * n
@@ -425,50 +504,187 @@ class KnnActor:
             lbs = cellmod.points_cells_min_dist_deg(qlat[active], qlon[active],
                                                     ring_cells)
             ring_lb = lbs.min(axis=1)
-            kth = best_d[active].max(axis=1)
-            keep = kth > ring_lb
+            keep = kth[active] > ring_lb
             active = active[keep]
             if len(active) == 0:
                 break
-            for c in ring_cells:
-                ci = int(c)
+            lbs = lbs[keep]
+            # nearest cells first: early merges tighten kth, so later
+            # cells of the same ring prune more queries
+            for oi in np.argsort(lbs.min(axis=0), kind="stable"):
+                ci = int(ring_cells[oi])
                 if ci not in self.by_cell:
                     continue
+                # per-(query, cell) pruning — the group analogue of the
+                # serial path's per-cell skip (query_one): only queries
+                # whose k-th best can still improve against THIS cell's
+                # box enter its distance matrices.  The old group scan
+                # computed every ring partition's distances for EVERY
+                # active query; spread groups scanned ~6x more rows
+                # than the serial bound requires (and those matrix
+                # passes are DRAM-bound — the main reason the knn stage
+                # under-scaled at high parallelism).
+                need = np.flatnonzero(kth[active] > lbs[:, oi])
+                if len(need) == 0:
+                    continue
+                sub = active[need]
                 for _salt, path in self.by_cell[ci]:
-                    lat, lon, ids = _resolve_arrays(path, self.part_refs)
+                    arrs = _resolve_arrays(path, self.part_refs,
+                                           res_base=self.res)
+                    lat, lon, ids = arrs[0], arrs[1], arrs[2]
                     serial = len(parts)
                     parts.append(ids)
-                    d = planar_dist_outer(lat, lon,
-                                          qlat[active], qlon[active])
-                    m = d.shape[1]
+                    if len(arrs) > 3 and len(sub) * len(lat) >= (1 << 16):
+                        self._scan_partition_csr(
+                            arrs, serial, sub, qlat, qlon,
+                            best_d, best_code, kth, parts, kmax)
+                        continue
+                    d = planar_dist_outer(lat, lon, qlat[sub], qlon[sub])
                     codes = ((np.int64(serial) << np.int64(32))
-                             | np.arange(m, dtype=np.int64))
-                    all_d = np.concatenate([best_d[active], d], axis=1)
-                    all_code = np.concatenate(
-                        [best_code[active],
-                         np.broadcast_to(codes, (len(active), m))], axis=1)
-                    kk = min(kmax, all_d.shape[1])
-                    sel = np.argpartition(all_d, kk - 1, axis=1)[:, :kmax]
-                    new_d = np.take_along_axis(all_d, sel, axis=1)
-                    new_code = np.take_along_axis(all_code, sel, axis=1)
-                    # deterministic boundary ties: argpartition resolves
-                    # equal distances at the kmax cut arbitrarily; rows
-                    # where extra candidates tie with the k-th distance
-                    # are re-cut on the (dist, image_id) order that the
-                    # serial path and the merge stage use
-                    kth = new_d.max(axis=1)
-                    n_le = (all_d <= kth[:, None]).sum(axis=1)
-                    for ri in np.flatnonzero((n_le > kmax) & np.isfinite(kth)):
-                        idxs = np.flatnonzero(all_d[ri] <= kth[ri])
-                        tie_ids = self._decode_codes(all_code[ri, idxs], parts)
-                        ordr = np.lexsort((tie_ids.astype(str),
-                                           all_d[ri, idxs]))[:kmax]
-                        new_d[ri] = all_d[ri, idxs[ordr]]
-                        new_code[ri] = all_code[ri, idxs[ordr]]
-                    best_d[active] = new_d
-                    best_code[active] = new_code
+                             | np.arange(d.shape[1], dtype=np.int64))
+                    self._merge_block(best_d, best_code, kth, sub, d,
+                                      codes, parts, kmax)
         return best_d, self._decode_codes(best_code.ravel(),
                                           parts).reshape(best_code.shape)
+
+    def _scan_partition_csr(self, arrs, serial, sub, qlat, qlon,
+                            best_d, best_code, kth, parts, kmax):
+        """Sub-cell-pruned scan of one large partition for the query
+        subset ``sub``.
+
+        Phase A seeds each query from its OWN sub-cell (one padded
+        gather + one merge for the whole subset), so its k-th bound is
+        tight before any other sub-cell is considered; Phase B sweeps
+        the remaining sub-cells nearest-first with the same per-(query,
+        sub-cell) bound check used at cell level.  Exactness: a
+        (query, sub-cell) pair is skipped only when the query's current
+        k-th best is <= the true lower bound to that sub-cell's box —
+        the cover tree's pruning inequality one level further down."""
+        lat, lon, _ids = arrs[0], arrs[1], arrs[2]
+        sub_cells, sub_starts = arrs[3], arrs[4]
+        ql, qo = qlat[sub], qlon[sub]
+        # Phase A: own-sub-cell seed (padded block-diagonal gather)
+        lat_u, lon_u = cellmod.latlon_to_units(ql, qo)
+        own = cellmod.cell_of(lat_u, lon_u,
+                              int(cellmod.cell_res(sub_cells[:1])[0]))
+        pos = np.searchsorted(sub_cells, own)
+        posc = np.minimum(pos, len(sub_cells) - 1)
+        found = sub_cells[posc] == own
+        own_pos = np.where(found, posc, -1)
+        fidx = np.flatnonzero(found)
+        if len(fidx):
+            a = sub_starts[own_pos[fidx]]
+            b = sub_starts[own_pos[fidx] + 1]
+            cnt = b - a
+            pad = int(cnt.max())
+            col = np.arange(pad)[None, :]
+            valid = col < cnt[:, None]
+            rows = np.where(valid, a[:, None] + col, 0)
+            d = planar_dist(lat[rows] - ql[fidx, None],
+                            lon[rows] - qo[fidx, None])
+            d[~valid] = np.inf
+            codes = np.where(valid,
+                             (np.int64(serial) << np.int64(32)) | rows,
+                             np.int64(-1))
+            self._merge_block(best_d, best_code, kth, sub[fidx], d,
+                              codes, parts, kmax)
+        # Phase B: remaining sub-cells, nearest-first, bound-pruned
+        slb = cellmod.points_cells_min_dist_deg(ql, qo, sub_cells)
+        for j in np.argsort(slb.min(axis=0), kind="stable"):
+            needj = np.flatnonzero((kth[sub] > slb[:, j]) & (own_pos != j))
+            if len(needj) == 0:
+                continue
+            a, b = int(sub_starts[j]), int(sub_starts[j + 1])
+            s2 = sub[needj]
+            d = planar_dist_outer(lat[a:b], lon[a:b],
+                                  qlat[s2], qlon[s2])
+            codes = ((np.int64(serial) << np.int64(32))
+                     | np.arange(a, b, dtype=np.int64))
+            self._merge_block(best_d, best_code, kth, s2, d, codes,
+                              parts, kmax)
+
+    def _merge_block(self, best_d, best_code, kth, rows, d, codes,
+                     parts, kmax):
+        """Merge a candidate distance block into the per-query best
+        lists (in place).  ``d`` is (len(rows), m); ``codes`` packs
+        (partition_serial << 32 | row) and is (m,) or per-row (len(rows),
+        m) for gathered blocks; inf distances (padding) never win and
+        their -1 codes decode to None.
+
+        A partition-level pre-cut (top-kmax of d per row) keeps the
+        merge on (kmax + kmax)-wide arrays instead of copying the full
+        m-wide matrix through a concat.  Boundary ties: candidates
+        equal to the k-th distance may be cut arbitrarily by either
+        argpartition; rows holding more candidates at <= kth than kmax
+        re-cut on the (dist, image_id) order the serial path uses.
+        The tie count touches the full matrix only for rows whose k-th
+        equals the pre-cut's k-th (elsewhere every dropped candidate is
+        strictly greater — no full pass needed)."""
+        ns, m = d.shape
+        codes2d = codes.ndim == 2
+        kk = min(kmax, m)
+        if m > kk:
+            # two-pivot partition: positions of the top-kk AND the
+            # (kk+1)-th smallest in one pass — the (kk+1)-th is the
+            # minimum DROPPED value, so "did the pre-cut drop a
+            # boundary tie?" is answered without re-reading the full
+            # matrix (the old single-pivot version paid one extra full
+            # pass over d for exactly that question on every ring-0
+            # merge)
+            pboth = np.argpartition(d, (kk - 1, kk), axis=1)
+            psel = pboth[:, :kk]
+            min_dropped = np.take_along_axis(
+                d, pboth[:, kk:kk + 1], axis=1)[:, 0]
+            d_top = np.take_along_axis(d, psel, axis=1)
+            code_top = (np.take_along_axis(codes, psel, axis=1)
+                        if codes2d else codes[psel])
+        else:
+            d_top = d
+            min_dropped = None
+            code_top = codes if codes2d else np.broadcast_to(codes, (ns, m))
+        old_d = best_d[rows]
+        old_code = best_code[rows]
+        all_d = np.concatenate([old_d, d_top], axis=1)
+        all_code = np.concatenate([old_code, code_top], axis=1)
+        sel = np.argpartition(all_d, min(kmax, all_d.shape[1]) - 1,
+                              axis=1)[:, :kmax]
+        new_d = np.take_along_axis(all_d, sel, axis=1)
+        new_code = np.take_along_axis(all_code, sel, axis=1)
+        kth_new = new_d.max(axis=1)
+        n_le = (np.count_nonzero(d_top <= kth_new[:, None], axis=1)
+                + np.count_nonzero(old_d <= kth_new[:, None], axis=1))
+        if min_dropped is not None:
+            # rows where the min dropped value ties the k-th need the
+            # exact count over the full matrix (rare: true value ties
+            # at the cut boundary)
+            full = np.flatnonzero(min_dropped <= kth_new)
+            if len(full) * 2 >= ns:
+                n_le = (np.count_nonzero(d <= kth_new[:, None], axis=1)
+                        + np.count_nonzero(old_d <= kth_new[:, None],
+                                           axis=1))
+            elif len(full):
+                n_le[full] = (
+                    np.count_nonzero(d[full] <= kth_new[full, None], axis=1)
+                    + np.count_nonzero(old_d[full] <= kth_new[full, None],
+                                       axis=1))
+        for ri in np.flatnonzero((n_le > kmax) & np.isfinite(kth_new)):
+            di = np.concatenate([old_d[ri], d[ri]])
+            cd = np.concatenate([old_code[ri],
+                                 codes[ri] if codes2d else codes])
+            # every strictly-closer candidate is kept; only the ties AT
+            # the k-th value compete for the remaining slots, smallest
+            # image_id first (the serial path's order) — decoding just
+            # the few tied ids instead of every candidate <= kth
+            lt = np.flatnonzero(di < kth_new[ri])
+            eq = np.flatnonzero(di == kth_new[ri])
+            tie_ids = self._decode_codes(cd[eq], parts).astype(str)
+            pick = eq[np.argsort(tie_ids, kind="stable")[:kmax - len(lt)]]
+            keep_idx = np.concatenate([lt, pick])
+            new_d[ri] = di[keep_idx]
+            new_code[ri] = cd[keep_idx]
+        best_d[rows] = new_d
+        best_code[rows] = new_code
+        kth[rows] = new_d.max(axis=1)
 
     @staticmethod
     def _decode_codes(codes: np.ndarray, parts: list) -> np.ndarray:
@@ -496,11 +712,13 @@ class KnnActor:
             lat_u, lon_u = cellmod.latlon_to_units(lats, lons)
             homes = cellmod.cell_of(lat_u, lon_u, self.res)
             order = np.argsort(homes, kind="stable")
+            uniq_homes = np.unique(homes)
+            self._prefetch_cells(uniq_homes)
             # vectorized result assembly: one lexsort over the whole
             # group's (row, dist, id) instead of a Python loop per
             # result row — the per-row append version was ~30% of the
             # stage's task time at 400k queries
-            for home in np.unique(homes):
+            for home in uniq_homes:
                 grp = order[np.searchsorted(homes[order], home):
                             np.searchsorted(homes[order], home, side="right")]
                 kmax = int(ks[grp].max())
