@@ -598,6 +598,115 @@ def update_index(new_ds: "rd.Dataset", ckpt_dir: str,
     return _merge_manifest(ckpt_dir, updated)
 
 
+def apply_changes(changes_ds, ckpt_dir: str, id_column: str = "image_id",
+                  op_column: str = "op") -> pa.Table:
+    """CDC merge into an existing partitioned index: one streaming pass
+    that applies a changelog of ``upsert`` / ``delete`` rows, touching
+    each affected partition exactly ONCE (composing
+    ``erase_from_index`` + ``update_index`` would read and atomically
+    rewrite the hot partitions twice).
+
+    ``changes_ds``: Dataset (or pa.Table) with (id, phash, op) where op
+    is 'upsert' or 'delete'.  Semantics per partition, deterministic:
+    deletes first (sorted by id), then upserts sorted by id — an upsert
+    of an existing id erases its point before reinserting (reference
+    erase tree.cpp:526-582 + insert tree.cpp:304-356).  Ids route
+    purely (geotag/salt derive from the id), so only partitions named
+    by the changelog are read; checkpoint files and the manifest
+    rewrite atomically, keeping the run resumable.
+    """
+    import ray.data as _rd
+
+    if isinstance(changes_ds, pa.Table):
+        changes_ds = _rd.from_arrow(changes_ds)
+    manifest = load_manifest(ckpt_dir)
+    from .. import cell as cellmod
+    res = int(cellmod.cell_res(manifest.column("cell").to_numpy()[:1])[0])
+    narrow = changes_ds.select_columns([id_column, "phash", op_column])
+    if id_column != "image_id":
+        narrow = narrow.map_batches(
+            lambda b: b.rename_columns(["image_id", "phash", op_column]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    routed = _route(narrow, res, salt_plan_from_manifest(manifest, ckpt_dir),
+                    "image_id")
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        cell_id = int(tbl.column("cell")[0].as_py())
+        salt = int(tbl.column("salt")[0].as_py())
+        path = part_path(ckpt_dir, cell_id, salt)
+        t0 = time.perf_counter()
+        ops = np.asarray(tbl.column(op_column).to_pylist(), object)
+        bad = set(ops) - {"upsert", "delete"}
+        if bad:
+            raise ValueError(f"unknown change op(s): {sorted(bad)}")
+        ids = tbl.column("image_id").to_numpy(zero_copy_only=False
+                                              ).astype(str)
+        ups = np.flatnonzero(ops == "upsert")
+        if not os.path.exists(path):
+            # brand-new partition: only the upserts materialize
+            if len(ups) == 0:
+                return MANIFEST_SCHEMA.empty_table()
+            return _build_partition(tbl.take(pa.array(ups, pa.int64())),
+                                    ckpt_dir, resume=False)
+        tree, node_tbl = load_partition_tree(path)
+        # monotone id allocator: CoverTree.erase decrements N (reference
+        # semantics), so after erases a plain tree.N insert would REUSE
+        # a live node's id — corrupting the id-keyed metadata; ids here
+        # only ever grow and erased ids are never reissued
+        next_id = int(node_tbl.column("row_id").to_numpy().max()) + 1
+        tree.N = next_id
+        meta_by_id = {int(r): (i, int(p)) for r, i, p in zip(
+            node_tbl.column("row_id").to_pylist(),
+            node_tbl.column("image_id").to_pylist(),
+            node_tbl.column("phash").to_pylist())}
+        by_img = {i: int(r) for r, (i, _) in meta_by_id.items()}
+        lat_by_id = dict(zip(node_tbl.column("row_id").to_pylist(),
+                             zip(node_tbl.column("lat").to_pylist(),
+                                 node_tbl.column("lon").to_pylist())))
+
+        def erase_one(img: str) -> None:
+            """Erase one id's point; point-erase may remove a coordinate
+            twin's node, so drop whichever id actually left the tree
+            (same rule as erase_from_index)."""
+            rid = by_img.get(img)
+            if rid is None:
+                return
+            la, lo = lat_by_id[rid]
+            if tree.erase(np.asarray([la, lo], np.float64)):
+                gone = (rid if rid not in tree._by_id else
+                        next(i for i in meta_by_id if i not in tree._by_id))
+                if gone in meta_by_id:
+                    by_img.pop(meta_by_id[gone][0], None)
+                    meta_by_id.pop(gone, None)
+
+        dels = np.flatnonzero(ops == "delete")
+        for img in sorted(ids[dels]):
+            erase_one(img)
+        order = ups[np.argsort(ids[ups], kind="stable")]
+        lat = tbl.column("lat").to_numpy()
+        lon = tbl.column("lon").to_numpy()
+        ph = tbl.column("phash").to_numpy()
+        for j in order:
+            img = ids[j]
+            if img in by_img:                        # replace = erase first
+                erase_one(img)
+            nid = tree.N = next_id
+            tree.insert(np.asarray([float(lat[j]), float(lon[j])],
+                                   np.float64))
+            next_id += 1
+            meta_by_id[nid] = (img, int(ph[j]))
+            by_img[img] = nid
+            lat_by_id[nid] = (float(lat[j]), float(lon[j]))
+        return _rewrite_partition(tree, meta_by_id, path, cell_id, salt, t0)
+
+    updated_ds = routed.groupby(["cell", "salt"]).map_groups(
+        merge, batch_format="pyarrow")
+    updated = pa.Table.from_pandas(updated_ds.to_pandas(),
+                                   schema=MANIFEST_SCHEMA,
+                                   preserve_index=False)
+    return _merge_manifest(ckpt_dir, updated)
+
+
 def erase_from_index(ids, ckpt_dir: str) -> pa.Table:
     """Distributed ERASE by id — the reference's ``erase``
     (tree.cpp:526-582) with the engine's documented orphan-record

@@ -512,6 +512,86 @@ def test_build_partial_resume(ray_session, tiny_images, tmp_path):
     assert m2["resumed"].sum() == len(m2) - 3
 
 
+def test_apply_changes_cdc_merge(ray_session, tiny_images, tmp_path):
+    """CDC merge: one pass applies deletes + upserts (replace and
+    insert) and kNN stays brute-force-exact over the surviving set."""
+    ckpt = str(tmp_path / "cdc_idx")
+    ds = rd.read_parquet(tiny_images, columns=["image_id", "phash"])
+    build.build_index(ds, ckpt, res=4, target_rows=100)
+    ids = sorted(pq.read_table(tiny_images, columns=["image_id"])
+                 .column("image_id").to_pylist())
+    dels = ids[::7][:40]
+    new_ids = [f"cdc-{i:04d}" for i in range(50)]
+    replace_id = ids[1]
+    assert replace_id not in dels
+    n_ch = len(dels) + len(new_ids) + 2
+    changes = pa.table({
+        "image_id": pa.array(dels + new_ids + [replace_id, "ghost-000"]),
+        "phash": pa.array(np.arange(n_ch, dtype=np.int64)),
+        "op": pa.array(["delete"] * len(dels) + ["upsert"] * (len(new_ids) + 1)
+                       + ["delete"]),          # ghost delete: no-op
+    })
+    manifest = build.apply_changes(changes, ckpt)
+    remaining = sorted((set(ids) - set(dels)) | set(new_ids))
+    assert int(manifest.column("n_rows").to_numpy().sum()) == len(remaining)
+    # the replaced id carries its upserted phash in the checkpoint
+    found = []
+    for path in manifest.column("path").to_pylist():
+        t = pq.read_table(path, columns=["image_id", "phash"])
+        m = dict(zip(t.column("image_id").to_pylist(),
+                     t.column("phash").to_pylist()))
+        if replace_id in m:
+            found.append(m[replace_id])
+    assert found == [len(dels) + len(new_ids)]
+    # kNN brute-force-exact over the surviving geotags
+    q = fixtures.knn_queries(25)
+    out = knn.knn_geo(pa.table(q), ckpt, concurrency=2).to_pandas()
+    lat_u, lon_u = geocode.geocode_image_ids(np.asarray(remaining, object))
+    lat, lon = lat_u / 1e6, lon_u / 1e6
+    for qid, qlat, qlon, k in zip(q["query_id"], q["lat"], q["lon"], q["k"]):
+        got = out[out["query_id"] == qid].sort_values("rank")
+        d = np.hypot(lat - qlat, lon - qlon)
+        order = np.argsort(d, kind="stable")[: int(k)]
+        np.testing.assert_allclose(got["dist"].to_numpy(), d[order],
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_preload_auto_switch_on_mocked_multinode(index_dir, monkeypatch):
+    """The preload auto-default turns ON iff the cluster has >1 alive
+    node (knn_geo / radius_join); single-node sandboxes can't exercise
+    that branch for real, so mock ray.nodes() and assert the staged
+    path is actually taken AND results equal the non-staged path."""
+    import ray as ray_mod
+    from metric_search_ray.pipelines import knn as knnmod
+    ckpt, _ = index_dir
+    q = fixtures.knn_queries(10)
+    qt = pa.table(q)
+    base = knn.knn_geo(qt, ckpt, preload=False).to_pandas()
+    rbase = joins.radius_join(
+        qt.drop_columns(["k"]), ckpt, radius=6.0,
+        use_actor_pool=False, preload=False).to_pandas()
+
+    launches = []
+    orig_launch = knnmod._stage_launch
+    monkeypatch.setattr(knnmod, "_stage_launch",
+                        lambda *a, **k: launches.append(a) or orig_launch(*a, **k))
+    monkeypatch.setattr(ray_mod, "nodes",
+                        lambda: [{"Alive": True}, {"Alive": True}])
+    got = knn.knn_geo(qt, ckpt).to_pandas()          # preload=None -> auto-on
+    assert launches, "multi-node auto-switch did not take the staged path"
+    key = ["query_id", "rank", "image_id"]
+    assert (sorted(map(tuple, got[key].itertuples(index=False)))
+            == sorted(map(tuple, base[key].itertuples(index=False))))
+
+    n0 = len(launches)
+    rgot = joins.radius_join(qt.drop_columns(["k"]), ckpt, radius=6.0,
+                             use_actor_pool=False).to_pandas()
+    assert len(launches) > n0, "radius_join auto-switch did not stage"
+    rkey = ["query_id", "image_id"]
+    assert (sorted(map(tuple, rgot[rkey].itertuples(index=False)))
+            == sorted(map(tuple, rbase[rkey].itertuples(index=False))))
+
+
 def test_preload_staging_paths_match_default(index_dir):
     """The opt-in object-store staging path (preload=True) must return
     the same kNN and radius results as the parquet-decode default —
