@@ -566,6 +566,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_id", "o_orderkey", "rank", "dist2_u"]].reset_index(drop=True)
         return out
 
+    def geo_cdc_knn(sf_dir: str):
+        """CDC changelog merge (build.apply_changes) then exact kNN
+        over the mutated index: deletes o_orderkey % 7 == 0, upserts
+        o_orderkey % 50 == 3 in place (replace: erase + reinsert) plus
+        a derived NEW point per replaced key (okey*1000+7); deletes
+        apply before upserts, so a key matching both rules survives.
+        The kNN answers must be brute-force-exact over the surviving
+        set — the oracle replays the surviving-key set in SQL and
+        cross-joins it with the fixed query points."""
+        import shutil as _sh
+        import tempfile as _tf
+        from metric_search_ray import geocode
+        from metric_search_ray.pipelines import build, knn
+        base_idx = _geo_index_dir(sf_dir)
+        work = _tf.mkdtemp(prefix="msr_cdc_")
+        dst = os.path.join(work, "idx")
+        _sh.copytree(base_idx, dst)   # never mutate the shared cache
+        try:
+            okeys = pq.read_table(
+                os.path.join(sf_dir, "orders.parquet"),
+                columns=["o_orderkey"]).column("o_orderkey").to_numpy()
+            dels = okeys[okeys % 7 == 0]
+            reps = okeys[okeys % 50 == 3]
+            news = reps * 1000 + 7
+            ids = np.concatenate([dels, reps, news]).astype(str)
+            ops = (["delete"] * len(dels)
+                   + ["upsert"] * (len(reps) + len(news)))
+            build.apply_changes(pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(np.arange(len(ids), dtype=np.int64)),
+                "op": pa.array(ops, pa.string()),
+            }), dst)
+            qpts = _geo_query_points()
+            qtbl = pa.table({
+                "query_id": pa.array([q[0] for q in qpts], pa.string()),
+                "lat": pa.array([q[1] / 1e6 for q in qpts], pa.float64()),
+                "lon": pa.array([q[2] / 1e6 for q in qpts], pa.float64()),
+                "k": pa.array([GEO_KNN_K + 10] * len(qpts), pa.int32()),
+            })
+            cand = knn.knn_geo(rd.from_arrow(qtbl), dst,
+                               concurrency=4).to_pandas()
+        finally:
+            _sh.rmtree(work, ignore_errors=True)
+        qmap = {q[0]: (q[1], q[2]) for q in qpts}
+        key = cand["image_id"].astype(np.int64).to_numpy()
+        la, lo = geocode.geocode_from_key(key)
+        qla = cand["query_id"].map(lambda q: qmap[q][0]).to_numpy()
+        qlo = cand["query_id"].map(lambda q: qmap[q][1]).to_numpy()
+        cand["o_orderkey"] = key
+        cand["dist2_u"] = (la - qla) ** 2 + (lo - qlo) ** 2
+        cand = cand.sort_values(["query_id", "dist2_u", "o_orderkey"])
+        cand["rank"] = cand.groupby("query_id").cumcount() + 1
+        return cand[cand["rank"] <= GEO_KNN_K][
+            ["query_id", "o_orderkey", "rank", "dist2_u"]
+        ].reset_index(drop=True)
+
     def geo_radius(sf_dir: str):
         from metric_search_ray import geocode
         from metric_search_ray.pipelines import joins
@@ -2086,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_counts": geo_tile_counts,
         "geo_pip_rect": geo_pip_rect,
         "geo_knn": geo_knn,
+        "geo_cdc_knn": geo_cdc_knn,
         "geo_radius": geo_radius,
         "geo_tile_polygon_cover": geo_tile_polygon_cover,
         "geo_hav_knn": geo_hav_knn,
@@ -2620,6 +2677,27 @@ FROM pts p JOIN rects r
 """,
         "geo_knn": f"""
 WITH {_pts_cte()},
+q(query_id, qlat_u, qlon_u) AS (VALUES {qpt_values}),
+d AS (SELECT q.query_id, p.okey AS o_orderkey,
+             (p.lat_u - q.qlat_u) * (p.lat_u - q.qlat_u)
+             + (p.lon_u - q.qlon_u) * (p.lon_u - q.qlon_u) AS dist2_u
+      FROM q CROSS JOIN pts p)
+SELECT query_id, o_orderkey,
+       row_number() OVER (PARTITION BY query_id ORDER BY dist2_u, o_orderkey) AS rank,
+       dist2_u
+FROM d
+QUALIFY rank <= {GEO_KNN_K}
+""",
+        "geo_cdc_knn": f"""
+WITH src AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 50 <> 3
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 3
+  UNION ALL
+  SELECT o_orderkey * 1000 + 7 FROM orders WHERE o_orderkey % 50 = 3
+),
+{_pts_cte("src", "o_orderkey")},
 q(query_id, qlat_u, qlon_u) AS (VALUES {qpt_values}),
 d AS (SELECT q.query_id, p.okey AS o_orderkey,
              (p.lat_u - q.qlat_u) * (p.lat_u - q.qlat_u)
@@ -3964,6 +4042,9 @@ def _suite_specs() -> dict:
                 ("motion", "geo_motion_stats",
                  {"query_id": "stat_key", "o_orderkey": "val",
                   "rank": _L(0), "v": _L(0.0)}),
+                ("cdc", "geo_cdc_knn",
+                 {"query_id": "query_id", "o_orderkey": "o_orderkey",
+                  "rank": "rank", "v": "dist2_u"}),
             ]),
         # ---- near-duplicate detection: LSH pair generators + transitive dedup
         "doc_neardup_suite": dict(
