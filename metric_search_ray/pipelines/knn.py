@@ -377,8 +377,25 @@ class KnnActor:
             refs = ray.get(self.part_refs)
             _STAGE_DICT_CACHE.clear()
             _STAGE_DICT_CACHE[self.part_refs] = refs
+        # home cells + their 3x3 neighborhoods, vectorized (ring scans
+        # overwhelmingly stop within ring 1; a neighbor missed by this
+        # approximation — exotic wrap cases — just resolves lazily).
+        cells = np.asarray(cells, np.int64)
+        if len(cells) == 0:
+            return
+        ix, iy, _res = cellmod.cell_to_xy(cells)
+        n = np.int64(1) << np.int64(self.res)
+        hood: set = set()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx = (ix + dx) % n
+                ny = iy + dy
+                ok = (ny >= 0) & (ny < n)
+                if ok.any():
+                    hood.update(cellmod.cell_id_from_xy(
+                        nx[ok], ny[ok], self.res).tolist())
         want: list = []
-        for c in cells:
+        for c in hood:
             for _salt, path in self.by_cell.get(int(c), ()):
                 if ("ref", path) not in _ARRAY_CACHE and path in refs:
                     want.append(path)
