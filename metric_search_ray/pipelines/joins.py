@@ -149,6 +149,7 @@ class RnnActor:
         self.ckpt_dir = ckpt_dir
         self._by_cell = None
         self._cells = None
+        self._res = None
         self.radius = radius
         self._cache: "collections.OrderedDict" = collections.OrderedDict()
         self.cache_trees = cache_trees
@@ -160,8 +161,14 @@ class RnnActor:
     def by_cell(self):
         if self._by_cell is None:
             from .knn import _manifest_lookup_cached
-            self._by_cell, _ = _manifest_lookup_cached(self.ckpt_dir)
+            self._by_cell, self._res = _manifest_lookup_cached(self.ckpt_dir)
         return self._by_cell
+
+    @property
+    def res(self):
+        if self._by_cell is None:
+            self.by_cell
+        return self._res
 
     @property
     def cells(self):
@@ -181,6 +188,7 @@ class RnnActor:
             setattr(self, k, v)
         self._by_cell = None
         self._cells = None
+        self._res = None
         self._cache = collections.OrderedDict()
         self._aid = {}
 
@@ -215,8 +223,36 @@ class RnnActor:
             for ci in np.flatnonzero(probe.any(axis=0)):
                 qs = np.flatnonzero(probe[:, ci])
                 for _salt, path in self.by_cell[int(self.cells[ci])]:
-                    plat, plon, ids = _resolve_arrays(path,
-                                                      self.part_refs)[:3]
+                    arrs = _resolve_arrays(path, self.part_refs,
+                                           res_base=self.res)
+                    plat, plon, ids = arrs[0], arrs[1], arrs[2]
+                    if len(arrs) > 3 and len(qs) * len(plat) >= (1 << 16):
+                        # hot partition with a staged sub-cell CSR: a
+                        # radius query only needs sub-cells whose box
+                        # lower bound is inside the radius — same true-
+                        # lower-bound pruning as the cell-level probe,
+                        # one level down (strict d < radius predicate
+                        # unchanged on the surviving rows)
+                        sub_cells, sub_starts = arrs[3], arrs[4]
+                        slb = cellmod.points_cells_min_dist_deg(
+                            lats[qs], lons[qs], sub_cells)
+                        sprobe = slb < self.radius
+                        for j in np.flatnonzero(sprobe.any(axis=0)):
+                            q2 = qs[np.flatnonzero(sprobe[:, j])]
+                            a = int(sub_starts[j])
+                            b = int(sub_starts[j + 1])
+                            d = planar_dist_outer(plat[a:b], plon[a:b],
+                                                  lats[q2], lons[q2])
+                            rr, cc = np.nonzero(d < self.radius)
+                            if len(rr):
+                                out_q.append(pc.take(
+                                    qid_col, pa.array(q2[rr], pa.int64())))
+                                out_i.append(pc.take(
+                                    self._arrow_ids(path, ids),
+                                    pa.array(cc + a, pa.int64())))
+                                if self.emit == "full":
+                                    hit_d.append(d[rr, cc])
+                        continue
                     d = planar_dist_outer(plat, plon, lats[qs], lons[qs])
                     rr, cc = np.nonzero(d < self.radius)  # strict: rnn semantics
                     if len(rr):
