@@ -1801,6 +1801,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sim_r"] = out["similarity"].round(6)
         return out[["query_id", "vec_id", "rank", "sim_r"]]
 
+    def embed_knn_hnsw(sf_dir: str):
+        """Sharded HNSW ANN (pipelines/hnsw.py): graph-based member of
+        the ANN family; deterministic spec (splitmix64 level ladder,
+        ascending-id insertion, (dist, id) tie order everywhere), so the
+        oracle replays it serially with an independent heapless
+        implementation (same contract as embed_knn_pq).  The index is
+        PERSISTED once per sf (atomic shard files + manifest, resume)."""
+        from metric_search_ray.pipelines import hnsw
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        head = pq.read_table(path, columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "in", [0, 1, 2])]
+                             ).to_pandas().sort_values("vec_id")
+        qv = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+        ck = os.path.join(TMP_ROOT,
+                          f"hnsw_{os.path.basename(os.path.normpath(sf_dir))}")
+        if not os.path.exists(os.path.join(ck, "manifest.parquet")):
+            hnsw.build_hnsw_index(ds, ck, n_shards=4, m=8,
+                                  ef_construction=48)
+        out = hnsw.knn_hnsw(ck, [int(i) for i in head["vec_id"]], qv,
+                            k=5, ef_search=48)
+        out["dist_r"] = out["dist"].round(6)
+        return out[["query_id", "vec_id", "rank", "dist_r"]]
+
     def embed_dedup(sf_dir: str):
         from metric_search_ray.pipelines import dedup
         ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -2219,6 +2243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_lang_id": doc_lang_id,
         "embed_knn_ivf": embed_knn_ivf,
+        "embed_knn_hnsw": embed_knn_hnsw,
         "embed_dedup": embed_dedup,
         "graph_components": graph_components,
         "graph_pagerank": graph_pagerank,
@@ -2640,6 +2665,138 @@ def _embed_knn_pq_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
                      for qd, i, r, v in out)
     return (f"SELECT * FROM (VALUES {vals}) "
             f"AS t(query_id, vec_id, rank, dist)")
+
+
+def _hnsw_replay(sf_dir: str, n_shards: int = 4, m: int = 8,
+                 efc: int = 48, ef_search: int = 48, k: int = 5,
+                 q_ids=(0, 1, 2)):
+    """Serial heapless replay of the sharded-HNSW spec (the
+    determinism contract in pipelines/hnsw.py's docstring): dict-based
+    candidate/result sets with min()/max() scans instead of heaps,
+    id-keyed adjacency instead of index-keyed — an independent
+    implementation whose only shared surface with the package is the
+    spec itself.  Distances use the same ``((a - b) ** 2).sum()``
+    numpy reduction so float ties agree bit-for-bit.
+    -> [(query_id, vec_id, rank, dist_round6)] rows."""
+    import math
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id")
+    ids_all = emb["vec_id"].to_numpy().astype(np.int64)
+    x_all = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    pos_all = {int(i): j for j, i in enumerate(ids_all)}
+
+    mask64 = (1 << 64) - 1
+
+    def sm64(v: int) -> int:
+        z = (v + 0x9E3779B97F4A7C15) & mask64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask64
+        return z ^ (z >> 31)
+
+    def level_of(i: int) -> int:
+        u = ((sm64(i) >> 11) + 0.5) / float(1 << 53)
+        return int(math.floor(-math.log(u) / math.log(float(m))))
+
+    class Shard:
+        def __init__(self, ids, x):
+            self.ids, self.x = ids, x
+            self.pos = {int(i): j for j, i in enumerate(ids)}
+            self.nbrs: dict = {}
+            self.entry, self.maxl = -1, -1
+            for i in ids:
+                self._insert(int(i))
+
+        def d2(self, a: int, vec) -> float:
+            return float(((self.x[self.pos[a]] - vec) ** 2).sum())
+
+        def search_layer(self, qv, eps, ef, layer):
+            visited = set(eps)
+            C = {e: self.d2(e, qv) for e in eps}
+            W = dict(C)
+            while len(W) > ef:                       # trim to ef best
+                del W[max(W, key=lambda e: (W[e], e))]
+            while C:
+                c = min(C, key=lambda e: (C[e], e))
+                dc = C.pop(c)
+                f = max(W, key=lambda e: (W[e], e))
+                if len(W) >= ef and (dc, c) > (W[f], f):
+                    break
+                for e in self.nbrs[(layer, c)]:
+                    if e in visited:
+                        continue
+                    visited.add(e)
+                    de = self.d2(e, qv)
+                    f = max(W, key=lambda e2: (W[e2], e2))
+                    if len(W) < ef or (de, e) < (W[f], f):
+                        C[e] = de
+                        W[e] = de
+                        if len(W) > ef:
+                            del W[max(W, key=lambda e2: (W[e2], e2))]
+            return sorted(W.items(), key=lambda kv: (kv[1], kv[0]))
+
+        def _insert(self, i: int):
+            li = level_of(i)
+            if self.entry < 0:
+                for layer in range(li + 1):
+                    self.nbrs[(layer, i)] = []
+                self.entry, self.maxl = i, li
+                return
+            qv = self.x[self.pos[i]]
+            ep = [self.entry]
+            for layer in range(self.maxl, li, -1):
+                w = self.search_layer(qv, ep, 1, layer)
+                ep = [w[0][0]]
+            for layer in range(min(li, self.maxl), -1, -1):
+                w = self.search_layer(qv, ep, efc, layer)
+                sel = [e for e, _ in w[:m]]
+                self.nbrs[(layer, i)] = list(sel)
+                mmax = m if layer > 0 else 2 * m
+                for e in sel:
+                    ev = self.x[self.pos[e]]
+                    lst = self.nbrs[(layer, e)]
+                    lst.append(i)
+                    if len(lst) > mmax:
+                        lst.sort(key=lambda t: (self.d2(t, ev), t))
+                        self.nbrs[(layer, e)] = lst[:mmax]
+                ep = sel
+            for layer in range(self.maxl + 1, li + 1):
+                self.nbrs[(layer, i)] = []
+            if li > self.maxl:
+                self.entry, self.maxl = i, li
+
+        def topk(self, qv, k, ef):
+            if self.entry < 0:
+                return []
+            ep = [self.entry]
+            for layer in range(self.maxl, 0, -1):
+                w = self.search_layer(qv, ep, 1, layer)
+                ep = [w[0][0]]
+            w = self.search_layer(qv, ep, max(ef, k), 0)
+            return w[:k]
+
+    shards = [Shard(ids_all[ids_all % n_shards == s],
+                    x_all[ids_all % n_shards == s])
+              for s in range(n_shards)]
+    out = []
+    for qid in q_ids:
+        qv = x_all[pos_all[int(qid)]]
+        cand = []
+        for sh in shards:
+            cand.extend(sh.topk(qv, k, ef_search))
+        cand.sort(key=lambda t: (t[1], t[0]))
+        for rk, (i, d2v) in enumerate(cand[:k], 1):
+            out.append((int(qid), int(i), rk,
+                        round(float(np.sqrt(d2v)), 6)))
+    return out
+
+
+def _embed_knn_hnsw_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    rows = _hnsw_replay(sf_dir)
+    vals = ", ".join(f"({q}, {i}, {r}, {v!r})" for q, i, r, v in rows)
+    return (f"SELECT * FROM (VALUES {vals}) "
+            f"AS t(query_id, vec_id, rank, dist_r)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3714,6 +3871,7 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 6
                                         else 5),
         "img_patch_knn": _img_patch_knn_sql(n_img),
         "embed_knn_pq": _embed_knn_pq_sql(),
+        "embed_knn_hnsw": _embed_knn_hnsw_sql(),
         # cross-modal caption search: BM25 over the VALUES caption table
         # (same ln/round shape as the doc_bm25 oracle), top-10 on
         # (score desc, image_id), joined back to phash
@@ -4117,6 +4275,9 @@ def _suite_specs() -> dict:
                 ("ivf", "embed_knn_ivf",
                  {"a": "query_id", "b": "vec_id", "rank": "rank",
                   "v": "sim_r"}),
+                ("hnsw", "embed_knn_hnsw",
+                 {"a": "query_id", "b": "vec_id", "rank": "rank",
+                  "v": "dist_r"}),
                 ("dedup", "embed_dedup",
                  {"a": "id_a", "b": "id_b", "rank": _L(0),
                   "v": "cosine_r"}),
