@@ -107,6 +107,44 @@ def test_index_roundtrip_resume_and_query(ray_session, vecs, tmp_path):
     assert out.equals(out2)
 
 
+def test_empty_and_tiny_shards(ray_session, tmp_path):
+    """n_shards > populated shards: only-even ids leave the odd shards
+    with no file at all; single-row and empty shards must still answer."""
+    ids = np.arange(0, 40, 2, dtype=np.int64)          # evens only
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(len(ids), 8))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in x],
+                              pa.list_(pa.float32())),
+    }))
+    ck = str(tmp_path / "sparse")
+    man = hnsw.build_hnsw_index(ds, ck, n_shards=4, m=4,
+                                ef_construction=16).to_pandas()
+    assert sorted(man["shard"]) == [0, 2]              # odd shards absent
+    out = hnsw.knn_hnsw(ck, ["q0"], x[:1].astype(np.float64), k=3,
+                        ef_search=16)
+    assert out["vec_id"].tolist()[0] == 0 and len(out) == 3
+
+    # k larger than the corpus: every row returns, ranks stay dense
+    out = hnsw.knn_hnsw(ck, ["q0"], x[:1].astype(np.float64), k=100,
+                        ef_search=200)
+    assert len(out) == len(ids)
+    assert out["rank"].tolist() == list(range(1, len(ids) + 1))
+
+
+def test_duplicate_vectors_tie_by_id():
+    """Exact-duplicate vectors: ties resolve by ascending id, matching
+    the brute-force (dist, id) order."""
+    ids = np.arange(20, dtype=np.int64)
+    x = np.zeros((20, 4))
+    x[10:] = 1.0                                       # two point-clouds
+    adj, _, entry = hnsw.build_shard_graph(ids, x, m=4, ef_construction=16)
+    got = [i for _, i in
+           hnsw.search_shard_graph(np.zeros(4), 5, 32, adj, x, ids, entry)]
+    assert got == [0, 1, 2, 3, 4]
+
+
 def test_replay_parity_with_driver_oracle(ray_session, tmp_path):
     """The package pipeline and the driver oracle's independent serial
     replay must agree bit-for-bit on the real sf0.001 embeddings —
