@@ -202,18 +202,44 @@ def _table_to_shard(tbl: pa.Table):
 
 def build_hnsw_index(ds, ckpt_dir: str, n_shards: int = 4, m: int = 8,
                      ef_construction: int = 64, vec_col: str = "embedding",
-                     id_col: str = "vec_id", resume: bool = True) -> pa.Table:
+                     id_col: str = "vec_id", resume: bool = True,
+                     centroids=None) -> pa.Table:
     """Partition-parallel HNSW build: route by ``id % n_shards``, build
     each shard's graph in its own task (``map_groups``), persist one
     file per shard + a manifest (atomic, resumable — same discipline as
-    ``build_ivf_index``)."""
+    ``build_ivf_index``).
+
+    ``centroids`` (optional, (C, dim)): shard by nearest centroid
+    instead of ``id % n_shards`` — the IVF-routed layout, where a query
+    needs to probe only its ``nprobe`` nearest shards' graphs
+    (``knn_hnsw(..., nprobe=...)``) instead of all of them.  This is
+    the 10^12-row scale path the module docstring describes: recall
+    then depends on the router (tested), while the id-mod layout keeps
+    recall routing-independent.  The centroids persist beside the
+    manifest so the query side routes identically."""
     import pyarrow.parquet as pq
 
     os.makedirs(ckpt_dir, exist_ok=True)
+    if centroids is not None:
+        cent = np.ascontiguousarray(np.asarray(centroids, np.float64))
+        cpath = os.path.join(ckpt_dir, "centroids.npy")
+        if not (resume and os.path.exists(cpath)):
+            tmp = os.path.join(ckpt_dir, f"centroids.tmp.{os.getpid()}.npy")
+            np.save(tmp, cent)
+            os.replace(tmp, cpath)
 
-    def add_shard(batch: pa.Table) -> pa.Table:
-        sid = batch.column(id_col).to_numpy() % n_shards
-        return batch.append_column("shard", pa.array(sid, pa.int64()))
+        def add_shard(batch: pa.Table) -> pa.Table:
+            x = np.stack(batch.column(vec_col).to_numpy(
+                zero_copy_only=False)).astype(np.float64)
+            # argmin is first-match on ties -> lowest centroid id,
+            # deterministic
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            sid = np.argmin(d2, axis=1).astype(np.int64)
+            return batch.append_column("shard", pa.array(sid, pa.int64()))
+    else:
+        def add_shard(batch: pa.Table) -> pa.Table:
+            sid = batch.column(id_col).to_numpy() % n_shards
+            return batch.append_column("shard", pa.array(sid, pa.int64()))
 
     def build_one(g: pa.Table) -> pa.Table:
         sid = int(g.column("shard")[0].as_py())
@@ -279,13 +305,19 @@ def _load_shard_cached(path: str, entry_id: int):
 
 
 def knn_hnsw(ckpt_dir: str, query_ids, query_vecs, k: int = 10,
-             ef_search: int = 64):
+             ef_search: int = 64, nprobe: int | None = None):
     """Approximate L2 top-k over a persisted sharded HNSW index:
     queries broadcast once (``ray.put``), one task per shard searches
-    its graph for ALL queries, and only (n_queries x k) candidate rows
-    per shard return for the final (dist, id) merge — the scatter-
-    gather shape of ``knn.knn_metric``.  -> pandas (query_id, vec_id,
-    rank, dist) with dist = true L2, ascending (ties by id)."""
+    its graph for the queries routed to it, and only (n_queries x k)
+    candidate rows per shard return for the final (dist, id) merge —
+    the scatter-gather shape of ``knn.knn_metric``.
+
+    ``nprobe`` (requires a centroid-routed index): each query probes
+    only its nprobe nearest shards — search cost drops from all-shards
+    to nprobe graphs at the router's recall risk; ``nprobe=None``
+    probes every shard (exact over the graphs, layout-independent
+    recall).  -> pandas (query_id, vec_id, rank, dist) with dist =
+    true L2, ascending (ties by id)."""
     import pandas as pd
     import pyarrow.parquet as pq
     import ray
@@ -293,10 +325,26 @@ def knn_hnsw(ckpt_dir: str, query_ids, query_vecs, k: int = 10,
     manifest = pq.read_table(os.path.join(ckpt_dir, "manifest.parquet"))
     q = np.asarray(query_vecs, np.float64)
     qref = ray.put(q)
+    shards = manifest.column("shard").to_pylist()
+    sub_of: dict = {}                  # shard -> query-row subset, or None
+    if nprobe is not None:
+        cpath = os.path.join(ckpt_dir, "centroids.npy")
+        if not os.path.exists(cpath):
+            raise ValueError("nprobe routing needs a centroid-routed "
+                             "index (build_hnsw_index(..., centroids=))")
+        cent = np.load(cpath)
+        d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # stable argsort: probe ties resolve to the lowest shard id
+        probes = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        for s in shards:
+            qs_idx = np.flatnonzero((probes == int(s)).any(axis=1))
+            sub_of[int(s)] = qs_idx
 
     @ray.remote
-    def probe(path: str, entry_id: int, qref, k: int, ef: int):
+    def probe(path: str, entry_id: int, qref, k: int, ef: int, qsel):
         qs = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        if qsel is not None:
+            qs = qs[qsel]
         ids, vecs, adj, entry = _load_shard_cached(path, entry_id)
         out_d = np.full((len(qs), k), np.inf)
         out_i = np.full((len(qs), k), -1, np.int64)
@@ -307,14 +355,38 @@ def knn_hnsw(ckpt_dir: str, query_ids, query_vecs, k: int = 10,
                 out_i[qi, r] = vid
         return out_d, out_i
 
-    futs = [probe.remote(p, int(e), qref, k, ef_search)
-            for p, e in zip(manifest.column("path").to_pylist(),
-                            manifest.column("entry_id").to_pylist())]
-    parts = ray.get(futs)
-    all_d = np.concatenate([d for d, _ in parts], axis=1)
-    all_i = np.concatenate([i for _, i in parts], axis=1)
-    rows = []
+    futs, fut_sel = [], []
+    for p, e, s in zip(manifest.column("path").to_pylist(),
+                       manifest.column("entry_id").to_pylist(), shards):
+        qsel = sub_of.get(int(s)) if nprobe is not None else None
+        if qsel is not None and len(qsel) == 0:
+            continue
+        futs.append(probe.remote(p, int(e), qref, k, ef_search, qsel))
+        fut_sel.append(qsel)
     qids = list(query_ids)
+    if not futs:
+        return pd.DataFrame({"query_id": pd.Series(qids[:0]),
+                             "vec_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.float64)})
+    parts = ray.get(futs)
+    nq = len(q)
+    if nprobe is None:
+        all_d = np.concatenate([d for d, _ in parts], axis=1)
+        all_i = np.concatenate([i for _, i in parts], axis=1)
+    else:
+        # scatter each shard's subset rows back to full query rows
+        blocks_d, blocks_i = [], []
+        for (d, i), qsel in zip(parts, fut_sel):
+            fd = np.full((nq, d.shape[1]), np.inf)
+            fi = np.full((nq, i.shape[1]), -1, np.int64)
+            fd[qsel] = d
+            fi[qsel] = i
+            blocks_d.append(fd)
+            blocks_i.append(fi)
+        all_d = np.concatenate(blocks_d, axis=1)
+        all_i = np.concatenate(blocks_i, axis=1)
+    rows = []
     for qi in range(len(qids)):
         order = np.lexsort((all_i[qi], all_d[qi]))
         kept = 0

@@ -133,6 +133,44 @@ def test_empty_and_tiny_shards(ray_session, tmp_path):
     assert out["rank"].tolist() == list(range(1, len(ids) + 1))
 
 
+def test_ivf_routed_shards_and_nprobe(ray_session, tmp_path):
+    """Centroid-routed layout (the scale path): shards = IVF lists;
+    nprobe=C must equal probe-all, and nprobe=2 keeps high recall on
+    clustered data while touching only 2 graphs per query."""
+    rng = np.random.default_rng(21)
+    centers = rng.normal(0, 10, (8, 12))
+    x = np.concatenate([c + rng.normal(0, 0.5, (120, 12))
+                        for c in centers])
+    ids = np.arange(len(x), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in x],
+                              pa.list_(pa.float32())),
+    })).repartition(4)
+    ck = str(tmp_path / "routed")
+    man = hnsw.build_hnsw_index(ds, ck, m=8, ef_construction=48,
+                                centroids=centers).to_pandas()
+    assert len(man) == 8 and man["n_rows"].sum() == len(ids)
+    q = np.stack([c + rng.normal(0, 0.5, 12) for c in centers]
+                 ).astype(np.float64)
+    qids = [f"q{i}" for i in range(len(q))]
+    full = hnsw.knn_hnsw(ck, qids, q, k=5, ef_search=48)
+    allp = hnsw.knn_hnsw(ck, qids, q, k=5, ef_search=48, nprobe=8)
+    assert full.equals(allp)
+    routed = hnsw.knn_hnsw(ck, qids, q, k=5, ef_search=48, nprobe=2)
+    x64 = x.astype(np.float32).astype(np.float64)
+    hit = 0
+    for qi, qid in enumerate(qids):
+        got = set(routed[routed["query_id"] == qid]["vec_id"])
+        hit += len(got & set(_brute_topk(ids, x64, q[qi], 5)))
+    assert hit / (len(q) * 5) >= 0.9
+    # an id-mod index refuses nprobe routing loudly
+    ck2 = str(tmp_path / "idmod")
+    hnsw.build_hnsw_index(ds, ck2, n_shards=2, m=8, ef_construction=16)
+    with pytest.raises(ValueError, match="centroid-routed"):
+        hnsw.knn_hnsw(ck2, qids, q, k=3, nprobe=1)
+
+
 def test_duplicate_vectors_tie_by_id():
     """Exact-duplicate vectors: ties resolve by ascending id, matching
     the brute-force (dist, id) order."""
