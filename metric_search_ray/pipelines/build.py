@@ -199,9 +199,23 @@ def _build_bin(tbl: pa.Table, ckpt_dir: str, resume: bool) -> pa.Table:
         for a, b in zip(starts, stops))
 
 
-def _split_by_bin(block, n_bins: int):
-    """Map side of the exact exchange: one sub-table per bin."""
+def _split_by_bin(block, n_bins: int, route=None):
+    """Map side of the exact exchange: one sub-table per bin.
+
+    ``route`` (optional) fuses the salt + bin assignment into this
+    task: a (salt_plan, cells_sorted, keys_sorted, bins, S) tuple (the
+    arguments ``assign_salt`` / ``_assign_bin`` need).  The fused form
+    lets ``build_index`` route the TAGGED blocks directly — the
+    standalone salted map_batches + materialize pass wrote one full
+    extra copy of the projection through the object store just to
+    append two int64 columns."""
+    from ..stages import assign as _assign
+
     tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    if route is not None:
+        salt_plan, cells_sorted, keys_sorted, bins, S = route
+        tbl = _assign_bin(_assign.assign_salt(tbl, salt_plan),
+                          cells_sorted, keys_sorted, bins, S)
     bins_col = tbl.column("bin").to_numpy()
     order = np.argsort(bins_col, kind="stable")
     srt = tbl.take(pa.array(order))
@@ -221,7 +235,8 @@ def _build_bin_shards(ckpt_dir: str, resume: bool, *shards) -> pa.Table:
 
 
 def _exact_exchange_build(salted_mat: "rd.Dataset", ckpt_dir: str,
-                          resume: bool, n_bins: int) -> pa.Table:
+                          resume: bool, n_bins: int,
+                          route=None) -> pa.Table:
     """Exact bin-routed exchange over raw Ray tasks.
 
     Ray Data's sort-based groupby shuffle picks reducer boundaries from
@@ -245,13 +260,41 @@ def _exact_exchange_build(salted_mat: "rd.Dataset", ckpt_dir: str,
     if not block_refs:
         return MANIFEST_SCHEMA.empty_table()
     split = _ray.remote(num_returns=n_bins)(_split_by_bin)
-    shards = [split.remote(ref, n_bins) for ref in block_refs]
+    route_ref = _ray.put(route) if route is not None else None
+    shards = [split.remote(ref, n_bins, route_ref) for ref in block_refs]
     if n_bins == 1:
         shards = [[s] for s in shards]
     build_task = _ray.remote(_build_bin_shards)
     outs = [build_task.remote(ckpt_dir, resume, *[s[b] for s in shards])
             for b in range(n_bins)]
     return pa.concat_tables(_ray.get(outs))
+
+
+def _cell_counts_from_refs(mat_ds) -> tuple[np.ndarray, np.ndarray]:
+    """``_cell_counts`` over an already-materialized dataset's block
+    refs with raw tasks — no second Dataset execution pass, no block
+    copies; one (cells, counts) pair returns per block."""
+    import ray as _ray
+
+    refs = [br for bundle in mat_ds.iter_internal_ref_bundles()
+            for br in bundle.block_refs]
+    if not refs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    @_ray.remote
+    def part(blk):
+        tbl = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
+        vals, cnt = np.unique(tbl.column("cell").to_numpy(),
+                              return_counts=True)
+        return vals, cnt.astype(np.int64)
+
+    outs = _ray.get([part.remote(r) for r in refs])
+    cs = np.concatenate([v for v, _ in outs])
+    ns = np.concatenate([c for _, c in outs])
+    cells, inv = np.unique(cs, return_inverse=True)
+    totals = np.zeros(len(cells), np.int64)
+    np.add.at(totals, inv, ns)
+    return cells, totals
 
 
 def _build_partition(tbl: pa.Table, ckpt_dir: str, resume: bool) -> pa.Table:
@@ -354,7 +397,12 @@ def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
         # then starts from n_blocks directly — one fewer standalone
         # repartition execution between the salt map and the groupby
         tagged = tagged.repartition(n_blocks).materialize()
-    cells, totals = _cell_counts(tagged)
+        # count pre-pass over the pinned block refs with raw tasks —
+        # a second Dataset execution pass over the same blocks costs
+        # ~0.25 s of fixed executor spin at sf0.1 and reads nothing new
+        cells, totals = _cell_counts_from_refs(tagged)
+    else:
+        cells, totals = _cell_counts(tagged)
     k = np.maximum(1, np.ceil(totals / target_rows)).astype(int)
     salt_plan = {int(c): int(n) for c, n in zip(cells, k) if n > 1}
     # persist the plan: incremental update/erase must route with the
@@ -369,17 +417,20 @@ def build_index(ds: "rd.Dataset", ckpt_dir: str, res: int = DEFAULT_RES,
     # the per-(cell,salt) groupby handed the executor 6x-skewed build
     # tasks (last-wave stragglers; 67% occupancy at 8 cpus)
     keys_sorted, bins, S = _pack_bins(cells, totals, salt_plan, n_blocks)
-    salted = tagged.map_batches(
-        lambda b: _assign_bin(assign.assign_salt(b, salt_plan),
-                              cells, keys_sorted, bins, S),
-        batch_format="pyarrow", zero_copy_batch=True)
     if materialize_tagged:
-        # the narrow salted projection is already pinned in the object
-        # store — route it through the exact bin exchange (no sampling,
-        # perfectly row-balanced build tasks)
-        manifest = _exact_exchange_build(salted.materialize(), ckpt_dir,
-                                         resume, n_blocks)
+        # the narrow tagged projection is already pinned in the object
+        # store — route it through the exact bin exchange with the
+        # salt + bin assignment FUSED into the split tasks (the
+        # standalone salted map_batches + materialize wrote one full
+        # extra copy through the object store to append two columns)
+        manifest = _exact_exchange_build(
+            tagged, ckpt_dir, resume, n_blocks,
+            route=(salt_plan, cells, keys_sorted, bins, S))
     else:
+        salted = tagged.map_batches(
+            lambda b: _assign_bin(assign.assign_salt(b, salt_plan),
+                                  cells, keys_sorted, bins, S),
+            batch_format="pyarrow", zero_copy_batch=True)
         # streaming path (projection larger than the object store):
         # the source may be a single parquet file — split so every CPU
         # gets build work, then let the sort-based groupby shuffle

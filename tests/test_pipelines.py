@@ -57,6 +57,36 @@ def test_build_index_manifest_and_covering(index_dir):
         assert tree.size() == len(tbl)
 
 
+def test_build_fused_exchange_matches_streaming(ray_session, tiny_images,
+                                                tmp_path):
+    """materialize_tagged=True (fused salt+bin in the split tasks,
+    counts from block refs) and the streaming groupby path must write
+    BIT-IDENTICAL partition checkpoints and equal manifests."""
+    import hashlib
+    import os
+
+    ds = rd.read_parquet(tiny_images, columns=["image_id", "phash"])
+    a, b = str(tmp_path / "fused"), str(tmp_path / "stream")
+    ma = build.build_index(ds, a, res=4, target_rows=100, resume=False,
+                           materialize_tagged=True).to_pandas()
+    mb = build.build_index(ds, b, res=4, target_rows=100, resume=False,
+                           materialize_tagged=False).to_pandas()
+    cols = ["cell", "salt", "n_rows", "tree_height"]
+    ma = ma.sort_values(["cell", "salt"]).reset_index(drop=True)
+    mb = mb.sort_values(["cell", "salt"]).reset_index(drop=True)
+    assert ma[cols].equals(mb[cols])
+
+    def digest(d):
+        h = hashlib.md5()
+        for f in sorted(os.listdir(d)):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                h.update(f.encode())
+                h.update(open(os.path.join(d, f), "rb").read())
+        return h.hexdigest()
+
+    assert digest(a) == digest(b)
+
+
 def test_build_resume_skips_completed(ray_session, tiny_images, index_dir):
     ckpt, _ = index_dir
     ds = rd.read_parquet(tiny_images, columns=["image_id", "phash"])
