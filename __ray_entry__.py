@@ -1398,6 +1398,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         train = spl.filter(lambda r: r["split"] == "train")
         return textops.contamination_check(train, bench, n=3)
 
+    def doc_dup_ngrams(sf_dir: str):
+        """Duplicate token-span census (dedup.duplicate_ngram_stats):
+        per doc, how many of its 5-gram occurrences appear >= 2 times
+        corpus-wide — the exact-substring dedup signal (Lee et al.
+        2022).  One int-keyed gram exchange with exact-string collision
+        resolution inside the hash groups; no join (union + one
+        grouped sum)."""
+        from metric_search_ray.pipelines import dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return dedup.duplicate_ngram_stats(ds, n=5).to_pandas()
+
     def doc_lm_score(sf_dir: str):
         """Corpus-trained bigram LM log-likelihood per doc (CCNet-style
         perplexity filter, text.bigram_lm_score): integer-floored log
@@ -2213,6 +2225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": events_funnel,
         "doc_normalize": doc_normalize,
         "doc_contamination": doc_contamination,
+        "doc_dup_ngrams": doc_dup_ngrams,
         "doc_lm_score": doc_lm_score,
         "doc_prep_pipeline": doc_prep_pipeline,
         "doc_weighted_sample": doc_weighted_sample,
@@ -3440,6 +3453,22 @@ SELECT d.doc_id, COALESCE(h.n_ngrams, 0) AS n_ngrams,
 FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.split = 'train'
 """,
+        "doc_dup_ngrams": r"""
+WITH d AS (SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents),
+g AS (SELECT doc_id, array_to_string(toks[i.i+1:i.i+5], ' ') AS gr
+      FROM d, LATERAL (SELECT unnest(generate_series(0, len(toks)-5)) AS i) i
+      WHERE len(toks) >= 5),
+tot AS (SELECT gr, count(*) AS c FROM g GROUP BY gr),
+perdoc AS (SELECT doc_id, count(*) AS n_dup
+           FROM g JOIN tot USING (gr) WHERE tot.c >= 2 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(greatest(len(toks) - 4, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup
+FROM d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+""",
         "doc_lm_score": r"""
 WITH d AS (SELECT doc_id,
     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -4412,6 +4441,8 @@ def _suite_specs() -> dict:
                   "i2": "n_contaminated"}),
                 ("lm_score", "doc_lm_score",
                  {"doc_id": "doc_id", "i1": "n_bigrams", "i2": "score_u"}),
+                ("dup_ngrams", "doc_dup_ngrams",
+                 {"doc_id": "doc_id", "i1": "n_ngrams", "i2": "n_dup"}),
             ]),
         # ---- image decode stages
         "img_decode_suite": dict(

@@ -989,3 +989,115 @@ def near_dup_dedup(ds, pairs, id_col: str = "doc_id",
     return ids.join(drop, join_type="left_anti",
                     num_partitions=num_partitions,
                     on=(id_col,), right_on=("node",))
+
+
+# ------------------------------------------- duplicate token-span census
+
+
+def duplicate_ngram_stats(ds, n: int = 5, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Per-doc duplicate token-n-gram census — the signal behind
+    exact-substring training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022; the
+    suffix-array span removal reduces at scale to: which of a doc's
+    token n-grams occur >= 2 times in the corpus, counting every
+    occurrence — within-doc repeats included).
+
+    -> Dataset (id_col, n_ngrams, n_dup): per doc, its whitespace-token
+    n-gram count (``max(len - n + 1, 0)``; token semantics =
+    ``text._tok_flat``, SQL-equivalent) and how many of those n-gram
+    OCCURRENCES have a corpus-wide occurrence count >= 2.
+
+    Scale shape: grams pre-aggregate per (gram, doc) inside each batch,
+    then exchange ONCE keyed by the gram's int64 splitmix hash (the
+    gram strings travel only to their own hash group, where exact
+    string sub-grouping resolves hash collisions — no false merges);
+    per-doc sums and the n-gram totals meet in one final int-keyed
+    groupby via a union (no join).  Nothing materializes corpus-wide;
+    the gram exchange is linear in token count, the same bound as the
+    MinHash shingle pass above."""
+    import pyarrow.compute as pc
+
+    from .sketch import _poly_hash_strings
+    from .text import _join_ngrams, _tok_flat
+
+    empty_grams = pa.table({
+        "ghash": pa.array([], pa.int64()),
+        "gram": pa.array([], pa.string()),
+        id_col: pa.array([], pa.int64()),
+        "c": pa.array([], pa.int64()),
+    })
+
+    def gram_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        flat, row, _lens = _tok_flat(batch.column(text_col))
+        g, grow = _join_ngrams(flat, row, n)
+        if len(g) == 0:
+            return empty_grams
+        gdoc = ids[grow]
+        # per-batch (gram, doc) pre-aggregation: dictionary-encode the
+        # grams, compose (gram code, dense doc) int keys, count runs
+        codes = pc.dictionary_encode(g)
+        gidx = np.asarray(codes.indices, np.int64)
+        key = gidx * np.int64(len(ids) + 1) + np.searchsorted(
+            np.sort(np.unique(gdoc)), gdoc)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        cnt = np.diff(np.append(starts, len(ks)))
+        first = order[starts]
+        gram_arr = pc.take(codes, pa.array(first, pa.int64())).cast(
+            pa.string())
+        return pa.table({
+            "ghash": pa.array(
+                _poly_hash_strings(gram_arr).view(np.int64), pa.int64()),
+            "gram": gram_arr,
+            id_col: pa.array(gdoc[first], pa.int64()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def census(grp: pa.Table) -> pa.Table:
+        """One hash group: exact-string sub-group; grams with a global
+        occurrence count >= 2 emit their per-doc counts."""
+        grams = np.asarray(grp.column("gram").to_pylist(), object)
+        docs = grp.column(id_col).to_numpy()
+        cs = grp.column("c").to_numpy()
+        out_d, out_c = [], []
+        uniq, inv = np.unique(grams, return_inverse=True)
+        for gi in range(len(uniq)):
+            m = inv == gi
+            if cs[m].sum() >= 2:
+                out_d.append(docs[m])
+                out_c.append(cs[m])
+        if not out_d:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_ngrams": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64())})
+        d = np.concatenate(out_d)
+        c = np.concatenate(out_c)
+        return pa.table({id_col: pa.array(d, pa.int64()),
+                         "n_ngrams": pa.array(np.zeros(len(d), np.int64)),
+                         "n_dup": pa.array(c, pa.int64())})
+
+    def totals(batch: pa.Table) -> pa.Table:
+        _f, _r, lens = _tok_flat(batch.column(text_col))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_ngrams": pa.array(np.maximum(lens - (n - 1), 0), pa.int64()),
+            "n_dup": pa.array(np.zeros(len(lens), np.int64)),
+        })
+
+    narrow = ds.select_columns([id_col, text_col])
+    dup_rows = (narrow.map_batches(gram_pairs, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                      .groupby("ghash")
+                      .map_groups(census, batch_format="pyarrow"))
+    tot_rows = narrow.map_batches(totals, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    agg = (tot_rows.union(dup_rows)
+                   .groupby(id_col).sum(["n_ngrams", "n_dup"]))
+    return agg.map_batches(
+        lambda b: b.select([id_col, "sum(n_ngrams)", "sum(n_dup)"])
+                   .rename_columns([id_col, "n_ngrams", "n_dup"]),
+        batch_format="pyarrow", zero_copy_batch=True)

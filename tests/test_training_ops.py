@@ -517,3 +517,42 @@ def test_chunk_documents_semantics(ray_session):
     assert toks == [f"t{i}" for i in range(100)]
     with pytest.raises(ValueError, match="max_tokens"):
         textops.chunk_documents(rd.from_arrow(docs), 4, 4)
+
+
+def test_duplicate_ngram_stats(ray_session):
+    """Hand-computed fixture + brute-force parity: n-gram occurrences
+    with corpus-wide count >= 2 (within-doc repeats included)."""
+    docs = {
+        1: "a b c d e",            # 3-grams: abc bcd cde
+        2: "x a b c y",            # 'a b c' shared with doc 1
+        3: "p q p q p q",          # every 3-gram repeats in-doc
+        4: "lone words here only",
+        5: "",
+    }
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string())})
+    out = dedup.duplicate_ngram_stats(
+        rd.from_arrow(tbl).repartition(3), n=3).to_pandas()
+    got = {int(r.doc_id): (int(r.n_ngrams), int(r.n_dup))
+           for r in out.itertuples()}
+    assert got == {1: (3, 1), 2: (3, 1), 3: (4, 4), 4: (2, 0), 5: (0, 0)}
+
+
+def test_duplicate_ngram_stats_brute_parity(ray_session, docs_ds):
+    from collections import Counter
+
+    ds, texts, ids = docs_ds
+    out = dedup.duplicate_ngram_stats(ds, n=4).to_pandas()
+    cnt = Counter()
+    grams_of = {}
+    for did, txt in zip(ids, texts):
+        toks = txt.split()
+        gs = [" ".join(toks[i:i + 4]) for i in range(max(len(toks) - 3, 0))]
+        grams_of[int(did)] = gs
+        cnt.update(gs)
+    got = {int(r.doc_id): (int(r.n_ngrams), int(r.n_dup))
+           for r in out.itertuples()}
+    for did, gs in grams_of.items():
+        assert got[did] == (len(gs), sum(1 for g in gs if cnt[g] >= 2)), did
+    # planted exact duplicates guarantee nonzero signal
+    assert sum(nd for _, nd in got.values()) > 0
