@@ -1410,6 +1410,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "text"])
         return dedup.duplicate_ngram_stats(ds, n=5).to_pandas()
 
+    def doc_dup_scrub(sf_dir: str):
+        """Exact-substring span REMOVAL (dedup.remove_duplicate_spans):
+        every duplicated 5-gram occurrence except the globally first
+        (doc_id, pos) keeper is cut; reports per-doc token/removed
+        counts (the scrubbed text itself is pinned by unit tests
+        against a serial replay)."""
+        from metric_search_ray.pipelines import dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = dedup.remove_duplicate_spans(ds, n=5).to_pandas()
+        return out[["doc_id", "n_tokens", "n_removed"]]
+
     def doc_lm_score(sf_dir: str):
         """Corpus-trained bigram LM log-likelihood per doc (CCNet-style
         perplexity filter, text.bigram_lm_score): integer-floored log
@@ -2226,6 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": doc_normalize,
         "doc_contamination": doc_contamination,
         "doc_dup_ngrams": doc_dup_ngrams,
+        "doc_dup_scrub": doc_dup_scrub,
         "doc_lm_score": doc_lm_score,
         "doc_prep_pipeline": doc_prep_pipeline,
         "doc_weighted_sample": doc_weighted_sample,
@@ -3469,6 +3482,26 @@ SELECT d.doc_id,
        CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup
 FROM d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
 """,
+        "doc_dup_scrub": r"""
+WITH d AS (SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents),
+g AS (SELECT doc_id, i.i AS p, array_to_string(toks[i.i+1:i.i+5], ' ') AS gr
+      FROM d, LATERAL (SELECT unnest(generate_series(0, len(toks)-5)) AS i) i
+      WHERE len(toks) >= 5),
+dupg AS (SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2),
+ranked AS (SELECT doc_id, p,
+                  row_number() OVER (PARTITION BY gr ORDER BY doc_id, p) AS rn
+           FROM g WHERE gr IN (SELECT gr FROM dupg)),
+cov AS (SELECT DISTINCT doc_id, p + s.s AS idx
+        FROM ranked, LATERAL (SELECT unnest(generate_series(0, 4)) AS s) s
+        WHERE rn > 1),
+nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN nrem nr ON d.doc_id = nr.doc_id
+""",
         "doc_lm_score": r"""
 WITH d AS (SELECT doc_id,
     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -4443,6 +4476,8 @@ def _suite_specs() -> dict:
                  {"doc_id": "doc_id", "i1": "n_bigrams", "i2": "score_u"}),
                 ("dup_ngrams", "doc_dup_ngrams",
                  {"doc_id": "doc_id", "i1": "n_ngrams", "i2": "n_dup"}),
+                ("dup_scrub", "doc_dup_scrub",
+                 {"doc_id": "doc_id", "i1": "n_tokens", "i2": "n_removed"}),
             ]),
         # ---- image decode stages
         "img_decode_suite": dict(

@@ -1101,3 +1101,117 @@ def duplicate_ngram_stats(ds, n: int = 5, text_col: str = "text",
         lambda b: b.select([id_col, "sum(n_ngrams)", "sum(n_dup)"])
                    .rename_columns([id_col, "n_ngrams", "n_dup"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def remove_duplicate_spans(ds, n: int = 5, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Exact-substring span REMOVAL (the action behind
+    ``duplicate_ngram_stats``; Lee et al. 2022 semantics): every token
+    n-gram occurrence whose gram appears >= 2 times corpus-wide is
+    removed EXCEPT the globally first occurrence — keeper = the
+    occurrence with the smallest (doc_id, start_pos).  A doc's output
+    is its tokens minus the union of removed spans, joined with a
+    single space (whitespace is not preserved; token semantics =
+    ``text._tok_flat``).
+
+    -> Dataset (id_col, text, n_tokens, n_removed): scrubbed text plus
+    the token counts the driver oracle replays in SQL.
+
+    Scale shape: same int-keyed gram exchange as
+    ``duplicate_ngram_stats`` but carrying (doc, pos) occurrence rows
+    (positions matter here, so the per-batch pre-aggregation is by
+    exact occurrence, already unique); removals route back keyed by
+    doc id and meet the doc's text in one grouped pass — per-doc
+    groups are bounded by doc length, never corpus-wide."""
+    import pyarrow.compute as pc
+
+    from .sketch import _poly_hash_strings
+    from .text import _tok_flat
+
+    def gram_occurrences(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        flat, row, lens = _tok_flat(batch.column(text_col))
+        total = len(flat)
+        m = total - (n - 1)
+        if m <= 0:
+            return pa.table({
+                "ghash": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            })
+        # in-doc token position of each flat token
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        tok_pos = np.arange(total, dtype=np.int64) - starts[row]
+        valid = row[n - 1:] == row[:m]
+        parts = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ").filter(
+            pa.array(valid))
+        grow = row[:m][valid]
+        gpos = tok_pos[:m][valid]
+        return pa.table({
+            "ghash": pa.array(
+                _poly_hash_strings(grams).view(np.int64), pa.int64()),
+            "gram": grams,
+            id_col: pa.array(ids[grow], pa.int64()),
+            "pos": pa.array(gpos, pa.int64()),
+        })
+
+    def removals(grp: pa.Table) -> pa.Table:
+        """One hash group: per exact gram with >= 2 occurrences, every
+        occurrence except the (doc, pos)-smallest is a removal."""
+        grams = np.asarray(grp.column("gram").to_pylist(), object)
+        docs = grp.column(id_col).to_numpy()
+        pos = grp.column("pos").to_numpy()
+        out_d, out_p = [], []
+        uniq, inv = np.unique(grams, return_inverse=True)
+        for gi in range(len(uniq)):
+            m = np.flatnonzero(inv == gi)
+            if len(m) < 2:
+                continue
+            keep = m[np.lexsort((pos[m], docs[m]))[0]]
+            rest = m[m != keep]
+            out_d.append(docs[rest])
+            out_p.append(pos[rest])
+        if not out_d:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_d), pa.int64()),
+            "pos": pa.array(np.concatenate(out_p), pa.int64()),
+        })
+
+    rem = (ds.select_columns([id_col, text_col])
+             .map_batches(gram_occurrences, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("ghash").map_groups(removals, batch_format="pyarrow")
+             .map_batches(lambda b: b.append_column(
+                 "text", pa.array([None] * b.num_rows, pa.string())),
+                 batch_format="pyarrow"))
+    txt = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            "pos": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "text": b.column(text_col),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+    def rebuild(grp: pa.Table) -> pa.Table:
+        docs = grp.column(id_col)
+        pos = grp.column("pos").to_numpy()
+        texts = grp.column("text").to_pylist()
+        text = next(t for p, t in zip(pos, texts) if p < 0)
+        toks = (text or "").split()
+        covered = np.zeros(len(toks), bool)
+        for p in pos[pos >= 0]:
+            covered[int(p):int(p) + n] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        return pa.table({
+            id_col: docs.slice(0, 1),
+            "text": pa.array([" ".join(kept)], pa.string()),
+            "n_tokens": pa.array([len(toks)], pa.int64()),
+            "n_removed": pa.array([int(covered.sum())], pa.int64()),
+        })
+
+    return (txt.union(rem.select_columns([id_col, "pos", "text"]))
+               .groupby(id_col)
+               .map_groups(rebuild, batch_format="pyarrow"))

@@ -556,3 +556,56 @@ def test_duplicate_ngram_stats_brute_parity(ray_session, docs_ds):
         assert got[did] == (len(gs), sum(1 for g in gs if cnt[g] >= 2)), did
     # planted exact duplicates guarantee nonzero signal
     assert sum(nd for _, nd in got.values()) > 0
+
+
+def test_remove_duplicate_spans(ray_session):
+    """Keeper = globally smallest (doc_id, pos); overlapping spans
+    union; scrubbed text drops exactly the covered tokens."""
+    docs = {
+        1: "a b c d e",
+        2: "x a b c y",        # 'a b c' keeper lives in doc 1
+        3: "p q r p q r",      # in-doc repeat: second occurrence cut
+        4: "solo text here",
+        5: "",
+    }
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string())})
+    out = dedup.remove_duplicate_spans(
+        rd.from_arrow(tbl).repartition(3), n=3).to_pandas()
+    got = {int(r.doc_id): (r.text, int(r.n_tokens), int(r.n_removed))
+           for r in out.itertuples()}
+    assert got == {1: ("a b c d e", 5, 0), 2: ("x y", 5, 3),
+                   3: ("p q r", 6, 3), 4: ("solo text here", 3, 0),
+                   5: ("", 0, 0)}
+
+
+def test_remove_duplicate_spans_serial_replay(ray_session, docs_ds):
+    from collections import defaultdict
+
+    ds, texts, ids = docs_ds
+    n = 4
+    out = dedup.remove_duplicate_spans(ds, n=n).to_pandas(
+        ).set_index("doc_id")
+    occ = defaultdict(list)
+    toks_of = {}
+    for did, txt in zip(ids, texts):
+        toks = txt.split()
+        toks_of[int(did)] = toks
+        for i in range(max(len(toks) - n + 1, 0)):
+            occ[" ".join(toks[i:i + n])].append((int(did), i))
+    rem = defaultdict(list)
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for did, p in sorted(lst)[1:]:
+                rem[did].append(p)
+    removed_total = 0
+    for did, toks in toks_of.items():
+        cov = np.zeros(len(toks), bool)
+        for p in rem.get(did, []):
+            cov[p:p + n] = True
+        kept = " ".join(t for t, c in zip(toks, cov) if not c)
+        r = out.loc[did]
+        assert (r["text"], r["n_tokens"], r["n_removed"]) == \
+            (kept, len(toks), int(cov.sum())), did
+        removed_total += int(cov.sum())
+    assert removed_total > 0          # planted duplicates guarantee cuts
