@@ -389,3 +389,110 @@ def image_patches(ds, grid: int = 4, concurrency: int = 4,
     return ds.map_batches(ImagePatches, fn_constructor_kwargs={"grid": grid},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
+
+
+def video_neardup_pairs(ds, every_n: int = 10, max_frame_hamming: int = 6,
+                        concurrency: int = 2):
+    """Temporally-aligned video near-duplicate pairs.
+
+    Composition of the engine's existing stages: frame sampling
+    (``sample_frames``, every ``every_n``-th frame), per-frame phash
+    (batched kernel), then pair generation on the FIRST sampled
+    frame's phash through ``dedup.hamming_pairs`` — pigeonhole banding
+    is exact for Hamming <= ``max_frame_hamming``, and two temporally
+    aligned near-dup videos must in particular match on frame 0, so
+    candidate generation misses nothing under the aligned-near-dup
+    definition.  Verification then requires the SAME sampled-frame
+    count and per-frame Hamming <= ``max_frame_hamming`` on EVERY
+    aligned frame.
+
+    -> Dataset (id_a, id_b, n_frames, max_hamming): one row per
+    verified pair (id_a < id_b), with the worst aligned-frame Hamming
+    observed.
+
+    Scale shape: only (video_id, frame phash) rows shuffle — the frame
+    bytes never leave the sampling stage; signatures are bounded
+    per-video groups; candidate pairs join back to the two signature
+    sides by id (hash join), so the verify stage's input is linear in
+    the candidate count.
+    """
+    from .. import phash as phashmod
+    from .dedup import hamming_pairs
+
+    def add_phash(b: pa.Table) -> pa.Table:
+        pix = [codecs.ppm_decode(x) for x in b.column("bytes").to_pylist()]
+        ph = (phashmod.phash64_batch(np.stack(pix).astype(np.float64))
+              if pix else np.empty(0, np.int64))
+        return pa.table({
+            "video_id": b.column("video_id"),
+            "frame_no": b.column("frame_no"),
+            "fph": pa.array(ph, pa.int64()),
+        })
+
+    frames = sample_frames(ds, every_n=every_n, concurrency=concurrency
+                           ).map_batches(add_phash, batch_format="pyarrow")
+
+    def signature(grp: pa.Table) -> pa.Table:
+        order = np.argsort(grp.column("frame_no").to_numpy(), kind="stable")
+        ph = grp.column("fph").to_numpy()[order]
+        # the signature rides through the candidate joins as raw
+        # little-endian int64 bytes: Acero hash joins reject list<>
+        # payload columns, and a binary scalar also skips the
+        # list-builder overhead
+        return pa.table({
+            "video_id": grp.column("video_id").slice(0, 1),
+            "sig": pa.array([ph.astype("<i8").tobytes()], pa.binary()),
+            "f0": pa.array([int(ph[0])], pa.int64()),
+        })
+
+    import ray as _ray
+
+    sigs = frames.groupby("video_id").map_groups(
+        signature, batch_format="pyarrow").materialize()
+    # each Join operator holds num_partitions actors — two joins plus
+    # the sampler pool deadlock a small cluster unless the partition
+    # count is clamped to the CPUs actually available, and the joins
+    # run in SEPARATE executions (the barriers are cheap: candidate
+    # pairs are near-dup-bounded, never corpus-bounded)
+    npart = max(2, min(8, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    cand = (hamming_pairs(sigs.select_columns(["video_id", "f0"]),
+                          hash_col="f0", id_col="video_id",
+                          max_hamming=max_frame_hamming)
+            .select_columns(["id_a", "id_b"]))
+    j = cand.join(sigs.select_columns(["video_id", "sig"]),
+                  join_type="inner", num_partitions=npart,
+                  on=("id_a",), right_on=("video_id",))
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["id_a", "id_b", "sig_a"]), batch_format="pyarrow").materialize()
+    j = j.join(sigs.select_columns(["video_id", "sig"]),
+               join_type="inner", num_partitions=npart,
+               on=("id_b",), right_on=("video_id",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        names = b.schema.names
+        sig_b_col = names[-1]          # the second join's sig column
+        out_a, out_b, out_n, out_h = [], [], [], []
+        for ia, ib, sa, sb in zip(b.column("id_a").to_pylist(),
+                                  b.column("id_b").to_pylist(),
+                                  b.column("sig_a").to_pylist(),
+                                  b.column(sig_b_col).to_pylist()):
+            if len(sa) != len(sb):
+                continue
+            sa = np.frombuffer(sa, "<i8")
+            sb = np.frombuffer(sb, "<i8")
+            hs = phashmod.hamming(np.asarray(sa, np.int64),
+                                  np.asarray(sb, np.int64))
+            hmax = int(hs.max()) if len(hs) else 0
+            if hmax <= max_frame_hamming:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_n.append(int(len(sa)))
+                out_h.append(hmax)
+        return pa.table({
+            "id_a": pa.array(out_a, pa.string()),
+            "id_b": pa.array(out_b, pa.string()),
+            "n_frames": pa.array(out_n, pa.int64()),
+            "max_hamming": pa.array(out_h, pa.int64()),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow")

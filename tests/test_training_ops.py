@@ -609,3 +609,41 @@ def test_remove_duplicate_spans_serial_replay(ray_session, docs_ds):
             (kept, len(toks), int(cov.sum())), did
         removed_total += int(cov.sum())
     assert removed_total > 0          # planted duplicates guarantee cuts
+
+
+def test_video_neardup_pairs_planted(ray_session):
+    """Exact-dup video (hamming 0), pixel-tweaked near-dup, and a
+    shorter video that must NOT pair (aligned-length requirement)."""
+    from metric_search_ray import codecs, fixtures
+    from metric_search_ray.pipelines.multimodal import (
+        _split_ppmcat, video_neardup_pairs)
+
+    rows = [fixtures.video_row_of(i) for i in range(6)]
+    dup = dict(rows[0])
+    dup["video_id"] = "vid-dup00000"
+    frames = _split_ppmcat(rows[1]["bytes"])
+    nd_frames = []
+    for fb in frames:
+        pix = codecs.ppm_decode(fb).copy()
+        pix[0, 0] = 255 - pix[0, 0]
+        nd_frames.append(codecs.ppm_encode(pix))
+    nd = {"video_id": "vid-near0001", "bytes": b"".join(nd_frames),
+          "fmt": "ppmcat", "fps": 12, "n_frames": rows[1]["n_frames"]}
+    short = {"video_id": "vid-short002", "bytes": b"".join(frames[:10]),
+             "fmt": "ppmcat", "fps": 12, "n_frames": 10}
+    allr = rows + [dup, nd, short]
+    tbl = pa.table({k: pa.array(
+        [r[k] for r in allr],
+        pa.binary() if k == "bytes" else
+        (pa.int32() if k in ("fps", "n_frames") else pa.string()))
+        for k in ("video_id", "bytes", "fmt", "fps", "n_frames")})
+    out = multimodal.video_neardup_pairs(
+        rd.from_arrow(tbl).repartition(3), every_n=5,
+        max_frame_hamming=6).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert ("vid-00000000", "vid-dup00000") in pairs
+    assert any("vid-near0001" in p and "vid-00000001" in p for p in pairs)
+    assert not any("vid-short002" in a or "vid-short002" in b
+                   for a, b in pairs)
+    exact = out[(out.id_a == "vid-00000000") & (out.id_b == "vid-dup00000")]
+    assert int(exact["max_hamming"].iloc[0]) == 0
