@@ -647,3 +647,54 @@ def test_video_neardup_pairs_planted(ray_session):
                    for a, b in pairs)
     exact = out[(out.id_a == "vid-00000000") & (out.id_b == "vid-dup00000")]
     assert int(exact["max_hamming"].iloc[0]) == 0
+
+
+def test_dup_ngram_ops_randomized_corpus(ray_session):
+    """Randomized tiny-vocab corpus (heavy collisions, empty docs,
+    docs shorter than n) — census AND scrub vs a brute-force replay."""
+    from collections import Counter, defaultdict
+
+    rng = np.random.default_rng(123)
+    vocab = list("abcde")
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 12)))
+             for _ in range(60)]
+    ids = list(range(60))
+    n = 2
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(7)
+
+    cnt = Counter()
+    occ = defaultdict(list)
+    toks_of = {}
+    for did, txt in zip(ids, texts):
+        toks = txt.split()
+        toks_of[did] = toks
+        for i in range(max(len(toks) - n + 1, 0)):
+            g = " ".join(toks[i:i + n])
+            cnt[g] += 1
+            occ[g].append((did, i))
+
+    stats = dedup.duplicate_ngram_stats(ds, n=n).to_pandas(
+        ).set_index("doc_id")
+    for did, toks in toks_of.items():
+        gs = [" ".join(toks[i:i + n])
+              for i in range(max(len(toks) - n + 1, 0))]
+        assert stats.loc[did, "n_ngrams"] == len(gs)
+        assert stats.loc[did, "n_dup"] == sum(
+            1 for g in gs if cnt[g] >= 2), did
+
+    rem = defaultdict(list)
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for did, p in sorted(lst)[1:]:
+                rem[did].append(p)
+    scrub = dedup.remove_duplicate_spans(ds, n=n).to_pandas(
+        ).set_index("doc_id")
+    for did, toks in toks_of.items():
+        cov = np.zeros(len(toks), bool)
+        for p in rem.get(did, []):
+            cov[p:p + n] = True
+        kept = " ".join(t for t, c in zip(toks, cov) if not c)
+        assert scrub.loc[did, "text"] == kept, did
+        assert scrub.loc[did, "n_removed"] == int(cov.sum())
