@@ -817,3 +817,99 @@ def erase_from_index(ids, ckpt_dir: str) -> pa.Table:
                                    schema=MANIFEST_SCHEMA,
                                    preserve_index=False)
     return _merge_manifest(ckpt_dir, updated)
+
+
+def compact_index(ckpt_dir: str, target_rows: int = DEFAULT_TARGET_ROWS
+                  ) -> pa.Table:
+    """Checkpoint COMPACTION for a CDC-mutated index: cells whose row
+    totals have drifted from their salt plan (``apply_changes`` /
+    ``update_index`` / ``erase_from_index`` churn) are re-salted to
+    ``k' = ceil(total / target_rows)`` and rebuilt fresh — one task per
+    affected cell, untouched cells never read.
+
+    Normalization guarantee (tested): a compacted cell's partition
+    files are BIT-IDENTICAL to a fresh ``build_index`` of the same
+    surviving points at the same ``target_rows`` — ascending-id
+    insertion through the same salt hash — so compaction also repairs
+    erase-degraded tree shapes, not just sizes.
+
+    Crash safety: new partition files land atomically first (tmp +
+    rename), then the manifest and ``salts.json`` rewrite atomically,
+    then stale files (salts >= k') are unlinked — a crash in the last
+    window leaves only unreferenced orphans.  Returns the merged
+    manifest.
+    """
+    import ray as _ray
+
+    from .. import geocode
+
+    manifest = load_manifest(ckpt_dir)
+    plan = salt_plan_from_manifest(manifest, ckpt_dir)
+    cells = manifest.column("cell").to_numpy()
+    rows = manifest.column("n_rows").to_numpy()
+    uc = np.unique(cells)
+    totals = np.zeros(len(uc), np.int64)
+    np.add.at(totals, np.searchsorted(uc, cells), rows)
+    todo: list[tuple[int, int, int]] = []     # (cell, k_now, k_new)
+    for c, tot in zip(uc, totals):
+        k_now = plan.get(int(c), 1)
+        k_new = max(1, int(np.ceil(tot / target_rows)))
+        if k_new != k_now:
+            todo.append((int(c), k_now, k_new))
+    if not todo:
+        return manifest
+
+    by_cell = cells_in_manifest(manifest)
+
+    @_ray.remote
+    def compact_cell(cell_id: int, paths: list, k_new: int):
+        import pyarrow.parquet as _pq
+        cols = ["image_id", "lat", "lon", "phash"]
+        tbl = pa.concat_tables([_pq.read_table(p, columns=cols)
+                                for p in paths])
+        key = geocode.key_of_image_id(tbl.column("image_id"))
+        salt_hash = geocode.lcg_next(geocode.lcg_next(key) + 9176)
+        salt = (salt_hash % np.uint64(k_new)).astype(np.int64) \
+            if k_new > 1 else np.zeros(tbl.num_rows, np.int64)
+        outs = []
+        for s in range(k_new):
+            sub = tbl.filter(pa.array(salt == s))
+            sub = sub.append_column(
+                "cell", pa.array(np.full(sub.num_rows, cell_id, np.int64)))
+            sub = sub.append_column(
+                "salt", pa.array(np.full(sub.num_rows, s, np.int64)))
+            outs.append(_build_partition(sub, ckpt_dir, resume=False))
+        return pa.concat_tables(outs)
+
+    futs = [compact_cell.remote(c, [p for _s, p in by_cell[c]], k_new)
+            for c, _k_now, k_new in todo]
+    updated = pa.concat_tables(_ray.get(futs))
+    # manifest rows for stale salts must DROP, not linger: emit them as
+    # zero-row updates so _merge_manifest filters them out
+    drops = []
+    for c, k_now, k_new in todo:
+        for s in range(k_new, max(k_now, k_new)):
+            drops.append(_manifest_row(c, s, part_path(ckpt_dir, c, s), 0,
+                                       np.zeros(0, np.int64),
+                                       np.asarray([], object), 0.0))
+    merged = _merge_manifest(
+        ckpt_dir, pa.concat_tables([updated] + drops) if drops else updated)
+    # salts.json: authoritative routing modulus
+    import json as _json
+    new_plan = dict(plan)
+    for c, _k_now, k_new in todo:
+        if k_new > 1:
+            new_plan[c] = k_new
+        else:
+            new_plan.pop(c, None)
+    _tmp = os.path.join(ckpt_dir, f"salts.tmp.{os.getpid()}")
+    with open(_tmp, "w") as f:
+        _json.dump({str(c): k for c, k in new_plan.items()}, f)
+    os.replace(_tmp, os.path.join(ckpt_dir, "salts.json"))
+    # stale files last: everything above no longer references them
+    for c, k_now, k_new in todo:
+        for s in range(k_new, max(k_now, k_new)):
+            p = part_path(ckpt_dir, c, s)
+            if os.path.exists(p):
+                os.remove(p)
+    return merged

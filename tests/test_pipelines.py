@@ -867,3 +867,90 @@ def test_stage_partition_arrays_batched(ray_session, index_dir):
     b = (knn.knn_geo(rd.from_arrow(pa.table(q)), ckpt, preload=False)
          .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
     assert a[["query_id", "image_id", "rank"]].equals(b[["query_id", "image_id", "rank"]])
+
+
+def test_compact_index_shrink_grow_and_normalize(ray_session, tmp_path):
+    """CDC-drifted cells re-salt to ceil(total/target); compacted cell
+    files are bit-identical to a fresh build of the surviving points;
+    kNN stays brute-force exact through shrink, grow, and compaction."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from metric_search_ray import cell as cellmod
+    from metric_search_ray import fixtures, geocode
+    from metric_search_ray.pipelines import knn
+
+    work = str(tmp_path)
+    pq_.write_table(fixtures.image_table(3000), f"{work}/images.parquet")
+    ds = rd.read_parquet(f"{work}/images.parquet",
+                         columns=["image_id", "phash"])
+    idx = f"{work}/idx"
+    build.build_index(ds, idx, res=3, target_rows=150)
+    man0 = build.load_manifest(idx).to_pandas()
+    plan0 = build.salt_plan_from_manifest(None, idx)
+    big = int(man0.groupby("cell")["n_rows"].sum().idxmax())
+
+    ids = pq_.read_table(f"{work}/images.parquet", columns=["image_id"]
+                         ).column("image_id").to_numpy(
+                             zero_copy_only=False).astype(str)
+    lat_u, lon_u = geocode.geocode_image_ids(ids)
+    cells = cellmod.cell_of(lat_u, lon_u, 3)
+    in_big = ids[cells == big]
+    dels = in_big[:int(len(in_big) * 0.6)]
+    build.apply_changes(pa.table({
+        "image_id": pa.array(dels, pa.string()),
+        "phash": pa.array(np.zeros(len(dels), np.int64)),
+        "op": pa.array(["delete"] * len(dels), pa.string()),
+    }), idx)
+    man1 = build.load_manifest(idx).to_pandas()
+    tot1 = int(man1[man1.cell == big]["n_rows"].sum())
+
+    man2 = build.compact_index(idx, target_rows=150).to_pandas()
+    plan2 = build.salt_plan_from_manifest(None, idx)
+    k_new = max(1, int(np.ceil(tot1 / 150)))
+    assert plan2.get(big, 1) == k_new < plan0.get(big, 1)
+    assert int(man2[man2.cell == big]["n_rows"].sum()) == tot1
+    for s in range(k_new, plan0.get(big, 1)):
+        assert not os.path.exists(build.part_path(idx, big, s))
+
+    # normalization: bit-identical to a fresh build of the survivors
+    keep = ~np.isin(ids, dels)
+    surv = pq_.read_table(f"{work}/images.parquet").filter(pa.array(keep))
+    idx2 = f"{work}/idx_fresh"
+    build.build_index(rd.from_arrow(surv.select(["image_id", "phash"])),
+                      idx2, res=3, target_rows=150)
+    for s in range(k_new):
+        ha = hashlib.md5(open(build.part_path(idx, big, s), "rb").read())
+        hb = hashlib.md5(open(build.part_path(idx2, big, s), "rb").read())
+        assert ha.hexdigest() == hb.hexdigest(), s
+
+    # grow: upsert enough NEW ids landing in the big cell to re-split
+    cand = np.asarray([f"img-{i:08d}" for i in range(3000, 40000)],
+                      np.str_)
+    cl, co = geocode.geocode_image_ids(cand)
+    grow = cand[cellmod.cell_of(cl, co, 3) == big][:400]
+    assert len(grow) >= 300
+    build.apply_changes(pa.table({
+        "image_id": pa.array(grow, pa.string()),
+        "phash": pa.array(np.arange(len(grow), dtype=np.int64)),
+        "op": pa.array(["upsert"] * len(grow), pa.string()),
+    }), idx)
+    man3 = build.compact_index(idx, target_rows=150).to_pandas()
+    plan3 = build.salt_plan_from_manifest(None, idx)
+    tot3 = int(man3[man3.cell == big]["n_rows"].sum())
+    assert tot3 == tot1 + len(grow)
+    assert plan3.get(big, 1) == max(1, int(np.ceil(tot3 / 150)))
+
+    # kNN brute-force exactness over the final survivor set
+    la = np.concatenate([lat_u[keep], cl[np.isin(cand, grow)]]) / 1e6
+    lo = np.concatenate([lon_u[keep], co[np.isin(cand, grow)]]) / 1e6
+    q = pa.table(fixtures.knn_queries(15))
+    out = knn.knn_geo(rd.from_arrow(q), idx, concurrency=2).to_pandas()
+    qd = q.to_pandas()
+    for qi in range(len(qd)):
+        sub = out[out["query_id"] == qd["query_id"][qi]].sort_values("rank")
+        d = np.sqrt((la - qd["lat"][qi]) ** 2 + (lo - qd["lon"][qi]) ** 2)
+        assert np.allclose(np.sort(d)[:len(sub)], sub["dist"].to_numpy(),
+                           atol=1e-9), qi
