@@ -566,7 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_id", "o_orderkey", "rank", "dist2_u"]].reset_index(drop=True)
         return out
 
-    def geo_cdc_knn(sf_dir: str):
+    def _cdc_knn(sf_dir: str, compact: bool):
         """CDC changelog merge (build.apply_changes) then exact kNN
         over the mutated index: deletes o_orderkey % 7 == 0, upserts
         o_orderkey % 50 == 3 in place (replace: erase + reinsert) plus
@@ -574,7 +574,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         apply before upserts, so a key matching both rules survives.
         The kNN answers must be brute-force-exact over the surviving
         set — the oracle replays the surviving-key set in SQL and
-        cross-joins it with the fixed query points."""
+        cross-joins it with the fixed query points.
+
+        ``compact=True`` additionally runs build.compact_index with a
+        deliberately small re-target (total//48) between the merge and
+        the kNN, forcing real re-salting — compaction must NOT change
+        any answer, so the SAME surviving-set oracle covers it."""
         import shutil as _sh
         import tempfile as _tf
         from metric_search_ray import geocode
@@ -598,6 +603,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "phash": pa.array(np.arange(len(ids), dtype=np.int64)),
                 "op": pa.array(ops, pa.string()),
             }), dst)
+            if compact:
+                tot = int(build.load_manifest(dst)
+                          .column("n_rows").to_numpy().sum())
+                build.compact_index(dst, target_rows=max(64, tot // 48))
             qpts = _geo_query_points()
             qtbl = pa.table({
                 "query_id": pa.array([q[0] for q in qpts], pa.string()),
@@ -621,6 +630,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cand[cand["rank"] <= GEO_KNN_K][
             ["query_id", "o_orderkey", "rank", "dist2_u"]
         ].reset_index(drop=True)
+
+    def geo_cdc_knn(sf_dir: str):
+        return _cdc_knn(sf_dir, compact=False)
+
+    def geo_cdc_compact_knn(sf_dir: str):
+        """CDC merge -> checkpoint compaction (forced re-salting) ->
+        exact kNN; answers must equal the plain CDC path's oracle."""
+        return _cdc_knn(sf_dir, compact=True)
 
     def geo_radius(sf_dir: str):
         from metric_search_ray import geocode
@@ -2191,6 +2208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pip_rect": geo_pip_rect,
         "geo_knn": geo_knn,
         "geo_cdc_knn": geo_cdc_knn,
+        "geo_cdc_compact_knn": geo_cdc_compact_knn,
         "geo_radius": geo_radius,
         "geo_tile_polygon_cover": geo_tile_polygon_cover,
         "geo_hav_knn": geo_hav_knn,
@@ -4136,6 +4154,9 @@ WHERE NOT EXISTS (SELECT 1 FROM reach r
                   WHERE r.a = d.doc_id AND r.b < d.doc_id)
 """,
     }
+    # compaction must not change any answer: the compact variant shares
+    # the plain CDC path's surviving-set oracle verbatim
+    base["geo_cdc_compact_knn"] = base["geo_cdc_knn"]
     return _assemble_sql(base)
 
 
@@ -4263,6 +4284,9 @@ def _suite_specs() -> dict:
                  {"query_id": "stat_key", "o_orderkey": "val",
                   "rank": _L(0), "v": _L(0.0)}),
                 ("cdc", "geo_cdc_knn",
+                 {"query_id": "query_id", "o_orderkey": "o_orderkey",
+                  "rank": "rank", "v": "dist2_u"}),
+                ("cdc_compact", "geo_cdc_compact_knn",
                  {"query_id": "query_id", "o_orderkey": "o_orderkey",
                   "rank": "rank", "v": "dist2_u"}),
             ]),
