@@ -833,11 +833,20 @@ def compact_index(ckpt_dir: str, target_rows: int = DEFAULT_TARGET_ROWS
     insertion through the same salt hash — so compaction also repairs
     erase-degraded tree shapes, not just sizes.
 
-    Crash safety: new partition files land atomically first (tmp +
-    rename), then the manifest and ``salts.json`` rewrite atomically,
-    then stale files (salts >= k') are unlinked — a crash in the last
-    window leaves only unreferenced orphans.  Returns the merged
-    manifest.
+    Crash safety (what IS and is NOT guaranteed): every individual file
+    write is atomic (tmp + rename) and the write order is new partition
+    files -> manifest -> salts.json -> stale-salt unlink, BUT the
+    operation as a whole is not atomic: a crash after some new files
+    land but before the manifest rewrite leaves a window where the old
+    manifest still references stale salts whose rows now ALSO live in
+    the rewritten low salts — concurrent queries in that window can see
+    duplicated rows.  Recovery is idempotent: ``compact_cell`` keeps ONE
+    row per image_id when it concatenates a cell's files (torn-run
+    duplicates are exact row copies, so any keeper is correct), so
+    re-running ``compact_index`` after a crash reconstructs the exact
+    surviving set; run compaction when
+    the index is not serving queries, or re-run it on restart before
+    serving.  Returns the merged manifest.
     """
     import ray as _ray
 
@@ -867,6 +876,14 @@ def compact_index(ckpt_dir: str, target_rows: int = DEFAULT_TARGET_ROWS
         cols = ["image_id", "lat", "lon", "phash"]
         tbl = pa.concat_tables([_pq.read_table(p, columns=cols)
                                 for p in paths])
+        # dedupe by id: after a TORN previous compaction a row can
+        # appear in both its old-salt and new-salt file; keeping the
+        # first occurrence of each id makes crash recovery idempotent
+        # (duplicates are exact row copies, so any keeper is correct)
+        ids = tbl.column("image_id").to_numpy(zero_copy_only=False)
+        _, first = np.unique(ids, return_index=True)
+        if len(first) != len(ids):
+            tbl = tbl.take(pa.array(np.sort(first), pa.int64()))
         key = geocode.key_of_image_id(tbl.column("image_id"))
         salt_hash = geocode.lcg_next(geocode.lcg_next(key) + 9176)
         salt = (salt_hash % np.uint64(k_new)).astype(np.int64) \
@@ -874,6 +891,15 @@ def compact_index(ckpt_dir: str, target_rows: int = DEFAULT_TARGET_ROWS
         outs = []
         for s in range(k_new):
             sub = tbl.filter(pa.array(salt == s))
+            if sub.num_rows == 0:
+                # a fresh build never materializes empty (cell, salt)
+                # partitions: emit a zero-row manifest update so the
+                # stale row drops; the stale FILE unlinks in the final
+                # phase with the other stale salts (write order holds)
+                outs.append(_manifest_row(
+                    cell_id, s, part_path(ckpt_dir, cell_id, s), 0,
+                    np.zeros(0, np.int64), np.asarray([], object), 0.0))
+                continue
             sub = sub.append_column(
                 "cell", pa.array(np.full(sub.num_rows, cell_id, np.int64)))
             sub = sub.append_column(
@@ -907,6 +933,15 @@ def compact_index(ckpt_dir: str, target_rows: int = DEFAULT_TARGET_ROWS
         _json.dump({str(c): k for c, k in new_plan.items()}, f)
     os.replace(_tmp, os.path.join(ckpt_dir, "salts.json"))
     # stale files last: everything above no longer references them
+    # (salts beyond k_new, plus any in-range salt whose re-split came
+    # up empty — its zero-row manifest update dropped the reference)
+    u_cells = updated.column("cell").to_numpy()
+    u_salts = updated.column("salt").to_numpy()
+    u_rows = updated.column("n_rows").to_numpy()
+    for c, s in zip(u_cells[u_rows == 0], u_salts[u_rows == 0]):
+        p = part_path(ckpt_dir, int(c), int(s))
+        if os.path.exists(p):
+            os.remove(p)
     for c, k_now, k_new in todo:
         for s in range(k_new, max(k_now, k_new)):
             p = part_path(ckpt_dir, c, s)

@@ -1040,7 +1040,7 @@ def duplicate_ngram_stats(ds, n: int = 5, text_col: str = "text",
         codes = pc.dictionary_encode(g)
         gidx = np.asarray(codes.indices, np.int64)
         key = gidx * np.int64(len(ids) + 1) + np.searchsorted(
-            np.sort(np.unique(gdoc)), gdoc)
+            np.unique(gdoc), gdoc)
         order = np.argsort(key, kind="stable")
         ks = key[order]
         starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
@@ -1123,32 +1123,20 @@ def remove_duplicate_spans(ds, n: int = 5, text_col: str = "text",
     exact occurrence, already unique); removals route back keyed by
     doc id and meet the doc's text in one grouped pass — per-doc
     groups are bounded by doc length, never corpus-wide."""
-    import pyarrow.compute as pc
-
     from .sketch import _poly_hash_strings
-    from .text import _tok_flat
+    from .text import _join_ngrams_pos, _tok_flat
 
     def gram_occurrences(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
-        flat, row, lens = _tok_flat(batch.column(text_col))
-        total = len(flat)
-        m = total - (n - 1)
-        if m <= 0:
+        flat, row, _lens = _tok_flat(batch.column(text_col))
+        grams, grow, gpos = _join_ngrams_pos(flat, row, n)
+        if len(grams) == 0:
             return pa.table({
                 "ghash": pa.array([], pa.int64()),
                 "gram": pa.array([], pa.string()),
                 id_col: pa.array([], pa.int64()),
                 "pos": pa.array([], pa.int64()),
             })
-        # in-doc token position of each flat token
-        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        tok_pos = np.arange(total, dtype=np.int64) - starts[row]
-        valid = row[n - 1:] == row[:m]
-        parts = [flat.slice(j, m) for j in range(n)]
-        grams = pc.binary_join_element_wise(*parts, " ").filter(
-            pa.array(valid))
-        grow = row[:m][valid]
-        gpos = tok_pos[:m][valid]
         return pa.table({
             "ghash": pa.array(
                 _poly_hash_strings(grams).view(np.int64), pa.int64()),

@@ -191,12 +191,10 @@ def _table_to_shard(tbl: pa.Table):
         for layer, lst in enumerate(per_layer):
             pos = np.searchsorted(ids, lst)
             adj[layer][i] = [int(p) for p in pos]
-    if len(ids) == 0:
-        return ids, vecs, adj, -1
-    # entry point: the max-level node, lowest id among ties (the last
-    # inserted max-level node is the builder's entry, but ANY max-level
-    # node is a valid entry; lowest-id is the deterministic choice and
-    # the builder records its own in the manifest)
+    # the entry point is NOT derivable from the table alone — the
+    # builder records its entry id in the manifest, and
+    # ``_load_shard_cached`` resolves it to an index; this function
+    # always returns -1 for it
     return ids, vecs, adj, -1
 
 
@@ -284,12 +282,17 @@ def build_hnsw_index(ds, ckpt_dir: str, n_shards: int = 4, m: int = 8,
     return manifest
 
 
-_SHARD_CACHE: dict = {}
+import collections as _collections
+
+_SHARD_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()
+_SHARD_CACHE_CAP = 64
 
 
 def _load_shard_cached(path: str, entry_id: int):
-    """Per-process shard load (mtime-keyed, same shape as the knn
-    checkpoint caches): parquet -> (ids, vecs, adj, entry_idx)."""
+    """Per-process shard LRU (mtime-keyed, same multi-entry shape as
+    the knn checkpoint caches — a worker serving several shards'
+    probe tasks must not reload a shard's parquet per task):
+    parquet -> (ids, vecs, adj, entry_idx)."""
     import pyarrow.parquet as pq
 
     st = os.stat(path)
@@ -299,8 +302,11 @@ def _load_shard_cached(path: str, entry_id: int):
         ids, vecs, adj, _ = _table_to_shard(pq.read_table(path))
         entry = int(np.searchsorted(ids, entry_id)) if len(ids) else -1
         hit = (ids, vecs, adj, entry)
-        _SHARD_CACHE.clear()          # shards are rebuilt, not mutated
         _SHARD_CACHE[key] = hit
+        while len(_SHARD_CACHE) > _SHARD_CACHE_CAP:
+            _SHARD_CACHE.popitem(last=False)
+    else:
+        _SHARD_CACHE.move_to_end(key)
     return hit
 
 

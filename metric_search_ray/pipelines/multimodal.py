@@ -420,9 +420,22 @@ def video_neardup_pairs(ds, every_n: int = 10, max_frame_hamming: int = 6,
     from .dedup import hamming_pairs
 
     def add_phash(b: pa.Table) -> pa.Table:
-        pix = [codecs.ppm_decode(x) for x in b.column("bytes").to_pylist()]
-        ph = (phashmod.phash64_batch(np.stack(pix).astype(np.float64))
-              if pix else np.empty(0, np.int64))
+        # gray-reduce color (P6) frames and batch the phash kernel per
+        # frame SHAPE — mixed-resolution batches cannot np.stack (the
+        # same shape-grouping the decode stage uses)
+        grays = []
+        for x in b.column("bytes").to_pylist():
+            g = codecs.ppm_decode(x).astype(np.float64)
+            if g.ndim == 3:
+                g = g.mean(axis=2)
+            grays.append(g)
+        ph = np.empty(len(grays), np.int64)
+        shapes = np.asarray([g.shape for g in grays], np.int64) \
+            if grays else np.empty((0, 2), np.int64)
+        for shp in {tuple(s) for s in shapes}:
+            sel = np.flatnonzero((shapes == shp).all(axis=1))
+            ph[sel] = phashmod.phash64_batch(
+                np.stack([grays[i] for i in sel]))
         return pa.table({
             "video_id": b.column("video_id"),
             "frame_no": b.column("frame_no"),

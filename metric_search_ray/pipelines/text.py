@@ -53,17 +53,33 @@ def _tok_flat(col, lowercase: bool = False):
     return flat, row, lens
 
 
-def _join_ngrams(flat: pa.Array, row: np.ndarray, n: int, sep: str = " "):
-    """(grams, gram_row) — n-grams of the flattened token stream that
-    stay within one doc, joined with ``sep`` via one Arrow C++ kernel.
-    ``grams`` is an Arrow StringArray, ``gram_row`` numpy int64."""
+def _join_ngrams_pos(flat: pa.Array, row: np.ndarray, n: int,
+                     sep: str = " "):
+    """(grams, gram_row, gram_pos) — n-grams of the flattened token
+    stream that stay within one doc, joined with ``sep`` via one Arrow
+    C++ kernel; ``gram_pos`` is each gram's 0-based start-token index
+    WITHIN its doc.  Shared by the contamination check, the duplicate
+    n-gram census and the span-removal scrub — one tokenization/join
+    definition, never three."""
     m = len(flat) - (n - 1)
     if m <= 0:
-        return pa.array([], pa.string()), np.empty(0, np.int64)
+        return (pa.array([], pa.string()), np.empty(0, np.int64),
+                np.empty(0, np.int64))
     valid = row[n - 1:] == row[:m]
     parts = [flat.slice(j, m) for j in range(n)]
     grams = pc.binary_join_element_wise(*parts, sep)
-    return grams.filter(pa.array(valid)), row[:m][valid]
+    # in-doc position: token index minus the doc's first-token index
+    # (row is sorted, so that's one searchsorted)
+    pos_in_doc = (np.arange(len(flat), dtype=np.int64)
+                  - np.searchsorted(row, row))
+    return (grams.filter(pa.array(valid)), row[:m][valid],
+            pos_in_doc[:m][valid])
+
+
+def _join_ngrams(flat: pa.Array, row: np.ndarray, n: int, sep: str = " "):
+    """(grams, gram_row) — see ``_join_ngrams_pos``."""
+    g, r, _p = _join_ngrams_pos(flat, row, n, sep)
+    return g, r
 
 # tiny per-language marker vocabularies for the n-gram/stopword heuristic
 LANG_MARKERS = {

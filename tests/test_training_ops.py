@@ -698,3 +698,37 @@ def test_dup_ngram_ops_randomized_corpus(ray_session):
         kept = " ".join(t for t, c in zip(toks, cov) if not c)
         assert scrub.loc[did, "text"] == kept, did
         assert scrub.loc[did, "n_removed"] == int(cov.sum())
+
+
+def test_video_neardup_color_and_mixed_shapes(ray_session):
+    """Color (P6) frames and mixed frame resolutions must not crash the
+    per-frame phash stage (gray-reduce + per-shape batching)."""
+    from metric_search_ray import codecs
+    from metric_search_ray.pipelines.multimodal import video_neardup_pairs
+
+    rng = np.random.default_rng(3)
+
+    def vid(vid_id, size, color, nframes=10):
+        frames = []
+        for f in range(nframes):
+            shape = (size, size, 3) if color else (size, size)
+            frames.append(codecs.ppm_encode(
+                rng.integers(0, 256, shape).astype(np.uint8)))
+        return {"video_id": vid_id, "bytes": b"".join(frames),
+                "fmt": "ppmcat", "fps": 12, "n_frames": nframes}
+
+    rows = [vid("v-color-a", 16, True), vid("v-color-b", 16, True),
+            vid("v-gray-c", 16, False), vid("v-big-d", 24, False)]
+    # plant one exact color duplicate
+    dup = dict(rows[0])
+    dup["video_id"] = "v-color-dup"
+    rows.append(dup)
+    tbl = pa.table({k: pa.array(
+        [r[k] for r in rows],
+        pa.binary() if k == "bytes" else
+        (pa.int32() if k in ("fps", "n_frames") else pa.string()))
+        for k in ("video_id", "bytes", "fmt", "fps", "n_frames")})
+    out = video_neardup_pairs(rd.from_arrow(tbl), every_n=3,
+                              max_frame_hamming=4).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert ("v-color-a", "v-color-dup") in pairs
