@@ -818,9 +818,34 @@ def _cost_balanced_slices(srt: pa.Table, manifest: pa.Table,
     rows_of = np.zeros(len(uc), np.int64)
     np.add.at(rows_of, np.searchsorted(uc, man_cells), man_rows)
     qhome = srt.column("home_cell").to_numpy()
-    pos = np.clip(np.searchsorted(uc, qhome), 0, max(len(uc) - 1, 0))
     if len(uc):
-        w = np.where(uc[pos] == qhome, rows_of[pos], 0) + 64.0
+        # cost = candidate rows of the query's full 3x3 NEIGHBORHOOD,
+        # not just its home cell: the ring scan overwhelmingly touches
+        # ring 1, and a home-only model mis-ranked queries homed next
+        # to dense cells (measured task-time spread 0.63-0.91 s on
+        # "equal-cost" chunks — the wave-quantization tail the scaling
+        # ladder charges against the high level)
+        uq = np.unique(qhome)
+        ix, iy, _res = cellmod.cell_to_xy(uq)
+        res = int(cellmod.cell_res(uc[:1])[0])
+        n = np.int64(1) << np.int64(res)
+        cost_u = np.zeros(len(uq), np.float64)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx = (ix + dx) % n
+                ny = iy + dy
+                ok = (ny >= 0) & (ny < n)
+                if not ok.any():
+                    continue
+                cid = cellmod.cell_id_from_xy(nx[ok], ny[ok], res)
+                pos = np.clip(np.searchsorted(uc, cid), 0,
+                              len(uc) - 1)
+                hit = uc[pos] == cid
+                add = np.zeros(len(cid), np.float64)
+                add[hit] = rows_of[pos[hit]]
+                cost_u[np.flatnonzero(ok)] += add
+        qpos = np.searchsorted(uq, qhome)
+        w = cost_u[qpos] + 64.0
     else:
         w = np.full(nq_total, 64.0)
     cumw = np.cumsum(w)
