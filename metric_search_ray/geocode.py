@@ -73,11 +73,17 @@ def key_of_image_id(image_id) -> np.ndarray:
     C++ — ~70x faster than the numpy unicode path it replaces, which
     cost 2s per 2.4M-row batch in ``astype(str)``/``np.char``).
 
-    Fast paths (all-or-nothing per batch, matching the original numpy
-    semantics): pure-numeric ids parse directly; ids whose suffix after
-    the FIRST ``-`` is all digits (fixture form ``img-{i:08d}``) parse
-    the suffix.  Fallback: crc32 of the utf-8 bytes (deterministic
-    across processes, unlike Python's salted hash()).
+    Per-row rule — a row's key is a PURE FUNCTION of its id, never of
+    its batch neighbors: a pure-numeric id (<= 18 digits) parses
+    directly; an id whose suffix after the FIRST ``-`` is all digits
+    (fixture form ``img-{i:08d}``) parses the suffix; anything else
+    hashes as crc32 of the utf-8 bytes (deterministic across
+    processes, unlike Python's salted hash()).  Uniform batches take
+    all-Arrow fast paths; a MIXED batch evaluates the same rule per
+    row (the earlier all-or-nothing batch decision made an id's
+    geotag/routing depend on which rows Ray happened to co-batch —
+    the same id could route to different partitions between a build
+    scan and a CDC changelog).
     """
     import pyarrow.compute as pc
 
@@ -92,16 +98,30 @@ def key_of_image_id(image_id) -> np.ndarray:
     try:
         if pc.all(pc.utf8_is_digit(arr)).as_py():
             return pc.cast(arr, pa.int64()).to_numpy()
-        # suffix after the first '-' (np.char.partition parity: rows
-        # without '-' get an empty suffix -> not all-digits -> fallback)
         if pc.all(pc.greater(pc.count_substring(arr, "-"), 0)).as_py():
             suffix = pc.list_element(pc.split_pattern(arr, "-", max_splits=1), 1)
             if pc.all(pc.utf8_is_digit(suffix)).as_py():
                 return pc.cast(suffix, pa.int64()).to_numpy()
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OverflowError):
         pass
-    return np.asarray([zlib.crc32(x.encode("utf-8")) for x in arr.to_pylist()],
-                      np.int64)
+    # mixed (or overflowing) batch: same rule per row, in Arrow kernels
+    # (length <= 18 guards the int64 cast)
+    is_num = pc.and_(pc.utf8_is_digit(arr),
+                     pc.less_equal(pc.utf8_length(arr), 18))
+    has_dash = pc.greater(pc.count_substring(arr, "-"), 0)
+    safe = pc.if_else(has_dash, arr, "-")
+    suffix = pc.list_element(pc.split_pattern(safe, "-", max_splits=1), 1)
+    sfx_ok = pc.and_(pc.utf8_is_digit(suffix),
+                     pc.less_equal(pc.utf8_length(suffix), 18))
+    num_src = pc.if_else(is_num, arr, pc.if_else(sfx_ok, suffix, "0"))
+    keys = pc.cast(num_src, pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.int64).copy()
+    fb = pc.invert(pc.or_(is_num, sfx_ok)).to_numpy(zero_copy_only=False)
+    if fb.any():
+        vals = arr.to_pylist()
+        for j in np.flatnonzero(fb):
+            keys[j] = zlib.crc32(vals[j].encode("utf-8"))
+    return keys
 
 
 def geocode_image_ids(image_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

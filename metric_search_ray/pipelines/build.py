@@ -694,10 +694,18 @@ def apply_changes(changes_ds, ckpt_dir: str, id_column: str = "image_id",
                                               ).astype(str)
         ups = np.flatnonzero(ops == "upsert")
         if not os.path.exists(path):
-            # brand-new partition: only the upserts materialize
+            # brand-new partition: only the upserts materialize; a
+            # changelog can carry several upserts of one key — keep the
+            # LAST occurrence per id (the existing-partition path's
+            # erase-then-reinsert sequence lands on the same last-wins
+            # state), else the key would be inserted multiple times
             if len(ups) == 0:
                 return MANIFEST_SCHEMA.empty_table()
-            return _build_partition(tbl.take(pa.array(ups, pa.int64())),
+            last_of: dict = {}
+            for j in ups:
+                last_of[ids[j]] = j
+            keep = np.asarray(sorted(last_of.values()), np.int64)
+            return _build_partition(tbl.take(pa.array(keep, pa.int64())),
                                     ckpt_dir, resume=False)
         tree, node_tbl = load_partition_tree(path)
         # monotone id allocator: CoverTree.erase decrements N (reference
@@ -716,19 +724,34 @@ def apply_changes(changes_ds, ckpt_dir: str, id_column: str = "image_id",
                                  node_tbl.column("lon").to_pylist())))
 
         def erase_one(img: str) -> None:
-            """Erase one id's point; point-erase may remove a coordinate
-            twin's node, so drop whichever id actually left the tree
-            (same rule as erase_from_index)."""
+            """Erase one id's point EXACTLY.  Point-erase may remove a
+            coordinate TWIN's node instead of the target's (identical
+            coordinates — hashed int keys collide mod 2^31); when that
+            happens, relabel the target's surviving node with the
+            twin's identity: the tree is unchanged (equal coordinates),
+            the twin lives on under the surviving node id, and the
+            TARGET's record is the one that disappears — without this,
+            a replace (erase + reinsert) left the target's old record
+            in place and silently dropped the untouched twin."""
             rid = by_img.get(img)
             if rid is None:
                 return
             la, lo = lat_by_id[rid]
             if tree.erase(np.asarray([la, lo], np.float64)):
-                gone = (rid if rid not in tree._by_id else
-                        next(i for i in meta_by_id if i not in tree._by_id))
-                if gone in meta_by_id:
-                    by_img.pop(meta_by_id[gone][0], None)
+                if rid in tree._by_id:
+                    # a twin's node left: move its identity onto the
+                    # target's surviving node, then drop the target
+                    gone = next(i for i in meta_by_id
+                                if i not in tree._by_id)
+                    twin_img, twin_ph = meta_by_id[gone]
+                    meta_by_id[rid] = (twin_img, twin_ph)
+                    by_img[twin_img] = rid
                     meta_by_id.pop(gone, None)
+                    lat_by_id.pop(gone, None)
+                    by_img.pop(img, None)
+                else:
+                    meta_by_id.pop(rid, None)
+                    by_img.pop(img, None)
 
         dels = np.flatnonzero(ops == "delete")
         for img in sorted(ids[dels]):

@@ -19,8 +19,13 @@ Ray tasks whose state is three scalars (group, open pack id, open pack
 fill).  A corpus-wide single group therefore degrades to a
 bounded-memory pipeline of per-block tasks — sequential in time (the
 greedy recurrence is inherently serial) but never a single straggler
-task holding every row, and chains of distinct groups overlap.  Only
-two int64 columns and the group key shuffle; the text never moves.
+task holding every row.  The edge chain is ONE sequential task chain
+across all blocks (each edge task only holds its block's first/last
+runs, so the chain's work is tiny next to the parallel interior wave;
+breaking the chain at carry-group changes would let unrelated blocks'
+edge tasks overlap, at the cost of the driver inspecting every edge
+table's groups — not done).  Only two int64 columns and the group key
+shuffle; the text never moves.
 """
 
 from __future__ import annotations
@@ -63,13 +68,18 @@ def greedy_pack_continue(n_tokens: np.ndarray, budget: int,
     already holds ``fill`` tokens from earlier rows of the same group.
     Returns ``(pack_ids, open_pack_id, open_fill)`` — the run's last
     pack stays open for a possible continuation in the next block.
-    ``fill <= 0`` means the open pack is empty: plain greedy, ids
-    offset by ``base``.
+
+    ``fill < 0`` means NO pack is open yet (fresh group): plain
+    greedy, ids offset by ``base``.  ``fill == 0`` means the open pack
+    holds docs whose tokens sum to zero — that pack EXISTS, so an
+    oversized next doc must start a new pack exactly as the unsplit
+    greedy would (the old ``fill <= 0`` conflation re-used the open
+    pack there, making pack ids depend on where Ray cut the blocks).
     """
     n = len(n_tokens)
     if n == 0:
         return np.empty(0, np.int64), base, fill
-    if fill <= 0:
+    if fill < 0:
         ids = greedy_pack_ids(n_tokens, budget) + base
     else:
         cum = np.cumsum(n_tokens, dtype=np.int64)
@@ -110,7 +120,7 @@ def _pack_runs(tbl: pa.Table, group_col: str, budget: int, carry):
             ids, oid, ofill = greedy_pack_continue(
                 nt[a:b], budget, carry[2], carry[1])
         else:
-            ids, oid, ofill = greedy_pack_continue(nt[a:b], budget, 0, 0)
+            ids, oid, ofill = greedy_pack_continue(nt[a:b], budget, -1, 0)
         packs[a:b] = ids
         carry = (g, oid, ofill)
     return tbl.append_column("pack_id", pa.array(packs, pa.int64())), carry

@@ -120,3 +120,25 @@ def test_scan_partition_csr_matches_full_scan():
         of = np.lexsort((if_[r].astype(str), df_[r]))
         np.testing.assert_allclose(dc[r][oc], df_[r][of], rtol=0, atol=0)
         assert list(ic[r][oc]) == list(if_[r][of])
+
+
+def test_key_of_image_id_is_per_row_pure():
+    """A row's key must not depend on its batch neighbors: mixed-format
+    batches take the same per-row rule as single-row calls (batch-level
+    all-or-nothing made an id's geotag depend on Ray's batching)."""
+    import zlib
+
+    from metric_search_ray import geocode
+
+    mixed = np.asarray(["12345", "img-00000007", "weird id",
+                        str(12345 + 2**31), "a-b-77"], np.str_)
+    batch = geocode.key_of_image_id(mixed)
+    singles = np.concatenate(
+        [geocode.key_of_image_id(mixed[i:i + 1]) for i in range(len(mixed))])
+    assert (batch == singles).all()
+    assert batch[0] == 12345
+    assert batch[1] == 7
+    assert batch[2] == zlib.crc32(b"weird id")
+    assert batch[3] == 12345 + 2**31
+    # suffix after the FIRST dash is NOT all digits ("b-77") -> crc32
+    assert batch[4] == zlib.crc32(b"a-b-77")

@@ -28,7 +28,9 @@ def test_greedy_pack_fuzz():
     rng = np.random.default_rng(1)
     for _ in range(300):
         n = int(rng.integers(0, 50))
-        nt = rng.integers(0, 150, n).astype(np.int64)   # zeros + oversized
+        nt = rng.integers(0, 150, n).astype(np.int64)
+        if rng.integers(0, 2):      # zero-heavy + oversized mix
+            nt[rng.random(n) < 0.5] = 0   # zeros + oversized
         budget = int(rng.integers(1, 120))
         assert pack.greedy_pack_ids(nt, budget).tolist() == _brute(nt, budget)
 
@@ -49,10 +51,12 @@ def test_greedy_pack_continue_fuzz():
     for _ in range(200):
         n = int(rng.integers(1, 40))
         nt = rng.integers(0, 150, n).astype(np.int64)
+        if rng.integers(0, 2):      # zero-heavy + oversized mix
+            nt[rng.random(n) < 0.5] = 0
         budget = int(rng.integers(1, 120))
         whole = pack.greedy_pack_ids(nt, budget)
         cut = int(rng.integers(0, n + 1))
-        ids1, oid, ofill = pack.greedy_pack_continue(nt[:cut], budget, 0, 0)
+        ids1, oid, ofill = pack.greedy_pack_continue(nt[:cut], budget, -1, 0)
         ids2, _, _ = pack.greedy_pack_continue(nt[cut:], budget, ofill, oid)
         assert np.concatenate([ids1, ids2]).tolist() == whole.tolist()
 

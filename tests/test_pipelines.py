@@ -954,3 +954,83 @@ def test_compact_index_shrink_grow_and_normalize(ray_session, tmp_path):
         d = np.sqrt((la - qd["lat"][qi]) ** 2 + (lo - qd["lon"][qi]) ** 2)
         assert np.allclose(np.sort(d)[:len(sub)], sub["dist"].to_numpy(),
                            atol=1e-9), qi
+
+
+def test_apply_changes_duplicate_upserts_new_partition(ray_session,
+                                                       tiny_images,
+                                                       tmp_path):
+    """Two upserts of the same NEW key in one changelog must land as
+    ONE record (last-wins), on both the brand-new-partition path and
+    the existing-partition path."""
+    ckpt = str(tmp_path / "dupup_idx")
+    # a SMALL index leaves most res-4 cells without a partition file,
+    # guaranteeing a brand-new-partition route below
+    ds = rd.read_parquet(tiny_images, columns=["image_id", "phash"]).limit(60)
+    build.build_index(ds, ckpt, res=4, target_rows=100)
+    # pick a key routed to a cell with NO existing partition: probe
+    # candidates until one's (cell, salt) file is absent
+    import os as _os
+
+    from metric_search_ray.pipelines.build import (part_path,
+                                                   salt_plan_from_manifest)
+    man = build.load_manifest(ckpt)
+    plan = salt_plan_from_manifest(man, ckpt)
+    pick = None
+    for i in range(50_000, 90_000):
+        cand = f"img-{i:08d}"
+        la, lo = geocode.geocode_image_ids(np.asarray([cand], np.str_))
+        c = int(cell.cell_of(la, lo, 4)[0])
+        import numpy as _np
+        k = plan.get(c, 1)
+        key = geocode.key_of_image_id(_np.asarray([cand], _np.str_))
+        s = int((geocode.lcg_next(geocode.lcg_next(key) + 9176)
+                 % _np.uint64(k))[0]) if k > 1 else 0
+        if not _os.path.exists(part_path(ckpt, c, s)):
+            pick = cand
+            break
+    assert pick is not None
+    build.apply_changes(pa.table({
+        "image_id": pa.array([pick, pick]),
+        "phash": pa.array([11, 22], pa.int64()),
+        "op": pa.array(["upsert", "upsert"]),
+    }), ckpt)
+    man2 = build.load_manifest(ckpt)
+    hits = []
+    for p in man2.column("path").to_pylist():
+        t = pq.read_table(p, columns=["image_id", "phash"])
+        for iid, ph in zip(t.column("image_id").to_pylist(),
+                           t.column("phash").to_pylist()):
+            if iid == pick:
+                hits.append(ph)
+    assert hits == [22]                      # once, last-wins
+
+
+def test_apply_changes_replace_with_coordinate_twin(ray_session, tmp_path):
+    """Ids whose hashed keys collide mod 2^31 geocode identically;
+    replacing one must leave exactly one record of it (new phash) and
+    the untouched twin intact."""
+    a, b = "12345", str(12345 + 2**31)       # identical geotag
+    la, lo = geocode.geocode_image_ids(np.asarray([a, b], np.str_))
+    assert la[0] == la[1] and lo[0] == lo[1]
+    others = [f"img-{i:08d}" for i in range(40)]
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array([a, b] + others),
+        "phash": pa.array(np.arange(42, dtype=np.int64)),
+    }))
+    ckpt = str(tmp_path / "twin_idx")
+    build.build_index(ds, ckpt, res=3, target_rows=1000)
+    build.apply_changes(pa.table({
+        "image_id": pa.array([b]),
+        "phash": pa.array([777], pa.int64()),
+        "op": pa.array(["upsert"]),
+    }), ckpt)
+    man = build.load_manifest(ckpt)
+    counts = {a: [], b: []}
+    for p in man.column("path").to_pylist():
+        t = pq.read_table(p, columns=["image_id", "phash"])
+        for iid, ph in zip(t.column("image_id").to_pylist(),
+                           t.column("phash").to_pylist()):
+            if iid in counts:
+                counts[iid].append(ph)
+    assert counts[b] == [777]                # replaced once, new phash
+    assert counts[a] == [0]                  # twin untouched
